@@ -1,0 +1,243 @@
+"""Scalar expression library: messy-string → typed values, as NATIVE Spark
+column expressions (SURVEY.md §2.6, ops F1-F18).
+
+The reference implements these as pandas ``.str`` pipelines plus row-wise
+Python lambdas (``parse_dollars`` applied per element at challenge.py:133,
+row-wise ``apply`` at challenge.py:169,241). Here every one is a composed
+``pyspark.sql.functions`` expression: JVM-side, whole-stage-codegen'd,
+zero Python in the hot path — the single biggest idiomatic-Spark win for
+scale (a per-row Python UDF over 100 TB is 10-100× slower than codegen).
+
+All expressions are null-propagating: a null/unparseable input yields a
+null output, matching pandas-NaN behavior where the reference relies on it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Regex vocabulary (reference: challenge.py:120-125)
+# ---------------------------------------------------------------------------
+
+#: money "form one": "$21.4 million" / "$1.2 billion" (misspelling-tolerant
+#: "milion"/"bilion" via `illi?on`) — challenge.py:120
+MONEY_FORM_ONE = r"\$\s*\d+\.?\d*\s*[mb]illi?on"
+
+#: money "form two": "$123,456,789" (1-3 leading digits then ,/. separated
+#: thousands, not followed by " million") — challenge.py:121
+MONEY_FORM_TWO = r"\$\s*\d{1,3}(?:[,\.]\d{3})+(?!\s[mb]illion)"
+
+_MONTHS = (
+    "January|February|March|April|May|June|July|"
+    "August|September|October|November|December"
+)
+
+#: the four date shapes — challenge.py:122-125. NB reference quirk kept
+#: for parity: form one's day is `[123]\d` (10-39 only), so single-digit
+#: days match neither form one nor form three and degrade to the bare-year
+#: form four ("July 3, 1994" → "1994" → Jan 1, 1994).
+DATE_FORM_ONE = rf"(?:{_MONTHS})\s[123]\d,\s\d{{4}}"  # "July 11, 1990"
+DATE_FORM_TWO = r"\d{4}.[01]\d.[123]\d"  # "1990-07-11"
+DATE_FORM_THREE = rf"(?:{_MONTHS})\s\d{{4}}"  # "July 1990"
+DATE_FORM_FOUR = r"\d{4}"  # "1990"
+
+#: running time: "1 hour 42 minutes" | "102 m(in/inutes)" — challenge.py:168
+RUNNING_TIME_PATTERN = r"(\d+)\s*ho?u?r?s?\s*(\d*)|(\d+)\s*m"
+
+IMDB_ID_PATTERN = r"(tt\d{7})"  # challenge.py:90
+
+
+def _nullif_empty(c: Column) -> Column:
+    """Spark's regexp_extract returns '' on no-match; pandas returns NaN.
+    Normalize to null for parity."""
+    return F.nullif(c, F.lit(""))
+
+
+# ---------------------------------------------------------------------------
+# F1-F4: extraction / cleanup
+# ---------------------------------------------------------------------------
+
+
+def extract_imdb_id(c: Column) -> Column:
+    """F1: pull ``tt\\d{7}`` out of a URL (challenge.py:90)."""
+    return _nullif_empty(F.regexp_extract(c, IMDB_ID_PATTERN, 1))
+
+
+def join_list_cell(c: Column) -> Column:
+    """F2: collapse an array-valued cell to a space-joined string
+    (reference: ``' '.join(x) if type(x) == list else x``,
+    challenge.py:131,144,156,167). Apply to ArrayType columns;
+    for mixed string-or-array JSON columns see
+    :func:`movies_etl_spark.operators.normalize.normalize_mixed_cell`."""
+    return F.concat_ws(" ", c)
+
+
+def strip_money_ranges(c: Column) -> Column:
+    """F3: collapse "$79.6–$80.2 million" ranges to the upper value by
+    replacing everything up to a hyphen/en/em-dash with "$"
+    (challenge.py:132,145; negative lookahead keeps hyphenated words).
+    NB: "$" is a group reference in Java replacement strings → escaped."""
+    return F.regexp_replace(c, r"\$.*[-—–](?![a-z])", "\\$")
+
+
+def strip_citations(c: Column) -> Column:
+    """F4: remove "[n]" footnote markers (ETL.ipynb:3001, cell 38)."""
+    return F.regexp_replace(c, r"\[\d+\]\s*", "")
+
+
+# ---------------------------------------------------------------------------
+# F5-F6: money parsing
+# ---------------------------------------------------------------------------
+
+
+def extract_money(c: Column) -> Column:
+    """F5: first match of form_one|form_two, case-insensitive
+    (challenge.py:133,146)."""
+    pat = f"(?i)({MONEY_FORM_ONE}|{MONEY_FORM_TWO})"
+    return _nullif_empty(F.regexp_extract(c, pat, 1))
+
+
+def parse_dollars(c: Column) -> Column:
+    """F6: money string → double (reference ``parse_dollars``,
+    challenge.py:102-118), as a pure when/otherwise chain:
+
+    - "$X million"  → X * 1e6 (misspelling "milion" tolerated)
+    - "$X billion"  → X * 1e9
+    - "$#,###,###"  → plain float ($ and , stripped)
+    - anything else → null (pandas np.nan)
+
+    The reference's patterns are ``re.match``-anchored → `^` here. The
+    numeric cast uses Spark cast-to-double (null on bad input), which also
+    null-safes the reference's `float()`-raises quirk on mixed separators
+    like "1.234.567" (SURVEY §7.3.2)."""
+    million = rf"(?i)^\$\s*\d+\.?\d*\s*milli?on"
+    billion = rf"(?i)^\$\s*\d+\.?\d*\s*billi?on"
+    comma = rf"(?i)^\$\s*\d{{1,3}}(?:[,\.]\d{{3}})+(?!\s[mb]illion)"
+    digits = F.regexp_replace(c, r"[\$\sA-Za-z]", "").try_cast("double")
+    plain = F.regexp_replace(c, r"[\$,]", "").try_cast("double")
+    return (
+        F.when(c.rlike(million), digits * F.lit(1e6))
+        .when(c.rlike(billion), digits * F.lit(1e9))
+        .when(c.rlike(comma), plain)
+        .otherwise(F.lit(None).cast("double"))
+    )
+
+
+def parse_money_column(c: Column) -> Column:
+    """F3+F5+F6 composed: the reference's full box-office/budget pipeline
+    (challenge.py:130-147): join list cells upstream, strip ranges,
+    extract the money expression, convert to a double."""
+    return parse_dollars(extract_money(strip_money_ranges(c)))
+
+
+# ---------------------------------------------------------------------------
+# F7-F10: dates & timestamps
+# ---------------------------------------------------------------------------
+
+
+def extract_date_multiform(c: Column) -> Column:
+    """F7: first match of the four date shapes (challenge.py:157)."""
+    pat = f"({DATE_FORM_ONE}|{DATE_FORM_TWO}|{DATE_FORM_THREE}|{DATE_FORM_FOUR})"
+    return _nullif_empty(F.regexp_extract(c, pat, 1))
+
+
+def to_date_inferred(c: Column) -> Column:
+    """F8: parse the heterogeneous extracted date string to a date.
+
+    The reference leans on ``pd.to_datetime(..., infer_datetime_format=
+    True)`` (challenge.py:157); the four regex forms bound what it can see,
+    so a per-format ``try_to_timestamp`` coalesce chain is exact. "Month
+    YYYY" and bare "YYYY" default to day/month 1, matching pandas."""
+    return F.coalesce(
+        F.try_to_timestamp(c, F.lit("MMMM d, yyyy")).cast("date"),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd")).cast("date"),
+        F.try_to_timestamp(c, F.lit("MMMM yyyy")).cast("date"),
+        F.try_to_timestamp(c, F.lit("yyyy")).cast("date"),
+    )
+
+
+def parse_date_column(c: Column) -> Column:
+    """F7+F8 composed: the reference's release-date pipeline
+    (challenge.py:155-162)."""
+    return to_date_inferred(extract_date_multiform(c))
+
+
+def to_date_std(c: Column) -> Column:
+    """F9: ISO "yyyy-MM-dd" string → date (challenge.py:216); null on bad."""
+    return F.try_to_timestamp(c, F.lit("yyyy-MM-dd")).cast("date")
+
+
+def from_unix_seconds(c: Column) -> Column:
+    """F10: epoch seconds → timestamp (challenge.py:226)."""
+    return F.timestamp_seconds(c)
+
+
+# ---------------------------------------------------------------------------
+# F11: running time
+# ---------------------------------------------------------------------------
+
+
+def parse_running_time(c: Column) -> Column:
+    """F11: running-time string → minutes as double (challenge.py:166-174).
+
+    Three capture groups from RUNNING_TIME_PATTERN: (hours, minutes-after-
+    hours, bare-minutes). The reference coerces each to numeric, fills NaN
+    with 0, then computes ``g1*60 + g2 if g3 == 0 else g3`` row-wise; here
+    that is a single native expression."""
+    g1 = F.coalesce(
+        _nullif_empty(F.regexp_extract(c, RUNNING_TIME_PATTERN, 1)).try_cast("double"),
+        F.lit(0.0),
+    )
+    g2 = F.coalesce(
+        _nullif_empty(F.regexp_extract(c, RUNNING_TIME_PATTERN, 2)).try_cast("double"),
+        F.lit(0.0),
+    )
+    g3 = F.coalesce(
+        _nullif_empty(F.regexp_extract(c, RUNNING_TIME_PATTERN, 3)).try_cast("double"),
+        F.lit(0.0),
+    )
+    out = F.when(g3 == 0, g1 * 60 + g2).otherwise(g3)
+    # A cell matching neither alternative is all-zeros in the reference
+    # (NaN-filled), producing 0.0 — but a *null* input stays null.
+    return F.when(c.isNull(), F.lit(None).cast("double")).otherwise(out)
+
+
+# ---------------------------------------------------------------------------
+# F12-F18: casts, conditionals, arithmetic
+# ---------------------------------------------------------------------------
+
+
+def cast_int(c: Column) -> Column:
+    """F12: string → int, null on bad (reference ``astype(int)`` raises;
+    drop-on-failure semantics live in operators.normalize.validated_cast)."""
+    return c.try_cast("int")
+
+
+def cast_long(c: Column) -> Column:
+    """F13: string → long (``pd.to_numeric(errors='raise')``,
+    challenge.py:199)."""
+    return c.try_cast("long")
+
+
+def cast_double(c: Column) -> Column:
+    """F13: string → double (challenge.py:206)."""
+    return c.try_cast("double")
+
+
+def cast_bool_eq(c: Column, truthy: str = "True") -> Column:
+    """F14: ``col == 'True'`` → boolean (challenge.py:183)."""
+    return c == F.lit(truthy)
+
+
+def fill_if_zero(keep: Column, fallback: Column) -> Column:
+    """F15: column-pair precedence — keep the kaggle value unless it is 0,
+    then take the wiki value (challenge.py:240-246). ``keep == 0`` is false
+    for null keep → null stays null, matching pandas."""
+    return F.when(keep == 0, fallback).otherwise(keep)
+
+
+def minutes_from_hours(hours: Column, minutes: Column) -> Column:
+    """F18: unit conversion arithmetic (challenge.py:169)."""
+    return hours * 60 + minutes

@@ -1,0 +1,250 @@
+"""Semi-structured → relational normalization (SURVEY.md §2.2 P5/P9/P10,
+§2.8 fault tolerance).
+
+The reference normalizes ragged wiki-JSON dicts record-by-record in Python
+(``clean_movie``/``change_column_name``, challenge.py:51-83). Spark-first,
+the same semantics are columnar:
+
+- synonym-key canonicalization = ``coalesce()`` across the synonym columns
+  (a record populates at most one synonym; coalesce order follows the
+  reference's rename order for tie cases),
+- alt-title collection = a filtered ``MapType`` column,
+- the 90%-null column prune = a two-job data-dependent projection
+  (one 1-row aggregate to the driver, then a select),
+- column-drop-on-corruption = validate-then-commit with ``observe()``-style
+  single-pass counting.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# The 19 synonym renames of challenge.py:63-81, as canonical → ordered
+# synonyms. Order matters for tie cases: the reference's per-record
+# ``movie[new] = movie.pop(old)`` means the *last rename executed* wins,
+# so each coalesce list is the reference's rename sequence REVERSED, with
+# the pre-existing canonical key last (any rename overwrites it).
+# e.g. Writer(s): renames fire in order Adaptation by → Screen story by →
+# Screenplay by → Story by → Written by (challenge.py:63-81), so
+# "Written by" has top priority. "Release date" chains two renames:
+# Released→Release Date→Release date (challenge.py:74-75).
+WIKI_SYNONYMS: dict[str, list[str]] = {
+    "Country": ["Country of origin", "Country"],
+    "Director": ["Directed by", "Director"],
+    "Distributor": ["Distributed by", "Distributor"],
+    "Editor(s)": ["Edited by", "Editor(s)"],
+    "Composer(s)": ["Theme music composer", "Music by", "Composer(s)"],
+    "Producer(s)": ["Producer", "Produced by", "Producer(s)"],
+    "Production company(s)": [
+        "Productioncompany ",
+        "Productioncompanies ",
+        "Production company(s)",
+    ],
+    "Writer(s)": [
+        "Written by",
+        "Story by",
+        "Screenplay by",
+        "Screen story by",
+        "Adaptation by",
+        "Writer(s)",
+    ],
+    "Running time": ["Length", "Running time"],
+    "Release date": ["Released", "Release Date", "Original release", "Release date"],
+}
+
+# The 20 alternate-title language keys collected into ``alt_titles``
+# (challenge.py:45-49).
+ALT_TITLE_KEYS: list[str] = [
+    "Also known as",
+    "Arabic",
+    "Cantonese",
+    "Chinese",
+    "French",
+    "Hangul",
+    "Hebrew",
+    "Hepburn",
+    "Japanese",
+    "Literally",
+    "Mandarin",
+    "McCune–Reischauer",  # en-dash, as in challenge.py:47
+    "Original title",
+    "Polish",
+    "Revised Romanization",
+    "Romanized",
+    "Russian",
+    "Simplified",
+    "Traditional",
+    "Yiddish",
+]
+
+
+def canonicalize_keys(
+    df: DataFrame, synonyms: dict[str, list[str]] | None = None
+) -> DataFrame:
+    """P9: fold synonym columns into canonical ones via first-non-null
+    coalesce, dropping the sources (challenge.py:60-83)."""
+    synonyms = synonyms if synonyms is not None else WIKI_SYNONYMS
+    present = set(df.columns)
+    out = df
+    to_drop: list[str] = []
+    for canon, sources in synonyms.items():
+        live = [s for s in sources if s in present]
+        if not live:
+            continue
+        out = out.withColumn(f"__canon__{canon}", F.coalesce(*[F.col(f"`{s}`") for s in live]))
+        to_drop.extend(s for s in live)
+    for s in set(to_drop):
+        out = out.drop(s)
+    for canon in synonyms:
+        if f"__canon__{canon}" in out.columns:
+            out = out.withColumnRenamed(f"__canon__{canon}", canon)
+    return out
+
+
+def collect_map_column(
+    df: DataFrame,
+    keys: Sequence[str] | None = None,
+    target: str = "alt_titles",
+    drop_sources: bool = True,
+) -> DataFrame:
+    """P10: gather the alt-language title columns into one
+    ``MapType(String,String)`` column, keeping only non-null entries
+    (challenge.py:45-58)."""
+    keys = [k for k in (keys or ALT_TITLE_KEYS) if k in df.columns]
+    if not keys:
+        return df.withColumn(
+            target, F.create_map().cast("map<string,string>")
+        )
+    m = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in keys]),
+        F.array(*[F.col(f"`{k}`").cast("string") for k in keys]),
+    )
+    out = df.withColumn(target, F.map_filter(m, lambda _, v: v.isNotNull()))
+    if drop_sources:
+        out = out.drop(*keys)
+    return out
+
+
+def null_ratio_prune(
+    df: DataFrame, threshold: float = 0.9, keep_always: Sequence[str] = ()
+) -> DataFrame:
+    """P5: data-dependent projection — keep columns whose null ratio is
+    below ``threshold`` (reference: < 90% null, challenge.py:95-97).
+
+    Two jobs by design: a single 1-row aggregate (null count per column +
+    total count, one pass over the data) collected to the driver, then a
+    plain ``select``. The aggregate is the only driver-side collect in the
+    whole engine and is O(#columns), scale-safe at any row count."""
+    aggs = [F.count(F.lit(1)).alias("__total__")] + [
+        F.sum(F.col(f"`{c}`").isNull().cast("long")).alias(c) for c in df.columns
+    ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    total = row.pop("__total__") or 0
+    if total == 0:
+        return df
+    keep = [
+        c
+        for c in df.columns
+        if c in keep_always or (row.get(c, 0) / total) < threshold
+    ]
+    return df.select(*[F.col(f"`{c}`") for c in keep])
+
+
+def null_counts(df: DataFrame) -> DataFrame:
+    """A4: per-column null counts as a 1-row frame (challenge.py:95)."""
+    return df.select(
+        *[F.sum(F.col(f"`{c}`").isNull().cast("long")).alias(c) for c in df.columns]
+    )
+
+
+def normalize_mixed_cell(c: Column) -> Column:
+    """§7.4: a JSON-inferred column whose cells are string OR array.
+
+    Spark's JSON schema inference widens a key holding both scalars and
+    arrays to StringType, rendering array cells as their JSON text
+    (``["May 17, 1990","(","1990-05-17",")"]``). The reference's
+    ``' '.join(x) if type(x) == list else x`` (challenge.py:131) therefore
+    becomes: detect JSON-array text → parse → space-join; else keep the
+    scalar. Pure native expressions, null-safe."""
+    joined = F.concat_ws(" ", F.from_json(c, "array<string>"))
+    return F.when(
+        c.isNotNull() & c.startswith("["), F.coalesce(F.nullif(joined, F.lit("")), c)
+    ).otherwise(c)
+
+
+def validated_cast(
+    df: DataFrame,
+    column: str,
+    parsed: Column,
+    fail_when: str = "any",
+) -> tuple[DataFrame, dict[str, int]]:
+    """§2.8/§4.3: column-level fault tolerance — validate-then-commit.
+
+    The reference wraps each transform in try/except and drops the WHOLE
+    column if the transform raises (challenge.py:129-230). Spark casts are
+    lazy and null-on-error, so the contract becomes: compute the parsed
+    column, count parse failures (non-null input → null output) in one
+    aggregate pass, and drop the column when the reference's raise
+    condition holds:
+
+    - ``fail_when='any'``  — any non-null un-castable value raises
+      (``errors='raise'`` casts, F12/F13)
+    - ``fail_when='all'``  — only a fully-unparseable column is dropped
+      (regex extraction pipelines that NaN quietly, F5/F7: the reference
+      only raises on systemic failure, e.g. wrong dtype)
+
+    Returns (new_df, stats). Cost: one extra aggregate job per validated
+    column; at scale, batch several validations into one ``agg`` via
+    :func:`validated_cast_many`.
+    """
+    out = df.withColumn(f"__parsed__{column}", parsed)
+    stats_row = out.agg(
+        F.count(F.col(f"`{column}`")).alias("n_input"),
+        F.count(F.col(f"__parsed__{column}")).alias("n_parsed"),
+    ).collect()[0]
+    n_input, n_parsed = stats_row["n_input"], stats_row["n_parsed"]
+    failed = (
+        (n_parsed < n_input) if fail_when == "any" else (n_parsed == 0 and n_input > 0)
+    )
+    stats = {"n_input": n_input, "n_parsed": n_parsed, "dropped": int(failed)}
+    if failed:
+        return df.drop(column), stats
+    return (
+        out.drop(column).withColumnRenamed(f"__parsed__{column}", column),
+        stats,
+    )
+
+
+def validated_cast_many(
+    df: DataFrame, specs: dict[str, tuple[Column, str]]
+) -> tuple[DataFrame, dict[str, dict[str, int]]]:
+    """Batch form of :func:`validated_cast`: one aggregate pass validates
+    every column, then one select commits the survivors. At 100 TB this is
+    the difference between 1 and N validation scans."""
+    out = df
+    aggs = []
+    for column, (parsed, _) in specs.items():
+        out = out.withColumn(f"__parsed__{column}", parsed)
+        aggs.append(F.count(F.col(f"`{column}`")).alias(f"in__{column}"))
+        aggs.append(F.count(F.col(f"__parsed__{column}")).alias(f"ok__{column}"))
+    row = out.agg(*aggs).collect()[0].asDict()
+    all_stats: dict[str, dict[str, int]] = {}
+    final_cols: list[Column] = []
+    for c in df.columns:
+        if c not in specs:
+            final_cols.append(F.col(f"`{c}`"))
+            continue
+        _, fail_when = specs[c]
+        n_input, n_parsed = row[f"in__{c}"], row[f"ok__{c}"]
+        failed = (
+            (n_parsed < n_input)
+            if fail_when == "any"
+            else (n_parsed == 0 and n_input > 0)
+        )
+        all_stats[c] = {"n_input": n_input, "n_parsed": n_parsed, "dropped": int(failed)}
+        if not failed:
+            final_cols.append(F.col(f"__parsed__{c}").alias(c))
+    return out.select(*final_cols), all_stats

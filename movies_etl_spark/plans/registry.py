@@ -1,0 +1,861 @@
+"""Query registry: one entry per implemented operator (SURVEY.md §2),
+each with a DuckDB oracle SQL string for the driver's correctness gate.
+
+Contract (driver harness, __spark_entry__.py):
+- every Spark query callable takes ``(spark, sf_dir)`` and returns a
+  DataFrame;
+- the oracle SQL runs on DuckDB views named region/nation/customer/
+  supplier/part/orders/lineitem/events/documents/embeddings over the same
+  parquet files;
+- the driver sorts columns by name and value-hashes, so EVERY computed
+  column is aliased identically on both sides;
+- float aggregates are rounded identically on both sides (summation-order
+  differences between engines live far below the rounded digit);
+- ``events.ts`` is nanosecond-precision in parquet: Spark truncates to
+  microseconds, DuckDB keeps nanos — any query touching it must
+  ``date_trunc`` to second or coarser on BOTH sides.
+
+Scale notes are attached per query; the design rule is: dimension sides
+broadcast, fact tables shuffle at most once, filters/projections sit
+directly on the scan so Catalyst pushes them into parquet.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from movies_etl_spark.functions import expr as E
+from movies_etl_spark.operators import normalize as N
+from movies_etl_spark.operators import ratings as R
+from movies_etl_spark.operators import relational as REL
+from movies_etl_spark.session import pin_session_conf
+from movies_etl_spark.sources import readers
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a (spark, sf_dir) -> DataFrame callable, optionally with
+    its DuckDB oracle SQL (omitted → driver runs rows-only check)."""
+
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            pin_session_conf(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return readers.load_table(spark, sf_dir, name)
+
+
+def _scratch(name: str, sf_dir: str) -> str:
+    """Scratch dir for sink/scan round-trip queries (safe to wipe)."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = f"/tmp/movies_etl_scratch/{os.getpid()}/{name}-{sf_tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+# ===========================================================================
+# §2.4 Aggregations
+# ===========================================================================
+
+
+@query(
+    "groupby_count",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_groupby_count(spark, sf_dir):
+    """A1 (challenge.py:276). Hash aggregate with automatic map-side
+    partial aggregation — one shuffle of pre-aggregated partials."""
+    li = _t(spark, sf_dir, "lineitem")
+    return R.groupby_count(li, ["l_returnflag", "l_linestatus"], alias="cnt")
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "pivot_counts",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS cnt_click,
+           count(*) FILTER (WHERE event_type = 'error')    AS cnt_error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS cnt_purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS cnt_signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS cnt_view
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_counts(spark, sf_dir):
+    """A2+A3+F16 (challenge.py:278-283). The EXPLICIT value list makes the
+    pivot a single hash aggregate (no distinct-discovery job) — one
+    shuffle over the fact table, output is dimension-sized."""
+    ev = _t(spark, sf_dir, "events")
+    return R.pivot_counts(
+        ev, "user_id", "event_type", EVENT_TYPES, prefix="cnt_", fill_zero=True
+    )
+
+
+@query(
+    "null_count_per_column",
+    oracle="""
+    SELECT CAST(sum(CASE WHEN nullif(o_orderstatus, 'O') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_open,
+           CAST(sum(CASE WHEN nullif(o_orderpriority, '1-URGENT') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_urgent,
+           CAST(sum(CASE WHEN (CASE WHEN o_totalprice > 100000 THEN o_totalprice END) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS small_price
+    FROM orders
+    """,
+)
+def q_null_count_per_column(spark, sf_dir):
+    """A4 (challenge.py:95): per-column null counts in ONE pass (1-row
+    result — the statistic that drives the P5 projection)."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("not_open"),
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("not_urgent"),
+        F.when(F.col("o_totalprice") > 100000, F.col("o_totalprice")).alias(
+            "small_price"
+        ),
+    )
+    return N.null_counts(base)
+
+
+@query(
+    "value_counts",
+    oracle="SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
+)
+def q_value_counts(spark, sf_dir):
+    """A5 (ETL.ipynb cell 53): frequency table, descending."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).orderBy(
+        F.desc("cnt"), "lang"
+    )
+
+
+@query(
+    "describe_stats",
+    oracle="""
+    SELECT count(l_quantity) AS n,
+           round(avg(l_quantity), 4) AS mean_qty,
+           round(stddev_samp(l_quantity), 4) AS std_qty,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+    FROM lineitem
+    """,
+)
+def q_describe_stats(spark, sf_dir):
+    """A6 (ETL.ipynb cell 64): summary statistics with EXACT median
+    (Spark `percentile`, not approx) for oracle parity."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("l_quantity").alias("n"),
+        F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+    )
+
+
+@query(
+    "histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS cnt
+    FROM events GROUP BY 1
+    """,
+)
+def q_histogram(spark, sf_dir):
+    """A7 (ETL.ipynb cell 64): fixed-width histogram as groupBy(bucket)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 50).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "constant_column_detector",
+    oracle="""
+    SELECT count(DISTINCT lang) AS n_lang,
+           count(DISTINCT source) AS n_source,
+           count(DISTINCT doc_id) AS n_doc
+    FROM documents
+    """,
+)
+def q_constant_column_detector(spark, sf_dir):
+    """A8 (ETL.ipynb:5761): distinct cardinality per column (drove the
+    reference's drop of the constant `video` column). Exact here; at
+    100 TB swap in approx_count_distinct."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.countDistinct("lang").alias("n_lang"),
+        F.countDistinct("source").alias("n_source"),
+        F.countDistinct("doc_id").alias("n_doc"),
+    )
+
+
+# ===========================================================================
+# §2.3 Joins
+# ===========================================================================
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT c_custkey AS custkey, c_nationkey AS nationkey,
+           c_name AS name_cust, c_acctbal AS acctbal,
+           n_name AS name_nat, n_regionkey AS regionkey
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def q_join_inner_equi(spark, sf_dir):
+    """J1 (challenge.py:235): inner equi-join with pandas-style collision
+    suffixes (`name` collides → name_cust/name_nat). Dimension side is
+    broadcast — no shuffle of the big side."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("regionkey"),
+    )
+    return REL.join_with_suffixes(
+        cust, nat, on="nationkey", how="inner",
+        suffixes=("_cust", "_nat"), broadcast_right=True,
+    )
+
+
+@query(
+    "join_left_equi",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, n_items, sum_qty
+    FROM orders LEFT JOIN (
+        SELECT l_orderkey, count(*) AS n_items,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+    ) agg ON o_orderkey = l_orderkey
+    """,
+)
+def q_join_left_equi(spark, sf_dir):
+    """J2 (challenge.py:285): left join onto a pre-aggregated fact —
+    aggregate-before-join shrinks the 26M side to dimension size
+    (SURVEY §4.1), so the join is cheap/broadcastable."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    agg = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+    return REL.join_left_on_keys(o, agg, "o_orderkey", "l_orderkey")
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_semi(spark, sf_dir):
+    """Extension (SURVEY §2.3): EXISTS as left_semi — free in Spark."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_anti(spark, sf_dir):
+    """Extension (SURVEY §2.3): NOT EXISTS as left_anti."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ===========================================================================
+# §2.2 Projections / filters / predicates
+# ===========================================================================
+
+
+@query(
+    "filter_key_exists",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM (
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_orderstatus = 'O' THEN 1 END AS is_open,
+               CASE WHEN o_orderstatus = 'F' THEN 1 END AS is_done,
+               CASE WHEN o_totalprice > 50000 THEN 1 END AS big,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END AS urgent
+        FROM orders)
+    WHERE (is_open IS NOT NULL OR is_done IS NOT NULL)
+      AND big IS NOT NULL AND urgent IS NULL
+    """,
+)
+def q_filter_key_exists(spark, sf_dir):
+    """P1 (challenge.py:34-37): key-existence filter — (A present OR B
+    present) AND C present AND D absent, over sparse nullable columns
+    (derived here; in the wiki pipeline they come from JSON inference)."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderstatus") == "O", 1).alias("is_open"),
+        F.when(F.col("o_orderstatus") == "F", 1).alias("is_done"),
+        F.when(F.col("o_totalprice") > 50000, 1).alias("big"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).alias("urgent"),
+    )
+    return base.filter(
+        (F.col("is_open").isNotNull() | F.col("is_done").isNotNull())
+        & F.col("big").isNotNull()
+        & F.col("urgent").isNull()
+    ).select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "filter_equality",
+    oracle="SELECT event_id, user_id, value FROM events WHERE event_type = 'click'",
+)
+def q_filter_equality(spark, sf_dir):
+    """P2 (challenge.py:179): string-equality filter then drop the flag
+    column. Filter sits on the scan → parquet predicate pushdown."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .drop("event_type")
+        .select("event_id", "user_id", "value")
+    )
+
+
+@query(
+    "filter_conflict_rows",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_shipdate AS DATE) AS ship_date,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE NOT (CAST(l_shipdate AS DATE) < CAST(o_orderdate AS DATE))
+    """,
+)
+def q_filter_conflict_rows(spark, sf_dir):
+    """P3 (ETL.ipynb cells 81-83): drop rows where merged sources disagree
+    wildly (here: shipped before ordered)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+    return j.filter(~(F.col("ship_date") < F.col("order_date")))
+
+
+@query(
+    "dropna_column",
+    oracle="""
+    SELECT event_id, props FROM events
+    WHERE nullif(props, '{"k": 0}') IS NOT NULL
+    """,
+)
+def q_dropna_column(spark, sf_dir):
+    """P4 (challenge.py:130): drop nulls of one column before parsing."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("p", F.nullif(F.col("props"), F.lit('{"k": 0}')))
+        .filter(F.col("p").isNotNull())
+        .select("event_id", "props")
+    )
+
+
+@query(
+    "prune_null_columns",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'P' THEN 1 END AS is_pending
+    FROM orders
+    """,
+)
+def q_prune_null_columns(spark, sf_dir):
+    """P5 (challenge.py:95-97): data-dependent projection. `rare_flag` is
+    ~93% null (P∧URGENT ≈ 0.34×0.20) → pruned at the 90% threshold;
+    `is_pending` (~66% null) survives. Two jobs by design: a 1-row stats
+    aggregate, then the select."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.when(
+            (F.col("o_orderstatus") == "P")
+            & (F.col("o_orderpriority") == "1-URGENT"),
+            1,
+        ).alias("rare_flag"),
+        F.when(F.col("o_orderstatus") == "P", 1).alias("is_pending"),
+    )
+    return N.null_ratio_prune(base, threshold=0.9)
+
+
+@query(
+    "select_reorder",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+    FROM lineitem
+    """,
+)
+def q_select_reorder(spark, sf_dir):
+    """P6 (challenge.py:249-254): explicit fixed-order projection —
+    column pruning reaches the parquet scan (ReadSchema)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return REL.select_reorder(
+        li, ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"]
+    )
+
+
+@query(
+    "drop_columns",
+    oracle="SELECT p_partkey, p_name, p_brand, p_retailprice FROM part",
+)
+def q_drop_columns(spark, sf_dir):
+    """P7 (challenge.py:237)."""
+    p = _t(spark, sf_dir, "part")
+    return REL.drop_columns(p, ["p_type", "p_size"])
+
+
+@query(
+    "rename_columns",
+    oracle="""
+    SELECT n_nationkey AS nation_key, n_name AS nation_name,
+           n_regionkey AS region_key
+    FROM nation
+    """,
+)
+def q_rename_columns(spark, sf_dir):
+    """P8 (challenge.py:256-271)."""
+    n = _t(spark, sf_dir, "nation")
+    return REL.rename_columns(
+        n,
+        {
+            "n_nationkey": "nation_key",
+            "n_name": "nation_name",
+            "n_regionkey": "region_key",
+        },
+    )
+
+
+@query(
+    "canonicalize_keys",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(CASE WHEN o_orderstatus = 'O' THEN o_orderpriority END,
+                    CASE WHEN o_orderstatus = 'F' THEN o_orderpriority END,
+                    'none') AS canon_priority
+    FROM orders
+    """,
+)
+def q_canonicalize_keys(spark, sf_dir):
+    """P9 (challenge.py:60-83): synonym-key folding = first-non-null
+    coalesce across mutually-exclusive sparse columns."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", F.col("o_orderpriority")).alias(
+            "open_prio"
+        ),
+        F.when(F.col("o_orderstatus") == "F", F.col("o_orderpriority")).alias(
+            "done_prio"
+        ),
+        F.lit("none").alias("fallback"),
+    )
+    folded = N.canonicalize_keys(
+        base, {"canon_priority": ["open_prio", "done_prio", "fallback"]}
+    )
+    return folded.select("o_orderkey", "canon_priority")
+
+
+@query(
+    "collect_map_column",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'O' THEN o_orderpriority END AS m_open,
+           CASE WHEN o_orderstatus = 'F' THEN o_orderpriority END AS m_done,
+           CAST((o_orderstatus = 'O') AS INTEGER) + CAST((o_orderstatus = 'F') AS INTEGER) AS m_size
+    FROM orders
+    """,
+)
+def q_collect_map_column(spark, sf_dir):
+    """P10 (challenge.py:45-58): gather sparse columns into a
+    MapType(String,String) keeping non-null entries only. The map is built
+    natively; the projection reads entries back out (maps hash unstably
+    across engines, scalars don't)."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", F.col("o_orderpriority")).alias("open"),
+        F.when(F.col("o_orderstatus") == "F", F.col("o_orderpriority")).alias("done"),
+    )
+    mapped = N.collect_map_column(
+        base, keys=["open", "done"], target="m", drop_sources=True
+    )
+    return mapped.select(
+        "o_orderkey",
+        F.col("m")["open"].alias("m_open"),
+        F.col("m")["done"].alias("m_done"),
+        F.size("m").alias("m_size"),
+    )
+
+
+# ===========================================================================
+# §2.5 Dedup / set ops
+# ===========================================================================
+
+
+@query(
+    "dedup_by_key",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM (
+        SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
+        FROM lineitem) WHERE rn = 1
+    """,
+)
+def q_dedup_by_key(spark, sf_dir):
+    """D1 (challenge.py:91) with exact pandas first-wins parity: keep the
+    first row per key under a deterministic order (SURVEY §2.5 — the one
+    window-function requirement of the port); the order key is extended
+    until unique so both engines pick the same survivor. One shuffle."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
+    )
+    return REL.dedup_first_wins(
+        li, ["l_orderkey"], ["l_linenumber", "l_partkey", "l_quantity"]
+    )
+
+
+@query(
+    "set_union",
+    oracle="""
+    SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000
+    UNION
+    SELECT o_custkey AS key FROM orders
+    """,
+)
+def q_set_union(spark, sf_dir):
+    """Extension (SURVEY §2.5): UNION DISTINCT."""
+    a = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("key")
+    )
+    b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    return a.union(b).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey AS key FROM orders
+    """,
+)
+def q_set_intersect(spark, sf_dir):
+    a = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("key")
+    )
+    b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000
+    EXCEPT
+    SELECT o_custkey AS key FROM orders
+    """,
+)
+def q_set_except(spark, sf_dir):
+    a = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("key")
+    )
+    b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    return a.subtract(b)
+
+
+# ===========================================================================
+# §2.7 Sorts / limits / windows
+# ===========================================================================
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        FROM lineitem) WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark, sf_dir):
+    """Window extension: top-K per group via row_number with a full
+    deterministic tie-break (order-stable across engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "orderby_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_orderby_limit(spark, sf_dir):
+    """Sort + limit (SURVEY §2.7). Spark compiles this to TakeOrdered —
+    no global sort materialization, scale-safe."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ===========================================================================
+# §2.6 Scalar function queries (casts & conditionals; regex batch separate)
+# ===========================================================================
+
+
+@query(
+    "cast_typed",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(CASE WHEN o_orderkey % 7 = 0
+                         THEN 'x' || CAST(o_orderkey AS VARCHAR)
+                         ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS as_long,
+           ((CASE WHEN o_orderstatus = 'O' THEN 'True' ELSE 'False' END) = 'True') AS as_bool,
+           TRY_CAST(printf('%.2f', o_totalprice) AS DOUBLE) AS as_double,
+           TRY_CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS as_date
+    FROM orders
+    """,
+)
+def q_cast_typed(spark, sf_dir):
+    """F12/F13/F14/F9 (challenge.py:183-220): guarded string→typed casts,
+    null on corrupt values (every 7th key is corrupted here). The
+    reference's raise-then-drop semantics live in validated_cast; this
+    query checks the cast layer itself."""
+    o = _t(spark, sf_dir, "orders")
+    key_str = F.col("o_orderkey").cast("string")
+    corrupt = F.when(
+        F.col("o_orderkey") % 7 == 0, F.concat(F.lit("x"), key_str)
+    ).otherwise(key_str)
+    bool_str = F.when(F.col("o_orderstatus") == "O", "True").otherwise("False")
+    dbl_str = F.format_string("%.2f", F.col("o_totalprice"))
+    date_str = F.date_format(F.col("o_orderdate"), "yyyy-MM-dd")
+    return o.select(
+        "o_orderkey",
+        E.cast_long(corrupt).alias("as_long"),
+        E.cast_bool_eq(bool_str).alias("as_bool"),
+        E.cast_double(dbl_str).alias("as_double"),
+        E.to_date_std(date_str).alias("as_date"),
+    )
+
+
+@query(
+    "fill_if_zero",
+    oracle="""
+    SELECT o_orderkey, CASE WHEN k = 0 THEN w ELSE k END AS filled FROM (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN 0.0 ELSE o_totalprice END AS k,
+               o_totalprice * 2 AS w
+        FROM orders)
+    """,
+)
+def q_fill_if_zero(spark, sf_dir):
+    """F15 (challenge.py:240-246): column-pair precedence fill, as a
+    native conditional (the reference uses a row-wise apply)."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.when(F.col("o_orderkey") % 3 == 0, F.lit(0.0)).otherwise(
+        F.col("o_totalprice")
+    )
+    w = F.col("o_totalprice") * 2
+    return o.select("o_orderkey", E.fill_if_zero(k, w).alias("filled"))
+
+
+@query(
+    "fillna_zero",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END, 0.0) AS filled
+    FROM orders
+    """,
+)
+def q_fillna_zero(spark, sf_dir):
+    """F16 (challenge.py:281): fillna(0) on a sparse numeric column."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", F.col("o_totalprice")).alias("filled"),
+    )
+    return base.fillna({"filled": 0.0})
+
+
+@query(
+    "from_unix_seconds",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(to_timestamp((o_orderkey % 1000000) + 1500000000) AS TIMESTAMP) AS ts
+    FROM orders
+    """,
+)
+def q_from_unix_seconds(spark, sf_dir):
+    """F10 (challenge.py:226): epoch seconds → timestamp (UTC session)."""
+    o = _t(spark, sf_dir, "orders")
+    epoch = (F.col("o_orderkey") % 1000000) + F.lit(1500000000)
+    return o.select("o_orderkey", E.from_unix_seconds(epoch).alias("ts"))
+
+
+# ===========================================================================
+# §2.1 Scans / sinks (round-trip through scratch files)
+# ===========================================================================
+
+
+@query(
+    "scan_json",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_scan_json(spark, sf_dir):
+    """S1 (challenge.py:24-25): semi-structured JSON array scan with
+    multiLine=True, explicit schema (no inference drift). Round-trips the
+    nation dim through a JSON array file."""
+    import json
+
+    n = _t(spark, sf_dir, "nation")
+    rows = [r.asDict() for r in n.collect()]  # 25-row dimension table
+    path = _scratch("scan_json", sf_dir)
+    with open(f"{path}/nation.json", "w") as f:
+        json.dump(rows, f)
+    df = readers.read_json_records(
+        spark,
+        f"{path}/nation.json",
+        schema="n_nationkey INT, n_name STRING, n_regionkey INT",
+        multiline=True,
+    )
+    return df.select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "scan_csv",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def q_scan_csv(spark, sf_dir):
+    """S2/S3 (challenge.py:26-27): header-CSV scan with explicit schema.
+    Written distributed (one file per partition), read back distributed."""
+    c = _t(spark, sf_dir, "customer")
+    path = _scratch("scan_csv", sf_dir)
+    c.write.mode("overwrite").option("header", "true").csv(f"{path}/customer_csv")
+    schema = (
+        "c_custkey BIGINT, c_name STRING, c_nationkey INT, "
+        "c_acctbal DOUBLE, c_mktsegment STRING"
+    )
+    return readers.read_csv(spark, f"{path}/customer_csv", schema=schema)
+
+
+@query(
+    "scan_csv_inferred",
+    oracle="SELECT c_custkey, c_nationkey, c_acctbal FROM customer",
+)
+def q_scan_csv_inferred(spark, sf_dir):
+    """S2 variant: whole-file dtype inference (reference low_memory=False,
+    challenge.py:26). Inferred int widths are normalized by an explicit
+    post-read cast (inference is data-dependent; contracts aren't)."""
+    c = _t(spark, sf_dir, "customer")
+    path = _scratch("scan_csv_inf", sf_dir)
+    c.write.mode("overwrite").option("header", "true").csv(f"{path}/customer_csv")
+    df = readers.read_csv(spark, f"{path}/customer_csv", infer=True)
+    return df.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+
+
+@query(
+    "sink_parquet_overwrite",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_sink_parquet_overwrite(spark, sf_dir):
+    """S5 (challenge.py:293): overwrite-mode table write, parquet primary.
+    Round-trips an aggregate through the sink and reads it back."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+    path = _scratch("sink_parquet", sf_dir)
+    agg.write.mode("overwrite").parquet(f"{path}/out")
+    return spark.read.parquet(f"{path}/out")
+
+
+@query(
+    "sink_append_chunked",
+    oracle="SELECT o_orderkey, o_totalprice FROM orders",
+)
+def q_sink_append_chunked(spark, sf_dir):
+    """S6 (challenge.py:299-314): replace-then-append load. The reference's
+    1M-row chunk loop becomes two partitioned writes (first overwrite,
+    rest append); at scale a single overwrite write replaces the loop
+    entirely."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    first = o.filter(F.col("o_orderkey") % 2 == 0)
+    second = o.filter(F.col("o_orderkey") % 2 != 0)
+    path = _scratch("sink_append", sf_dir)
+    from movies_etl_spark.sources.sinks import write_parquet_then_append
+
+    write_parquet_then_append(first, [second], f"{path}/out")
+    return spark.read.parquet(f"{path}/out")

@@ -1,0 +1,76 @@
+"""SparkSession construction tuned for the engine.
+
+Local-mode defaults follow the public Spark tuning guidance: shuffle
+partitions sized to cores (not the 200 default), AQE enabled for runtime
+re-planning (coalescing post-shuffle partitions, skew-join splitting),
+Arrow enabled for any Pandas-UDF path, and a pinned UTC session timezone
+so results compare bit-for-bit against external oracles (DuckDB is
+UTC-naive).
+
+At cluster scale the same builder applies; only `master` and the memory
+knobs change. Every query in this engine is declarative, so moving from
+local[N] to a 1000-executor cluster changes the physical plan (Catalyst
+re-picks join strategies from real statistics) but not the code.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "movies_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Safe to call when a session already exists (e.g. under the driver
+    harness): ``getOrCreate`` reuses it, and :func:`pin_session_conf`
+    re-asserts the runtime-settable confs the engine relies on.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    pin_session_conf(spark)
+    return spark
+
+
+def pin_session_conf(spark: SparkSession) -> SparkSession:
+    """Re-assert runtime-settable confs on an externally built session.
+
+    The driver harness hands us its own SparkSession; these settings are
+    the ones correctness depends on (UTC timestamps for oracle parity,
+    AQE for sane local plans). All are runtime-settable.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # The events test table stores TIMESTAMP(NANOS) which Spark's parquet
+    # reader rejects by default; read nanos as long and convert explicitly
+    # (sources.readers.load_table normalizes the column).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
