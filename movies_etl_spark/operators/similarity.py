@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (north star): brute-force
+cosine top-k as the exact baseline, and an IVF-style partitioned variant
+as the scale path.
+
+Scale design:
+- Brute force broadcasts the (small) query set and scans the corpus once
+  — O(corpus × queries), no corpus self-join, no shuffle of the corpus.
+- IVF prunes the scan: corpus rows are pre-assigned to partitions
+  (here the `label` column plays the role of a coarse quantizer cell);
+  each query searches only its nearest partition(s) — the classic
+  inverted-file trade of recall for a ~n_partitions× scan reduction.
+  At 100 TB the partition assignment is also the parquet partition key,
+  so pruning happens at the FILE level (partition pruning in the scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from movies_etl_spark.operators.dedup import cosine
+
+
+def topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self).
+
+    Ties broken on (rounded sim desc, neighbor id asc) — fully
+    deterministic. Plan: broadcast queries × one corpus scan → window
+    top-k per query."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def label_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+) -> DataFrame:
+    """Element-wise mean vector per partition label (the IVF coarse
+    quantizer, here over the precomputed partition). One shuffle on
+    (label, position); output is n_labels rows."""
+    pos = corpus.select(
+        label_col, F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    means = pos.groupBy(label_col, "pos").agg(
+        F.avg(F.col("v").cast("double")).alias("m")
+    )
+    return (
+        means.groupBy(label_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+            ).alias("pm")
+        )
+        .select(
+            label_col,
+            F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid"),
+        )
+    )
+
+
+def topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+) -> DataFrame:
+    """IVF-style ANN: route each query to its nearest partition centroid,
+    then exact-search only within that partition. Returns
+    (query_id, probe_label, neighbor_id, sim, rank)."""
+    cents = label_centroids(corpus, vec_col, label_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    # route: argmax centroid cosine per query (n_queries × n_labels rows)
+    routed = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qvec",
+        F.col(label_col).alias("probe_label"),
+        F.round(cosine(F.col("qvec"), F.col("centroid")), 6).alias("csim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("probe_label"))
+    best = (
+        routed.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") == 1)
+        .select("query_id", "qvec", "probe_label")
+    )
+    # search only the probed partition (partition-pruned scan at scale)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col(label_col).alias("probe_label"),
+    )
+    scored = (
+        c.join(F.broadcast(best), "probe_label")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "probe_label",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,5 +1,489 @@
-"""North-star extension queries: dedup, similarity search, text analysis,
-multimodal (filled in incrementally — see operators/{dedup,similarity,
-text,multimodal}.py)."""
+"""North-star extension queries: text analysis, dedup (exact / MinHash-LSH
+/ SimHash / n-gram Jaccard / embedding-cosine), similarity search
+(brute-force + IVF), multimodal plumbing.
+
+Oracle strategy: every hash derives from md5 (identical in DuckDB), every
+float reduction is a left-to-right double fold (bit-reproducible), and
+every similarity is rounded before thresholding — so the DuckDB SQL
+replicates the ALGORITHM, not just the answer. Where the corpus has no
+natural duplicates, the query plants deterministic ones (id+1000000
+copies) so dedup operators return non-trivial results.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from movies_etl_spark.operators import dedup as D
+from movies_etl_spark.operators import multimodal as MM
+from movies_etl_spark.operators import similarity as SIM
+from movies_etl_spark.operators import text as TX
+from movies_etl_spark.plans.registry import _t, query
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+
+@query(
+    "token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens_re
+    FROM documents
+    """,
+)
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace split + BPE-ish regex tokenizer. Pure
+    map, codegen'd, zero shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count_ws(F.col("text")).cast("long").alias("n_tokens_ws"),
+        TX.token_count_regex(F.col("text")).cast("long").alias("n_tokens_re"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS avg_tok_len,
+           round(CAST(len(list_filter(string_split(text, ' '),
+                     t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stop_ratio,
+           round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+                 + (CAST(len(list_filter(string_split(text, ' '),
+                        t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
+                 + (1.0 / round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                        / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)) * 0.2,
+                 4) AS score
+    FROM documents
+    """,
+)
+def q_text_quality_score(spark, sf_dir):
+    """Quality scoring: length/stopword/avg-token-length composite."""
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(c).cast("long").alias("n_chars"),
+        TX.token_count_ws(c).cast("long").alias("n_tokens"),
+        TX.avg_token_len(c).alias("avg_tok_len"),
+        F.round(
+            TX.stopword_hits(TX.tokens(c), TX.LANG_STOPWORDS["en"]).cast("double")
+            / TX.token_count_ws(c).cast("double"),
+            4,
+        ).alias("stop_ratio"),
+        TX.quality_score(c).alias("score"),
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in TX.LANG_STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split(text, ' '), "
+        f"t -> list_contains([{words}], t)))"
+    )
+
+
+_LANGS = sorted(TX.LANG_STOPWORDS)
+_LANG_ID_ORACLE = (
+    "SELECT doc_id, lang, "
+    + ", ".join(f"h_{lg}" for lg in _LANGS)
+    + ", CASE "
+    + " ".join(f"WHEN h_{lg} = m THEN '{lg}'" for lg in _LANGS)
+    + " END AS lang_pred FROM (SELECT doc_id, lang, "
+    + ", ".join(f"CAST({_lang_hits_sql(lg)} AS INTEGER) AS h_{lg}" for lg in _LANGS)
+    + ", greatest("
+    + ", ".join(f"CAST({_lang_hits_sql(lg)} AS INTEGER)" for lg in _LANGS)
+    + ") AS m FROM documents)"
+)
+
+
+@query("text_lang_id", oracle=_LANG_ID_ORACLE)
+def q_text_lang_id(spark, sf_dir):
+    """Language-ID heuristic: stopword-hit argmax with alphabetical
+    tie-break (deterministic CASE chain, mirrored verbatim in SQL)."""
+    d = _t(spark, sf_dir, "documents")
+    scores = TX.lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        *[scores[lg].alias(f"h_{lg}") for lg in _LANGS],
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS content_hash,
+           list_reduce(
+             [CAST(0 AS BIGINT)] ||
+             list_transform(string_split(text, ' '),
+                            t -> CAST('0x' || substr(md5(t), 1, 12) AS BIGINT)),
+             (acc, v) -> (acc * 31 + v) % 1000000007) AS rolling
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: exact content hash + order-sensitive
+    Karp-Rabin rolling hash over the token stream."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.content_hash(F.col("text")).alias("content_hash"),
+        TX.rolling_hash(F.col("text")).alias("rolling"),
+    )
+
+
+# ===========================================================================
+# Deduplication
+# ===========================================================================
+
+# Planted duplicates: corpus = documents ∪ exact copies (id+1000000) of
+# every doc_id % 100 == 0, so exact-dedup has real work at any SF.
+_EXACT_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 100 = 0
+"""
+
+
+def _exact_corpus(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dups)
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keeper,
+           count(*) AS n_copies
+    FROM ({_EXACT_CORPUS_SQL}) corpus
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via content-hash groupBy: one shuffle on the hash,
+    keeper = min id (deterministic survivor)."""
+    corpus = _exact_corpus(spark, sf_dir)
+    return corpus.groupBy(TX.content_hash(F.col("text")).alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+# Near-dup corpus: base ∪ truncated copies (first n-10 tokens) of every
+# doc_id % 50 == 0 with ≥20 tokens → known high-Jaccard pairs.
+_NEAR_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000,
+           array_to_string(list_slice(string_split(text, ' '), 1,
+                           len(string_split(text, ' ')) - 10), ' ')
+    FROM documents
+    WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 20
+"""
+
+_SHINGLES_SQL = """
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [] END AS shingles
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM ({corpus}) corpus)
+"""
+
+_SIG_COLS_SQL = ", ".join(
+    f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS m{i}"
+    for i in range(D.N_MINHASH)
+)
+_BAND_COLS_SQL = ", ".join(
+    f"concat_ws('|', m{2 * b}, m{2 * b + 1}) AS b{b}" for b in range(D.N_BANDS)
+)
+_CAND_UNION_SQL = " UNION ".join(
+    f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b "
+    f"ON a.b{i} = b.b{i} AND a.doc_id < b.doc_id WHERE a.b{i} <> ''"
+    for i in range(D.N_BANDS)
+)
+
+_MINHASH_ORACLE = f"""
+    WITH shing AS ({_SHINGLES_SQL.format(corpus=_NEAR_CORPUS_SQL)}),
+    sig0 AS (SELECT doc_id, shingles, {_SIG_COLS_SQL} FROM shing),
+    sig AS (SELECT *, {_BAND_COLS_SQL} FROM sig0),
+    cand AS ({_CAND_UNION_SQL})
+    SELECT id_a, id_b, round(jac, 4) AS jac FROM (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) AS jac
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b
+        WHERE len(sa.shingles) > 0 AND len(sb.shingles) > 0)
+    WHERE round(jac, 4) >= 0.5
+"""
+
+
+def _near_corpus(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = TX.tokens(F.col("text"))
+    truncated = F.array_join(F.slice(toks, 1, F.size(toks) - 10), " ")
+    dups = (
+        d.filter((F.col("doc_id") % 50 == 0) & (F.size(toks) >= 20))
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), truncated.alias("text"))
+    )
+    return d.unionByName(dups)
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dedup: shingle → 8 md5-minhashes → 4 bands →
+    bucket join → Jaccard-verify candidates at ≥ 0.5.
+
+    The oracle replicates the ALGORITHM (same md5 signatures, same
+    banding) so LSH's probabilistic recall is identical on both sides.
+    Scale: candidate generation is a shuffle on band keys — never n²."""
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = D.candidate_pairs_minhash(corpus, "text", "doc_id")
+    sh = corpus.select(
+        F.col("doc_id"),
+        D.token_shingles(TX.tokens(F.col("text"))).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jac"),
+        )
+    )
+    return verified.filter(F.col("jac") >= 0.5).select("id_a", "id_b", "jac")
+
+
+_SIMHASH_BIT_SQL = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(hashed, h -> ((h >> {j}) & 1) * 2 - 1)) > 0 "
+    f"THEN {2**j} ELSE 0 END)"
+    for j in range(16)
+)
+
+_SIMHASH_ORACLE = f"""
+    SELECT doc_id, CAST({_SIMHASH_BIT_SQL} AS BIGINT) AS simhash
+    FROM (SELECT doc_id,
+                 list_transform(string_split(text, ' '),
+                                t -> CAST('0x' || substr(md5(t), 1, 12) AS BIGINT)) AS hashed
+          FROM documents)
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash fingerprints (16-bit, md5-derived, engine-portable):
+    near-dup docs land within small Hamming distance. Pure map."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", D.simhash16(TX.tokens(F.col("text"))).alias("simhash")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH shing AS ({_SHINGLES_SQL.format(corpus="SELECT doc_id, text FROM documents")}),
+    meta AS (SELECT d.doc_id, d.lang, d.n_chars, s.shingles
+             FROM documents d JOIN shing s ON d.doc_id = s.doc_id
+             WHERE len(s.shingles) > 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE), 4) AS jac
+    FROM meta a JOIN meta b
+      ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard within blocking keys (lang, n_chars): pairwise
+    verification runs ONLY inside blocks — the blocked-join pattern that
+    keeps near-dedup sub-quadratic at corpus scale."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        D.token_shingles(TX.tokens(F.col("text"))).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), "lang", "n_chars", F.col("shingles").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("n_chars_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("n_chars") == F.col("n_chars_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "lang",
+            F.round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jac"),
+        )
+    )
+
+
+_COS_SQL = """
+    list_reduce([CAST(0 AS DOUBLE)] ||
+      list_transform(list_zip({a}, {b}),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+      (acc, v) -> acc + v)
+    / (sqrt(list_reduce([CAST(0 AS DOUBLE)] ||
+         list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+         (acc, v) -> acc + v))
+       * sqrt(list_reduce([CAST(0 AS DOUBLE)] ||
+         list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+         (acc, v) -> acc + v)))
+"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+           round({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 4) AS sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 6) >= 0.3
+    """,
+)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup: pairwise ONLY within partition blocks
+    (label), cosine as a bit-reproducible double fold, threshold applied
+    on the rounded value (cross-engine stable)."""
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"), "label", F.col("embedding").alias("va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("vb"),
+    )
+    cos = D.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(F.round(cos, 6) >= 0.3)
+        .select("id_a", "id_b", "label", F.round(cos, 4).alias("sim"))
+    )
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+
+
+@query(
+    "similarity_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round({_COS_SQL.format(a="q.qvec", b="e.embedding")}, 6) AS sim
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT query_id, neighbor_id, sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-k (exact ANN baseline): broadcast the query
+    set, scan the corpus once, window top-k. Ordering on (rounded sim,
+    neighbor id) is fully deterministic."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.topk_bruteforce(e, e.filter(F.col("vec_id") < 8), k=5)
+
+
+@query(
+    "similarity_ann_ivf",
+    oracle=f"""
+    WITH cent0 AS (
+        SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+        FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+    cent AS (SELECT label, list(m ORDER BY i) AS centroid FROM cent0 GROUP BY label),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec
+          FROM embeddings WHERE vec_id < 8),
+    routed AS (
+        SELECT q.query_id, q.qvec, c.label AS probe_label,
+               round({_COS_SQL.format(a="q.qvec", b="c.centroid")}, 6) AS csim
+        FROM q, cent c),
+    best AS (
+        SELECT query_id, qvec, probe_label FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY csim DESC, probe_label) AS r
+            FROM routed) WHERE r = 1),
+    scored AS (
+        SELECT b.query_id, b.probe_label, e.vec_id AS neighbor_id,
+               round({_COS_SQL.format(a="b.qvec", b="e.embedding")}, 6) AS sim
+        FROM embeddings e JOIN best b ON e.label = b.probe_label
+        WHERE e.vec_id <> b.query_id)
+    SELECT query_id, probe_label, neighbor_id, sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def q_similarity_ann_ivf(spark, sf_dir):
+    """IVF-style ANN: label column as the coarse-quantizer cell; route
+    each query to its nearest centroid, exact-search only that cell.
+    At scale the cell is the parquet partition key → file-level pruning."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.topk_ivf(e, e.filter(F.col("vec_id") < 8), k=3)
+
+
+# ===========================================================================
+# Multimodal plumbing
+# ===========================================================================
+
+
+@query(
+    "multimodal_extract",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 7 + 1 AS BIGINT) AS n_frames,
+           CAST(octet_length(encode(text)) // (octet_length(encode(text)) % 7 + 1) AS BIGINT) AS frame_bytes,
+           CAST(list_sum(list_transform(range(1, 9), i -> ord(substr(text, i, 1)))) AS BIGINT) AS byte_sum_first8
+    FROM documents
+    """,
+)
+def q_multimodal_extract(spark, sf_dir):
+    """Multimodal columns: opaque binary payload + typed metadata,
+    feature-extracted via Arrow-batched mapInPandas (decode stubbed —
+    SURVEY/north-star contract; the Spark-side plumbing is real)."""
+    d = _t(spark, sf_dir, "documents")
+    return MM.extract_features(MM.with_binary_payload(d))
