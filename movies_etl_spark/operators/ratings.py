@@ -49,7 +49,16 @@ def pivot_counts(
     renames = {str(v): f"{prefix}{v}" for v in values}
     out = out.withColumnsRenamed({k: v for k, v in renames.items() if k != v})
     if fill_zero:
-        out = out.fillna(0, subset=[f"{prefix}{v}" for v in values])
+        # NB: explicit coalesce, not fillna(subset=...) — pandas-parity
+        # names like "rating_0.5" contain dots, which fillna's resolver
+        # mis-parses as struct field paths.
+        out = out.select(
+            F.col(group_key),
+            *[
+                F.coalesce(F.col(f"`{prefix}{v}`"), F.lit(0)).alias(f"{prefix}{v}")
+                for v in values
+            ],
+        )
     return out
 
 

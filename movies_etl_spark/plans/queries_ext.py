@@ -487,3 +487,55 @@ def q_multimodal_extract(spark, sf_dir):
     SURVEY/north-star contract; the Spark-side plumbing is real)."""
     d = _t(spark, sf_dir, "documents")
     return MM.extract_features(MM.with_binary_payload(d))
+
+
+# ===========================================================================
+# Structured Streaming
+# ===========================================================================
+
+
+@query(
+    "streaming_windowed_agg",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type, count(*) AS cnt, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_windowed_agg(spark, sf_dir):
+    """S4 generalized (challenge.py:299-314): bounded micro-batch stream →
+    tumbling 1-hour windowed aggregation, available-now trigger, memory
+    sink. The identical plan serves an unbounded source with a watermark."""
+    from movies_etl_spark.streaming import ops
+
+    return ops.windowed_counts(spark, sf_dir)
+
+
+@query(
+    "streaming_sessionize",
+    oracle=f"""
+    WITH e AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS s
+               FROM events),
+    marked AS (
+        SELECT user_id, s,
+               CASE WHEN s - lag(s) OVER (PARTITION BY user_id ORDER BY s)
+                         > INTERVAL 30 MINUTE
+                     OR lag(s) OVER (PARTITION BY user_id ORDER BY s) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e),
+    grp AS (
+        SELECT user_id, s,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY s
+                                ROWS UNBOUNDED PRECEDING) AS g
+        FROM marked)
+    SELECT user_id, min(s) AS session_start, count(*) AS n_events
+    FROM grp GROUP BY user_id, g
+    """,
+)
+def q_streaming_sessionize(spark, sf_dir):
+    """Custom stateful streaming operator: per-user 30-min-gap session
+    windows via applyInPandasWithState; oracle is the batch
+    gaps-and-islands sessionization (identical semantics)."""
+    from movies_etl_spark.streaming import ops
+
+    return ops.sessionize(spark, sf_dir)

