@@ -24,6 +24,21 @@ N_MINHASH = 8
 N_BANDS = 4
 ROWS_PER_BAND = N_MINHASH // N_BANDS
 
+#: universal-hash family h_i(x) = (a_i·x + b_i) mod P over a Mersenne
+#: prime. P < 2^31 keeps a·x < 2^62 (no 64-bit overflow) and the same
+#: arithmetic is exact in any engine. Constants are arbitrary fixed odds.
+MINHASH_P = 2_147_483_647
+MINHASH_SEEDS: list[tuple[int, int]] = [
+    (1_103_515_245, 12_345),
+    (214_013, 2_531_011),
+    (134_775_813, 1),
+    (22_695_477, 7_777_777),
+    (69_069, 362_437),
+    (1_664_525, 1_013_904_223),
+    (48_271, 399_268_537),
+    (65_539, 101_390_423),
+]
+
 
 def token_shingles(toks: Column, k: int = 3) -> Column:
     """k-token shingles ("a b c" for consecutive triples). Empty array if
@@ -38,22 +53,22 @@ def token_shingles(toks: Column, k: int = 3) -> Column:
     )
 
 
-def _seeded_md5(seed: int):
-    """Single-arg lambda factory. NB: do NOT write ``lambda s, i=i: ...``
+def _affine(a: int, b: int):
+    """Single-arg lambda factory. NB: do NOT write ``lambda h, a=a: ...``
     with pyspark higher-order functions — they count DEFAULTED params and
-    would call the lambda as (element, index), silently binding the seed
-    to the index Column."""
-    prefix = f"{seed}:"
-    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+    would call the lambda as (element, index), silently binding the
+    constant to the index Column."""
+    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
 
 
 def minhash_signature(shingles: Column, n_hashes: int = N_MINHASH) -> list[Column]:
-    """MinHash signature: per seed i, the lexicographic min of
-    md5(i || ':' || shingle) over the shingle set. String-min of md5 is a
-    valid min-wise permutation and is engine-portable (SQL oracles
-    reproduce it verbatim)."""
+    """MinHash signature via a universal hash family over INTEGER shingle
+    hashes (see shingle_hash_array): per seed i, min over shingles of
+    (a_i·h + b_i) mod P. Engine-portable — the SQL oracle reproduces the
+    identical arithmetic on the identical md5-based token hashes."""
     return [
-        F.array_min(F.transform(shingles, _seeded_md5(i))) for i in range(n_hashes)
+        F.array_min(F.transform(shingles, _affine(a, b)))
+        for a, b in MINHASH_SEEDS[:n_hashes]
     ]
 
 
@@ -62,17 +77,56 @@ def band_keys(sig: list[Column], n_bands: int = N_BANDS) -> list[Column]:
     band key become candidate pairs (bucket join, never n²)."""
     r = len(sig) // n_bands
     return [
-        F.concat_ws("|", *sig[b * r : (b + 1) * r]) for b in range(n_bands)
+        F.concat_ws("|", *[c.cast("string") for c in sig[b * r : (b + 1) * r]])
+        for b in range(n_bands)
     ]
 
 
-def with_minhash_bands(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """id → exploded (band_id, band_key) rows, one per band."""
-    toks = tokens(F.col(text_col))
-    sh = token_shingles(toks)
-    sig = minhash_signature(sh)
+#: shingle-combination constants (primes): h(s_i..s_i+2) =
+#: (th_i·C1 + th_i+1·C2 + th_i+2) mod P.  th < 2^31, C2 < 2^17 → products
+#: < 2^48, sums < 2^49: exact in 64-bit on any engine.
+SHINGLE_C1 = 7_919
+SHINGLE_C2 = 104_729
+
+
+def shingle_hash_array(toks: Column, k: int = 3) -> Column:
+    """Integer shingle hashes: md5 ONCE PER TOKEN (not per shingle), then
+    each k-shingle hash is an arithmetic combination of consecutive token
+    hashes. Eliminates both shingle-string construction and per-shingle
+    md5 — the dominant costs of text near-dedup at corpus scale. 31-bit
+    space; within-document-pair collisions (~10^-5) are shared exactly by
+    any engine replicating the arithmetic."""
+    th = F.transform(toks, lambda t: token_hash(t) % F.lit(MINHASH_P))
+    n = F.size(toks)
+    # Sliding window via zip_with over shifted slices — NOT element_at
+    # inside a per-element lambda: Catalyst inlines the md5-transform
+    # array into every element access, turning O(n) hashing into O(n²).
+    # zip_with evaluates each array operand once per ROW (3 evals total);
+    # its null padding at the tail is sliced off.
+    shifted1 = F.slice(th, 2, n)
+    shifted2 = F.slice(th, 3, n)
+    s1 = F.zip_with(th, shifted1, lambda x, y: x * SHINGLE_C1 + y * SHINGLE_C2)
+    s2 = F.zip_with(s1, shifted2, lambda x, y: (x + y) % MINHASH_P)
+    return F.when(n >= k, F.slice(s2, 1, n - (k - 1))).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def shingled(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, shingles) projection (integer shingle hashes) — compute ONCE
+    and persist when several downstream branches (banding + verification)
+    reuse it; at 100 TB this is a checkpointed table, not a recompute."""
+    return df.select(
+        F.col(id_col),
+        shingle_hash_array(tokens(F.col(text_col))).alias("shingles"),
+    )
+
+
+def with_minhash_bands(sh_df: DataFrame, id_col: str) -> DataFrame:
+    """(id, shingles) → exploded (id, band_id, band_key) rows."""
+    sig = minhash_signature(F.col("shingles"))
     bands = band_keys(sig)
-    banded = df.select(
+    banded = sh_df.select(
         F.col(id_col),
         F.array(
             *[
@@ -94,12 +148,14 @@ def jaccard(a: Column, b: Column) -> Column:
     ).cast("double")
 
 
-def candidate_pairs_minhash(
-    df: DataFrame, text_col: str, id_col: str
-) -> DataFrame:
+def candidate_pairs_minhash(sh_df: DataFrame, id_col: str) -> DataFrame:
     """LSH candidate pairs (id_a < id_b), deduplicated across bands.
-    Cost: one shuffle on band_key; bucket sizes bound the join fan-out."""
-    ex = with_minhash_bands(df, text_col, id_col)
+    Cost: one shuffle on band_key; bucket sizes bound the join fan-out.
+    ``sh_df`` is a (id, shingles) frame — persist it if verification will
+    reuse the shingles. The exploded band table is persisted here because
+    the self-join consumes it twice (Spark would otherwise execute the
+    signature computation once per side)."""
+    ex = with_minhash_bands(sh_df, id_col).persist()
     a = ex.select(
         F.col(id_col).alias("id_a"), "band_id", "band_key"
     )

@@ -14,7 +14,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from movies_etl_spark.operators import ratings as R
 from movies_etl_spark.plans.registry import EVENT_TYPES, query
 from movies_etl_spark.sources import readers
 
@@ -45,13 +44,19 @@ def flagship_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = readers.load_table(spark, sf_dir, "events")
     cust = readers.load_table(spark, sf_dir, "customer")
 
-    # One shuffle: groupBy(user_id) computes the pivot buckets AND the
-    # value sum in the same hash aggregate.
-    pivoted = R.pivot_counts(
-        ev, "user_id", "event_type", EVENT_TYPES, prefix="cnt_", fill_zero=True
+    # Conditional aggregation instead of the pivot operator: the explicit
+    # bucket list compiles to count(CASE WHEN ...) columns inside ONE hash
+    # aggregate — one fact scan, one shuffle (of map-side partials), where
+    # .pivot() would plan two exchanges and a second scan for the value
+    # sum. count() over the CASE gives 0 for missing buckets (the
+    # fillna(0) semantics) for free.
+    per_user = ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"cnt_{t}")
+            for t in EVENT_TYPES
+        ],
+        F.sum("value").alias("total_value"),
     )
-    values = ev.groupBy("user_id").agg(F.sum("value").alias("total_value"))
-    per_user = pivoted.join(values, "user_id", "inner")  # same keys, AQE-local
 
     joined = cust.join(
         F.broadcast(per_user), cust["c_custkey"] == per_user["user_id"], "left"

@@ -196,21 +196,29 @@ _NEAR_CORPUS_SQL = """
     WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 20
 """
 
-_SHINGLES_SQL = """
+# Same universal-hash minhash as the engine: token hash = md5-hex-prefix
+# int mod P; shingle hash = (th_i·C1 + th_i+1·C2 + th_i+2) mod P;
+# permutations = (a·h + b) mod P (dedup.MINHASH_SEEDS).
+_INT_SHINGLES_SQL = f"""
     SELECT doc_id,
-           CASE WHEN len(t) >= 3
-                THEN list_transform(range(1, len(t) - 1),
-                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+           CASE WHEN len(th) >= 3
+                THEN list_transform(range(1, len(th) - 1),
+                       i -> (th[i] * {D.SHINGLE_C1} + th[i+1] * {D.SHINGLE_C2}
+                             + th[i+2]) % {D.MINHASH_P})
                 ELSE [] END AS shingles
-    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM ({corpus}) corpus)
+    FROM (SELECT doc_id,
+                 list_transform(string_split(text, ' '),
+                   t -> CAST('0x' || substr(md5(t), 1, 12) AS BIGINT)
+                        % {D.MINHASH_P}) AS th
+          FROM ({{corpus}}) corpus)
 """
-
 _SIG_COLS_SQL = ", ".join(
-    f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS m{i}"
-    for i in range(D.N_MINHASH)
+    f"list_min(list_transform(shingles, h -> ({a} * h + {b}) % {D.MINHASH_P})) AS m{i}"
+    for i, (a, b) in enumerate(D.MINHASH_SEEDS[: D.N_MINHASH])
 )
 _BAND_COLS_SQL = ", ".join(
-    f"concat_ws('|', m{2 * b}, m{2 * b + 1}) AS b{b}" for b in range(D.N_BANDS)
+    f"concat_ws('|', CAST(m{2 * b} AS VARCHAR), CAST(m{2 * b + 1} AS VARCHAR)) AS b{b}"
+    for b in range(D.N_BANDS)
 )
 _CAND_UNION_SQL = " UNION ".join(
     f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b "
@@ -219,7 +227,7 @@ _CAND_UNION_SQL = " UNION ".join(
 )
 
 _MINHASH_ORACLE = f"""
-    WITH shing AS ({_SHINGLES_SQL.format(corpus=_NEAR_CORPUS_SQL)}),
+    WITH shing AS ({_INT_SHINGLES_SQL.format(corpus=_NEAR_CORPUS_SQL)}),
     sig0 AS (SELECT doc_id, shingles, {_SIG_COLS_SQL} FROM shing),
     sig AS (SELECT *, {_BAND_COLS_SQL} FROM sig0),
     cand AS ({_CAND_UNION_SQL})
@@ -251,15 +259,16 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dedup: shingle → 8 md5-minhashes → 4 bands →
     bucket join → Jaccard-verify candidates at ≥ 0.5.
 
-    The oracle replicates the ALGORITHM (same md5 signatures, same
-    banding) so LSH's probabilistic recall is identical on both sides.
-    Scale: candidate generation is a shuffle on band keys — never n²."""
+    The oracle replicates the ALGORITHM (same md5-based universal-hash
+    signatures, same banding) so LSH's probabilistic recall is identical
+    on both sides. Scale: candidate generation is a shuffle on band keys
+    — never n²; the shingled projection is computed once and persisted
+    (checkpointed table at 100 TB) because banding and verification both
+    consume it."""
     corpus = _near_corpus(spark, sf_dir)
-    pairs = D.candidate_pairs_minhash(corpus, "text", "doc_id")
-    sh = corpus.select(
-        F.col("doc_id"),
-        D.token_shingles(TX.tokens(F.col("text"))).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    sh_all = D.shingled(corpus, "text", "doc_id").persist()
+    pairs = D.candidate_pairs_minhash(sh_all, "doc_id")
+    sh = sh_all.filter(F.size("shingles") > 0)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     verified = (
@@ -302,7 +311,7 @@ def q_dedup_simhash(spark, sf_dir):
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH shing AS ({_SHINGLES_SQL.format(corpus="SELECT doc_id, text FROM documents")}),
+    WITH shing AS ({_INT_SHINGLES_SQL.format(corpus="SELECT doc_id, text FROM documents")}),
     meta AS (SELECT d.doc_id, d.lang, d.n_chars, s.shingles
              FROM documents d JOIN shing s ON d.doc_id = s.doc_id
              WHERE len(s.shingles) > 0)
@@ -316,13 +325,14 @@ def q_dedup_simhash(spark, sf_dir):
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard within blocking keys (lang, n_chars): pairwise
     verification runs ONLY inside blocks — the blocked-join pattern that
-    keeps near-dedup sub-quadratic at corpus scale."""
+    keeps near-dedup sub-quadratic at corpus scale. Shingles are integer
+    hashes (shingle_hash_array) — set semantics survive hashing."""
     d = _t(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id",
         "lang",
         "n_chars",
-        D.token_shingles(TX.tokens(F.col("text"))).alias("shingles"),
+        D.shingle_hash_array(TX.tokens(F.col("text"))).alias("shingles"),
     ).filter(F.size("shingles") > 0)
     a = sh.select(
         F.col("doc_id").alias("id_a"), "lang", "n_chars", F.col("shingles").alias("sh_a")
