@@ -859,3 +859,133 @@ def q_sink_append_chunked(spark, sf_dir):
 
     write_parquet_then_append(first, [second], f"{path}/out")
     return spark.read.parquet(f"{path}/out")
+
+
+# ===========================================================================
+# §2.7 extensions: analytic windows, cube/rollup, array group keys
+# ===========================================================================
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+           round(o_totalprice - coalesce(lag(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0),
+                 2) AS delta_prev
+    FROM orders
+    """,
+)
+def q_window_running_sum(spark, sf_dir):
+    """Analytic windows (SURVEY §2.7 extension): running sum + lag delta
+    per customer, deterministic ordering. One shuffle on the partition
+    key; both functions share the same window frame/sort."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = F.sum("o_totalprice").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    delta = F.col("o_totalprice") - F.coalesce(
+        F.lag("o_totalprice").over(w), F.lit(0.0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(running, 2).alias("running_total"),
+        F.round(delta, 2).alias("delta_prev"),
+    )
+
+
+@query(
+    "rollup_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_agg(spark, sf_dir):
+    """ROLLUP hierarchy totals (free in Spark; absent in the reference —
+    SURVEY §2.4 notes the gap). Same single-shuffle hash aggregate with
+    grouping-set expansion."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "cube_agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_agg(spark, sf_dir):
+    """CUBE over two dimensions."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@query(
+    "value_counts_array",
+    oracle="""
+    SELECT array_to_string(first2, ' ') AS first2_str, cnt FROM (
+        SELECT list_slice(string_split(text, ' '), 1, 2) AS first2,
+               count(*) AS cnt
+        FROM documents GROUP BY 1)
+    """,
+)
+def q_value_counts_array(spark, sf_dir):
+    """A5 with an ArrayType group key (SURVEY §2.4: list-valued cells
+    group natively in Spark — no tuple-conversion hack)."""
+    d = _t(spark, sf_dir, "documents")
+    grouped = d.groupBy(
+        F.slice(F.split(F.col("text"), " "), 1, 2).alias("first2")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # project the array key to a string for engine-portable comparison
+    return grouped.select(
+        F.concat_ws(" ", F.col("first2")).alias("first2_str"), "cnt"
+    )
+
+
+# ===========================================================================
+# The reference pipeline end-to-end (rows-only checks: its inputs are
+# reference-shaped files, not the pre-registered oracle views; golden
+# value assertions live in tests/test_pipeline_fixture.py)
+# ===========================================================================
+
+
+def _pipeline_outputs(spark, sf_dir):
+    from movies_etl_spark.plans import fixtures, pipeline
+
+    paths = fixtures.write_fixture_files(_scratch("etl_fixture", sf_dir))
+    return pipeline.run_pipeline(spark, *paths)
+
+
+@query("movies_etl_movies")
+def q_movies_etl_movies(spark, sf_dir):
+    """Full ETLchallenge-equivalent composition (challenge.py:18-314) on
+    reference-shaped fixture inputs → the `movies` table (J1 merge,
+    F15 precedence fills, P6/P8 projection+rename)."""
+    return _pipeline_outputs(spark, sf_dir)["movies"]
+
+
+@query("movies_etl_movies_ratings")
+def q_movies_etl_movies_ratings(spark, sf_dir):
+    """Pipeline output 2: `movies_ratings` (A1-A3 pivot block + J2)."""
+    return _pipeline_outputs(spark, sf_dir)["movies_ratings"]
+
+
+@query("movies_etl_ratings")
+def q_movies_etl_ratings(spark, sf_dir):
+    """Pipeline output 3: typed `ratings` pass-through (F10)."""
+    return _pipeline_outputs(spark, sf_dir)["ratings"]
