@@ -39,6 +39,14 @@ HEADLINE = [
     "parse_money",
     "parse_date_multiform",
     "prune_null_columns",
+    "window_running_sum",
+    # north-star extension operators
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "similarity_topk",
+    "text_quality_score",
+    "doc_fingerprint",
+    "multimodal_extract",
 ]
 
 

@@ -189,27 +189,31 @@ def simhash16(toks: Column) -> Column:
     return out.cast("long")
 
 
-def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two float arrays, computed in double with a
-    left-to-right fold (bit-reproducible across engines that fold
-    sequentially)."""
-    dot = F.aggregate(
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product as a left-to-right fold
+    (bit-reproducible across engines that fold sequentially)."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    na = F.sqrt(
+
+
+def l2norm(a: Column) -> Column:
+    """Euclidean norm with the same fold discipline. Precompute this per
+    ROW before any pairwise join — recomputing norms per pair multiplies
+    the fold cost by the average bucket size."""
+    return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
     )
-    nb = F.sqrt(
-        F.aggregate(
-            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    return dot / (na * nb)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays (see dot/l2norm; for
+    pairwise workloads prefer dot(a,b)/(norm_a·norm_b) with norms
+    precomputed per row — identical value, one fold per pair)."""
+    return dot(a, b) / (l2norm(a) * l2norm(b))

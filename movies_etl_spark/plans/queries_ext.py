@@ -387,16 +387,22 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup: pairwise ONLY within partition blocks
     (label), cosine as a bit-reproducible double fold, threshold applied
     on the rounded value (cross-engine stable)."""
-    e = _t(spark, sf_dir, "embeddings")
+    # norms precomputed per vector BEFORE the pairwise join — identical
+    # doubles, one fold per pair instead of three
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", D.l2norm(F.col("embedding")).alias("nrm")
+    )
     a = e.select(
-        F.col("vec_id").alias("id_a"), "label", F.col("embedding").alias("va")
+        F.col("vec_id").alias("id_a"), "label",
+        F.col("embedding").alias("va"), F.col("nrm").alias("nrm_a"),
     )
     b = e.select(
         F.col("vec_id").alias("id_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nrm_b"),
     )
-    cos = D.cosine(F.col("va"), F.col("vb"))
+    cos = D.dot(F.col("va"), F.col("vb")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         a.join(
             b,
