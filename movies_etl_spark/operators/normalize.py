@@ -218,6 +218,64 @@ def validated_cast(
     )
 
 
+def validated_cast_staged(
+    df: DataFrame, specs: dict[str, tuple[Column, str]]
+):
+    """§4.3.1 single-pass variant: attach the validation counts as
+    ``observe()`` metrics so they ride along with whatever action first
+    materializes the frame (e.g. the stage-table write) — NO separate
+    validation scan.
+
+    Usage::
+
+        staged, obs = validated_cast_staged(df, specs)
+        staged.write.parquet(stage_path)          # one pass: parse+count
+        final = apply_validation(
+            spark.read.parquet(stage_path), specs, obs.get)
+
+    Returns (staged_df, Observation). The staged frame carries both the
+    original and ``__parsed__<col>`` columns; ``apply_validation``
+    projects the survivors from the already-materialized staging data,
+    so nothing is computed twice. This is the 100 TB shape of the
+    reference's try/except column-drop (challenge.py:129-230)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("validated_cast")
+    out = df
+    metrics: list[Column] = []
+    for column, (parsed, _) in specs.items():
+        out = out.withColumn(f"__parsed__{column}", parsed)
+        metrics.append(F.count(F.col(f"`{column}`")).alias(f"in__{column}"))
+        metrics.append(F.count(F.col(f"__parsed__{column}")).alias(f"ok__{column}"))
+    out = out.observe(obs, metrics[0], *metrics[1:])
+    return out, obs
+
+
+def apply_validation(
+    staged: DataFrame, specs: dict[str, tuple[Column, str]], metrics: dict
+) -> DataFrame:
+    """Second half of the staged validation: given the observed metric
+    dict, project survivors (parsed value under the original name) and
+    drop columns whose failure condition matched (see validated_cast)."""
+    final_cols: list[Column] = []
+    for c in staged.columns:
+        if c.startswith("__parsed__"):
+            continue
+        if c not in specs:
+            final_cols.append(F.col(f"`{c}`"))
+            continue
+        _, fail_when = specs[c]
+        n_input, n_parsed = metrics[f"in__{c}"], metrics[f"ok__{c}"]
+        failed = (
+            (n_parsed < n_input)
+            if fail_when == "any"
+            else (n_parsed == 0 and n_input > 0)
+        )
+        if not failed:
+            final_cols.append(F.col(f"`__parsed__{c}`").alias(c))
+    return staged.select(*final_cols)
+
+
 def validated_cast_many(
     df: DataFrame, specs: dict[str, tuple[Column, str]]
 ) -> tuple[DataFrame, dict[str, dict[str, int]]]:

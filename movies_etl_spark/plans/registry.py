@@ -989,3 +989,30 @@ def q_movies_etl_movies_ratings(spark, sf_dir):
 def q_movies_etl_ratings(spark, sf_dir):
     """Pipeline output 3: typed `ratings` pass-through (F10)."""
     return _pipeline_outputs(spark, sf_dir)["ratings"]
+
+
+@query(
+    "groupby_count_salted",
+    oracle="""
+    SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_groupby_count_salted(spark, sf_dir):
+    """Skew-safe two-stage aggregation (operators.skew): l_returnflag has
+    only 3 hot values — the canonical skewed-key shape. Semantics are
+    identical to a plain groupBy (the oracle is the plain GROUP BY); the
+    plan differs: partial agg over (key, salt) then final agg over key,
+    bounding any one reducer's fan-in at 1/n_salts of a hot key."""
+    from movies_etl_spark.operators.skew import salted_groupby_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_groupby_agg(
+        li,
+        ["l_returnflag"],
+        {"cnt": ("l_quantity", "count"), "sum_qty_raw": ("l_quantity", "sum")},
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag", "cnt", F.round(F.col("sum_qty_raw"), 2).alias("sum_qty")
+    )

@@ -166,3 +166,30 @@ def test_money_nan_on_mixed_separator(spark):
     df = spark.createDataFrame([("$1.234.567",)], "s string")
     v = df.select(E.parse_money_column(F.col("s")).alias("v")).collect()[0]["v"]
     assert v is None
+
+
+def test_validated_cast_staged_single_pass(spark, tmp_path):
+    """observe()-based validation: counts come from the staging write
+    itself (one pass), survivors are projected from staged data."""
+    from pyspark.sql import functions as F
+
+    from movies_etl_spark.operators.normalize import (
+        apply_validation,
+        validated_cast_staged,
+    )
+
+    df = spark.createDataFrame(
+        [("1", "x"), ("2", "3")], "good string, bad string"
+    )
+    specs = {
+        "good": (F.col("good").try_cast("long"), "any"),
+        "bad": (F.col("bad").try_cast("long"), "any"),
+    }
+    staged, obs = validated_cast_staged(df, specs)
+    stage_path = str(tmp_path / "stage")
+    staged.write.mode("overwrite").parquet(stage_path)  # the ONE pass
+    metrics = obs.get
+    assert metrics == {"in__good": 2, "ok__good": 2, "in__bad": 2, "ok__bad": 1}
+    final = apply_validation(spark.read.parquet(stage_path), specs, metrics)
+    assert "bad" not in final.columns
+    assert sorted(r["good"] for r in final.collect()) == [1, 2]
