@@ -1,0 +1,88 @@
+"""Physical-plan regression tests: the scale properties the engine
+promises (README 'Scale design rules') asserted against
+``explain("formatted")`` output, so a refactor that silently de-optimizes
+a plan (drops a broadcast, adds a shuffle, widens a scan) fails CI.
+
+These mirror the manual `.explain` iteration SURVEY §0 prescribes
+("iterate until it's the plan you'd want — not just the first one that
+passed").
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(jvm_mode)
+
+
+def _nodes(plan: str, name: str) -> int:
+    """Count physical nodes by their numbered detail entry (the formatted
+    output also repeats each node in the tree header)."""
+    return len(re.findall(rf"\(\d+\) {name}\b", plan))
+
+
+def _exchanges(plan: str) -> int:
+    # counts real shuffles; BroadcastExchange is counted separately
+    return _nodes(plan, "Exchange")
+
+
+def test_flagship_single_shuffle_broadcast_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "flagship_user_activity")
+    assert _exchanges(plan) == 1, "flagship must shuffle the fact table once"
+    assert _nodes(plan, "BroadcastHashJoin") == 1, "dimension join must broadcast"
+    assert "SortMergeJoin" not in plan
+    # events scanned once (the path appears once per scan's Location line)
+    assert plan.count("events.parquet") == 1, "fact table must scan once"
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_equality")
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in plan
+
+
+def test_projection_prunes_scan_schema(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "select_reorder")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert set(cols) == {
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"
+    }, "scan must read exactly the projected columns"
+
+
+def test_join_inner_equi_broadcasts_dimension(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_inner_equi")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert _exchanges(plan) == 0, "broadcast join must not shuffle either side"
+
+
+def test_expression_queries_have_no_shuffle(spark, sf_dir):
+    for name in ["parse_money", "parse_date_multiform", "parse_running_time",
+                 "token_count", "doc_fingerprint", "multimodal_extract"]:
+        plan = _plan(spark, sf_dir, name)
+        assert _exchanges(plan) == 0, f"{name} is a pure map — no shuffle"
+
+
+def test_orderby_limit_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "orderby_limit")
+    assert "TakeOrderedAndProject" in plan, "top-k must not global-sort"
+
+
+def test_similarity_topk_broadcasts_queries(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "similarity_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # corpus scanned once per side at most; no corpus self-shuffle join
+    assert "SortMergeJoin" not in plan
