@@ -134,3 +134,66 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(sessions, "append")
+
+
+def windowed_counts_watermarked(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Append-mode windowed aggregation WITH a watermark — the unbounded
+    form of :func:`windowed_counts`.
+
+    Append mode only emits a window once the watermark (max observed
+    event time minus ``watermark``) passes its end, and the watermark
+    only advances BETWEEN micro-batches — so on bounded input processed
+    as a single batch nothing emits, and trailing windows inside the
+    watermark horizon never emit. That is correct streaming semantics,
+    not a bug; the bounded-data tests assert the emitted set is the
+    complete set minus the un-finalized tail."""
+    ev = events_stream(spark, sf_dir)
+    if max_files_per_trigger:
+        # re-read with the trigger cap (option lives on the reader)
+        sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        stream_dir = f"/tmp/movies_etl_scratch/stream-src-{sf_tag}"
+        raw = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .format("parquet")
+            .load(stream_dir)
+        )
+        ev = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "cnt"
+    )
+
+
+def foreach_batch_to_parquet(
+    spark: SparkSession, sf_dir: str, target_dir: str
+) -> int:
+    """Exactly-once-shaped sink: ``foreachBatch`` writes each micro-batch
+    to a batch-id-addressed parquet subdir (idempotent overwrite per
+    batch id — a retried batch lands in the same place). Returns the
+    number of batches written."""
+    ev = events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    seen: list[int] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{target_dir}/batch={batch_id}")
+        seen.append(batch_id)
+
+    q = (
+        ev.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{target_dir}/_checkpoint")
+        .start()
+    )
+    q.awaitTermination()
+    return len(seen)
