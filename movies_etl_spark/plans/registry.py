@@ -1016,3 +1016,82 @@ def q_groupby_count_salted(spark, sf_dir):
     return out.select(
         "l_returnflag", "cnt", F.round(F.col("sum_qty_raw"), 2).alias("sum_qty")
     )
+
+
+@query(
+    "sample_hash",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12) AS BIGINT) % 10 = 0
+    """,
+)
+def q_sample_hash(spark, sf_dir):
+    """Deterministic ~10% sample via key hashing (SURVEY §2.7: the
+    reference's df.sample() exploration op, made reproducible — the only
+    sampling that is stable across engines, retries, and re-runs; at
+    scale this is also how sticky holdout sets are carved)."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12), 16, 10)
+        .cast("long") % 10
+    )
+    return o.filter(bucket == 0).select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (two independent rollup axes in one pass)."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "explode_tokens",
+    oracle="""
+    SELECT token, count(*) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+)
+def q_explode_tokens(spark, sf_dir):
+    """Array explode → frequency (the lateral-view shape; at scale the
+    explode multiplies rows BEFORE the shuffle, so the projection keeps
+    only the token column)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "json_extract",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    """Stringly-typed embedded JSON → typed value (SURVEY §1.2: the
+    reference carries kaggle's JSON-ish text columns opaquely; the engine
+    exposes from_json/get_json_object as the typed path)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").try_cast("long").alias("k"),
+    )
