@@ -136,3 +136,63 @@ def topk_ivf(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def topk_bruteforce_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Numpy-vectorized brute-force top-k: the 100 TB fast path.
+
+    The query matrix (small) is captured in the UDF closure and each
+    Arrow batch of corpus vectors is scored with one BLAS matmul —
+    orders of magnitude faster per row than the fold-based `cosine`.
+    Kept SEPARATE from the oracle-gated fold implementation because
+    numpy's pairwise summation rounds differently than a sequential
+    fold (driver records a rows-only check for this one).
+
+    Per-partition local top-k → global top-k: only k rows per partition
+    per query reach the final window, so the shuffle is O(k·queries·
+    partitions), independent of corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[id_col] for r in q_rows]
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            c = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            sims = c @ q_mat.T  # (batch, n_queries)
+            out = []
+            for qi, qid in enumerate(q_ids):
+                col = sims[:, qi]
+                mask = ids != qid
+                take = min(k, int(mask.sum()))
+                idx = np.argpartition(-col[mask], take - 1)[:take]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[mask][idx],
+                            "sim": np.round(col[mask][idx], 6),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        score, "query_id bigint, neighbor_id bigint, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

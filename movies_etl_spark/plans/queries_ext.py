@@ -555,3 +555,13 @@ def q_streaming_sessionize(spark, sf_dir):
     from movies_etl_spark.streaming import ops
 
     return ops.sessionize(spark, sf_dir)
+
+
+@query("similarity_topk_vectorized")
+def q_similarity_topk_vectorized(spark, sf_dir):
+    """Numpy/Arrow fast path for brute-force ANN (rows-only check: BLAS
+    summation order differs from the sequential fold the SQL oracle
+    replicates; the fold-based `similarity_topk` is the oracle-gated
+    twin)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.topk_bruteforce_vectorized(e, e.filter(F.col("vec_id") < 8), k=5)

@@ -1,0 +1,107 @@
+"""Batch property tests: a seeded generator produces hundreds of messy
+inputs per family (money / date / runtime grammar + mutations), all
+checked in ONE Spark round-trip against the independent Python oracle
+from test_expr_unit."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from movies_etl_spark.functions import expr as E
+from tests.test_expr_unit import _oracle_money
+
+rng = random.Random(42)
+
+
+def _gen_money(n=300):
+    out = []
+    for _ in range(n):
+        kind = rng.randrange(8)
+        amt = round(rng.uniform(0.1, 999.9), rng.randrange(3))
+        if kind == 0:
+            out.append(f"${amt} million")
+        elif kind == 1:
+            out.append(f"${amt} billion")
+        elif kind == 2:
+            out.append(f"${rng.randrange(1, 999)},{rng.randrange(0, 999):03d},{rng.randrange(0, 999):03d}")
+        elif kind == 3:
+            lo = round(amt / 2, 1)
+            out.append(f"${lo}–{amt} million")
+        elif kind == 4:
+            out.append(f"${amt} milion")  # misspelling
+        elif kind == 5:
+            out.append(rng.choice(["N/A", "unknown", "TBD", "", "$", "$x million"]))
+        elif kind == 6:
+            out.append(f"  ${amt}  MILLION ")  # case + spacing
+        else:
+            out.append(f"US$ {amt} million gross")  # prefix noise
+    return out
+
+
+def test_money_property_batch(spark):
+    cases = _gen_money()
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    got = [
+        (r["s"], r["v"])
+        for r in df.select("s", E.parse_money_column(F.col("s")).alias("v")).collect()
+    ]
+    for s, v in got:
+        want = _oracle_money(s)
+        if want is None:
+            assert v is None, f"{s!r}: {v} != None"
+        else:
+            assert v == pytest.approx(want), f"{s!r}: {v} != {want}"
+
+
+def _gen_runtime(n=200):
+    out = []
+    for _ in range(n):
+        kind = rng.randrange(5)
+        q = rng.randrange(1, 240)
+        h = rng.randrange(1, 5)
+        m = rng.randrange(0, 60)
+        out.append(
+            [f"{q} minutes", f"{h} hours {m} minutes", f"{h} hr",
+             f"approx. {q} min", f"{h}h {m}m"][kind]
+        )
+    return out
+
+
+def test_runtime_property_batch(spark):
+    import re
+
+    def oracle(s):
+        m = re.search(r"(\d+)\s*ho?u?r?s?\s*(\d*)|(\d+)\s*m", s)
+        if not m:
+            return 0.0
+        g1 = float(m.group(1)) if m.group(1) else 0.0
+        g2 = float(m.group(2)) if m.group(2) else 0.0
+        g3 = float(m.group(3)) if m.group(3) else 0.0
+        return g1 * 60 + g2 if g3 == 0 else g3
+
+    cases = _gen_runtime()
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    got = [
+        (r["s"], r["v"])
+        for r in df.select(
+            "s", E.parse_running_time(F.col("s")).alias("v")
+        ).collect()
+    ]
+    for s, v in got:
+        assert v == pytest.approx(oracle(s)), f"{s!r}"
+
+
+def test_vectorized_topk_matches_fold_twin(spark, sf_dir):
+    """The BLAS fast path must retrieve the same neighbor sets as the
+    oracle-gated fold implementation (sims may differ in the last ulp)."""
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    fast = qs["similarity_topk_vectorized"](spark, sf_dir).toPandas()
+    ref = qs["similarity_topk"](spark, sf_dir).toPandas()
+    a = set(zip(fast.query_id, fast.neighbor_id))
+    b = set(zip(ref.query_id, ref.neighbor_id))
+    assert a == b
