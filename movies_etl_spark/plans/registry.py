@@ -1095,3 +1095,31 @@ def q_json_extract(spark, sf_dir):
         "event_id",
         F.get_json_object(F.col("props"), "$.k").try_cast("long").alias("k"),
     )
+
+
+@query(
+    "partition_pruned_scan",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(strftime(o_orderdate, '%Y') AS INTEGER) AS order_year
+    FROM orders
+    WHERE CAST(strftime(o_orderdate, '%Y') AS INTEGER) = 1997
+    """,
+)
+def q_partition_pruned_scan(spark, sf_dir):
+    """Partition layout + pruning (SURVEY §4.1 'partition pruning —
+    free in Spark'): write orders hive-partitioned by year into scratch,
+    read back with a partition-key filter. The year predicate is resolved
+    against DIRECTORY names (PartitionFilters), so non-matching files are
+    never opened — the layout discipline that bounds every 100 TB scan."""
+    o = _t(spark, sf_dir, "orders")
+    path = _scratch("part_orders", sf_dir)
+    (
+        o.withColumn("order_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("order_year")
+        .parquet(f"{path}/orders_by_year")
+    )
+    back = spark.read.parquet(f"{path}/orders_by_year")
+    return back.filter(F.col("order_year") == 1997).select(
+        "o_orderkey", "o_totalprice", F.col("order_year").cast("int").alias("order_year")
+    )

@@ -14,7 +14,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="movies_etl_spark_tests", shuffle_partitions=8)
+    spark = get_spark(
+        app_name="movies_etl_spark_tests",
+        shuffle_partitions=8,
+        extra_conf={
+            # keep catalog tables (bucketing tests) out of the repo cwd
+            "spark.sql.warehouse.dir": "/tmp/movies_etl_warehouse",
+        },
+    )
     yield spark
 
 
