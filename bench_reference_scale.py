@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Apples-to-apples benchmark at the REFERENCE'S OWN scale.
+
+The reference's only published number (BASELINE.md) is the ratings load:
+26,024,289 rows → local Postgres in 2,846.6 s (~9.1 K rows/s,
+single-threaded pandas chunks, challenge.py:299-314). This script runs
+the engine's equivalent of the reference's entire big-data path at the
+same row count:
+
+  1. synthesize 26,024,289 deterministic ratings distributed (no driver
+     materialization — `spark.range` + expressions),
+  2. ratings typing (F10 epoch→timestamp),
+  3. the full A1-A3 block: per-movie rating-bucket counts (explicit-list
+     pivot semantics via conditional aggregation) + fillna(0),
+  4. J2: broadcast left-join onto a 45 K-row movies dimension
+     (the kaggle id space),
+  5. sink: partitioned parquet write of BOTH output tables
+     (`ratings` pass-through and `movies_ratings`).
+
+Prints one JSON line. Not part of the driver's per-round bench (row
+counts make it a ~minute-scale run); run manually:
+
+    python bench_reference_scale.py [--rows N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from movies_etl_spark.operators.ratings import RATING_BUCKETS  # noqa: E402
+from movies_etl_spark.session import get_spark  # noqa: E402
+
+REFERENCE_ROWS = 26_024_289
+REFERENCE_SECONDS = 2846.62
+N_MOVIES = 45_000
+OUT = "/tmp/movies_etl_scratch/reference_scale"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=REFERENCE_ROWS)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="bench_reference_scale")
+    shutil.rmtree(OUT, ignore_errors=True)
+
+    buckets = F.array(*[F.lit(b) for b in RATING_BUCKETS])
+
+    t0 = time.perf_counter()
+
+    # 1-2: synthesize + type the ratings fact (distributed, deterministic)
+    ratings = (
+        spark.range(args.rows)
+        .select(
+            (F.col("id") % 270_000).alias("userId"),
+            F.pmod(F.col("id") * 2_654_435_761, F.lit(N_MOVIES)).alias("movieId"),
+            F.element_at(buckets, (F.col("id") % 10 + 1).cast("int")).alias("rating"),
+            (F.lit(789_652_000) + F.col("id") % 500_000_000).alias("ts_epoch"),
+        )
+        .withColumn("timestamp", F.timestamp_seconds(F.col("ts_epoch")))
+        .drop("ts_epoch")
+    )
+
+    # 3: A1-A3 + F16 — ONE shuffle of the fact table
+    counts = ratings.groupBy("movieId").agg(
+        *[
+            F.count(F.when(F.col("rating") == b, 1)).alias(f"rating_{b}")
+            for b in RATING_BUCKETS
+        ]
+    )
+
+    # 4: J2 — broadcast join onto the movies dimension
+    movies = spark.range(N_MOVIES).select(
+        F.col("id").alias("kaggle_id"),
+        F.concat(F.lit("movie_"), F.col("id")).alias("title"),
+    )
+    movies_ratings = movies.join(
+        F.broadcast(counts), movies["kaggle_id"] == counts["movieId"], "left"
+    ).drop("movieId")
+
+    # 5: sinks (the reference's `ratings` and `movies_ratings` loads)
+    ratings.write.mode("overwrite").parquet(f"{OUT}/ratings")
+    movies_ratings.write.mode("overwrite").parquet(f"{OUT}/movies_ratings")
+
+    elapsed = time.perf_counter() - t0
+    n_out = spark.read.parquet(f"{OUT}/ratings").count()
+    mr = spark.read.parquet(f"{OUT}/movies_ratings").count()
+
+    print(
+        json.dumps(
+            {
+                "metric": "reference_scale_ratings_pipeline",
+                "value": round(elapsed, 2),
+                "unit": "sec",
+                "rows": n_out,
+                "movies_ratings_rows": mr,
+                "rows_per_sec": round(n_out / elapsed),
+                "reference_seconds": REFERENCE_SECONDS,
+                "reference_rows_per_sec": round(REFERENCE_ROWS / REFERENCE_SECONDS),
+                "speedup_vs_reference": round(
+                    (REFERENCE_SECONDS / (REFERENCE_ROWS / n_out)) / elapsed, 1
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
