@@ -565,3 +565,78 @@ def q_similarity_topk_vectorized(spark, sf_dir):
     twin)."""
     e = _t(spark, sf_dir, "embeddings")
     return SIM.topk_bruteforce_vectorized(e, e.filter(F.col("vec_id") < 8), k=5)
+
+
+_SIMHASH_CORPUS_CTE = f"""
+    simh AS (
+        SELECT doc_id, CAST({_SIMHASH_BIT_SQL} AS BIGINT) AS simhash
+        FROM (SELECT doc_id,
+                     list_transform(string_split(text, ' '),
+                                    t -> CAST('0x' || substr(md5(t), 1, 12) AS BIGINT)) AS hashed
+              FROM ({_NEAR_CORPUS_SQL}) corpus)
+    )
+"""
+
+_SIMHASH_PAIRS_ORACLE = f"""
+    WITH {_SIMHASH_CORPUS_CTE},
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM simh a JOIN simh b
+          ON a.doc_id < b.doc_id
+         AND (((a.simhash >> 0) & 15) = ((b.simhash >> 0) & 15)
+           OR ((a.simhash >> 4) & 15) = ((b.simhash >> 4) & 15)
+           OR ((a.simhash >> 8) & 15) = ((b.simhash >> 8) & 15)
+           OR ((a.simhash >> 12) & 15) = ((b.simhash >> 12) & 15)))
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= 2
+"""
+
+
+@query("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE)
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS: candidates from 4-bit nibble-band joins
+    (a pair within Hamming distance ≤ 2 of a 16-bit fingerprint must
+    agree on at least one nibble — pigeonhole), verified by exact
+    popcount of the XOR. Same banding discipline as MinHash-LSH: the
+    join key bounds fan-out, never n². Corpus includes the planted
+    truncated near-dups."""
+    corpus = _near_corpus(spark, sf_dir)
+    simh = corpus.select(
+        "doc_id", D.simhash16(TX.tokens(F.col("text"))).alias("simhash")
+    ).persist()
+    # explode into nibble bands
+    bands = simh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_id"),
+                    F.shiftright(F.col("simhash"), 4 * i).bitwiseAND(F.lit(15)).alias("nibble"),
+                )
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.band_id").alias("band_id"), F.col("b.nibble").alias("nibble"))
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"),
+        "band_id", "nibble",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"),
+        "band_id", "nibble",
+    )
+    cand = (
+        a.join(b, ["band_id", "nibble"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 2)
+        .select("id_a", "id_b", "hamming")
+    )

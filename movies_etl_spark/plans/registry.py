@@ -157,7 +157,9 @@ def q_value_counts(spark, sf_dir):
            round(stddev_samp(l_quantity), 4) AS std_qty,
            min(l_quantity) AS min_qty,
            max(l_quantity) AS max_qty,
-           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+           round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           round(quantile_cont(l_quantity, 0.75), 4) AS q3_qty
     FROM lineitem
     """,
 )
@@ -171,7 +173,9 @@ def q_describe_stats(spark, sf_dir):
         F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q1_qty"),
         F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("q3_qty"),
     )
 
 
@@ -1123,3 +1127,37 @@ def q_partition_pruned_scan(spark, sf_dir):
     return back.filter(F.col("order_year") == 1997).select(
         "o_orderkey", "o_totalprice", F.col("order_year").cast("int").alias("order_year")
     )
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000
+    UNION ALL
+    SELECT o_custkey AS key FROM orders
+    """,
+)
+def q_set_union_all(spark, sf_dir):
+    """Bag-semantics UNION ALL (Spark's plain union)."""
+    a = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("key")
+    )
+    b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    return a.union(b)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey AS key FROM orders
+    EXCEPT ALL
+    SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def q_set_except_all(spark, sf_dir):
+    """Bag-semantics EXCEPT ALL (multiplicity-aware difference)."""
+    a = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    b = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("key")
+    )
+    return a.exceptAll(b)
