@@ -121,7 +121,7 @@ def q_parse_money(spark, sf_dir):
     "parse_date_multiform",
     oracle="""
     SELECT o_orderkey,
-           CASE o_orderkey % 4
+           CAST(CASE o_orderkey % 4
              WHEN 0 THEN CASE WHEN CAST(strftime(o_orderdate, '%d') AS INTEGER) >= 10
                               THEN CAST(o_orderdate AS DATE)
                               ELSE CAST(date_trunc('year', o_orderdate) AS DATE) END
@@ -130,7 +130,7 @@ def q_parse_money(spark, sf_dir):
                               ELSE CAST(date_trunc('year', o_orderdate) AS DATE) END
              WHEN 2 THEN CAST(date_trunc('month', o_orderdate) AS DATE)
              ELSE CAST(date_trunc('year', o_orderdate) AS DATE)
-           END AS parsed_date
+           END AS TIMESTAMP) AS parsed_date
     FROM orders
     """,
 )
@@ -152,7 +152,9 @@ def q_parse_date_multiform(spark, sf_dir):
         .when(mod == 2, F.date_format(d, "MMMM yyyy"))
         .otherwise(F.date_format(d, "yyyy"))
     )
-    return o.select("o_orderkey", E.parse_date_column(s).alias("parsed_date"))
+    return o.select(
+        "o_orderkey", E.parse_date_column(s).cast("timestamp").alias("parsed_date")
+    )
 
 
 @query(

@@ -368,8 +368,8 @@ def q_filter_equality(spark, sf_dir):
     "filter_conflict_rows",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(l_shipdate AS DATE) AS ship_date,
-           CAST(o_orderdate AS DATE) AS order_date
+           CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS ship_date,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE NOT (CAST(l_shipdate AS DATE) < CAST(o_orderdate AS DATE))
     """,
@@ -382,8 +382,8 @@ def q_filter_conflict_rows(spark, sf_dir):
     j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
         "l_orderkey",
         "l_linenumber",
-        F.col("l_shipdate").cast("date").alias("ship_date"),
-        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("l_shipdate").cast("date").cast("timestamp").alias("ship_date"),
+        F.col("o_orderdate").cast("date").cast("timestamp").alias("order_date"),
     )
     return j.filter(~(F.col("ship_date") < F.col("order_date")))
 
@@ -680,7 +680,7 @@ def q_orderby_limit(spark, sf_dir):
                          ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS as_long,
            ((CASE WHEN o_orderstatus = 'O' THEN 'True' ELSE 'False' END) = 'True') AS as_bool,
            TRY_CAST(printf('%.2f', o_totalprice) AS DOUBLE) AS as_double,
-           TRY_CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS as_date
+           CAST(TRY_CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS TIMESTAMP) AS as_date
     FROM orders
     """,
 )
@@ -702,7 +702,7 @@ def q_cast_typed(spark, sf_dir):
         E.cast_long(corrupt).alias("as_long"),
         E.cast_bool_eq(bool_str).alias("as_bool"),
         E.cast_double(dbl_str).alias("as_double"),
-        E.to_date_std(date_str).alias("as_date"),
+        E.to_date_std(date_str).cast("timestamp").alias("as_date"),
     )
 
 
@@ -1161,3 +1161,23 @@ def q_set_except_all(spark, sf_dir):
         F.col("c_custkey").alias("key")
     )
     return a.exceptAll(b)
+
+
+@query(
+    "corr_covar",
+    oracle="""
+    SELECT round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty
+    FROM lineitem
+    """,
+)
+def q_corr_covar(spark, sf_dir):
+    """Statistical aggregates extension: correlation, sample covariance,
+    regression slope — one hash aggregate, map-side partials."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("price_per_qty"),
+    )
