@@ -640,3 +640,173 @@ def q_dedup_simhash_pairs(spark, sf_dir):
         .filter(F.col("hamming") <= 2)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ===========================================================================
+# Text analysis II: TF-IDF, composite quality filter
+# ===========================================================================
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tfidf, rank FROM (
+        SELECT doc_id, term, tfidf,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+        FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def q_text_tfidf_topterms(spark, sf_dir):
+    """TF-IDF as pure DataFrame ops (SURVEY §7.1.7's text-analysis item,
+    without ml.feature's engine-private murmur hashing): explode → term
+    frequencies → document frequencies → smoothed idf — top-3 terms per
+    doc, deterministic tie-break. Two shuffles total (tf and df share the
+    exploded input; the df side is vocabulary-sized → broadcast join)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # driver scalar: one count, dimensionless
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH batch AS (
+        SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    survivors AS (
+        SELECT b.doc_id, md5(b.text) AS text_hash FROM batch b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM documents d
+            WHERE md5(d.text) = md5(b.text) AND d.doc_id % 2 = 0))
+    SELECT doc_id, text_hash FROM survivors
+    """,
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental (append-batch) dedup: a new batch is deduplicated
+    AGAINST the existing corpus by anti-join on content hash — the
+    append-only shape from SCALE.md where previously-computed hashes are
+    never recomputed. Here the 'existing corpus' is the even-id half and
+    the batch is every third doc re-submitted under a new id: batch docs
+    with an even-id original are dropped, odd-id ones survive."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    existing = d.filter(F.col("doc_id") % 2 == 0).select(
+        TX.content_hash(F.col("text")).alias("text_hash")
+    )
+    batch = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        TX.content_hash(F.col("text")).alias("text_hash"),
+    )
+    return batch.join(existing, "text_hash", "left_anti").select(
+        "doc_id", "text_hash"
+    )
+
+
+@query(
+    "training_data_filter",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               md5(text) AS text_hash,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank
+        FROM documents)
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM scored
+    WHERE dup_rank = 1 AND n_tokens >= 25 AND n_chars >= 150
+      AND lang IN ('en', 'de', 'fr')
+    """,
+)
+def q_training_data_filter(spark, sf_dir):
+    """The composite training-data curation pass: exact dedup (keep
+    lowest id per content hash) + length floor + language allowlist in
+    ONE plan — the filter chain every corpus pipeline runs before
+    tokenization. One shuffle (the dedup window); all predicates are
+    pushdown-eligible scans."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    w = W.partitionBy(TX.content_hash(F.col("text"))).orderBy("doc_id")
+    return (
+        d.withColumn("dup_rank", F.row_number().over(w))
+        .withColumn("n_tokens", TX.token_count_ws(F.col("text")).cast("long"))
+        .filter(
+            (F.col("dup_rank") == 1)
+            & (F.col("n_tokens") >= 25)
+            & (F.col("n_chars") >= 150)
+            & F.col("lang").isin("en", "de", "fr")
+        )
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH meta AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               octet_length(encode(text)) % 7 + 1 AS n_frames
+        FROM documents)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           CAST(n_bytes // n_frames * i AS BIGINT) AS frame_offset
+    FROM meta, range(0, 7) t(i)
+    WHERE i < n_frames AND i % 2 = 0
+    """,
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    """1:N multimodal operator: frame sampling (every 2nd frame) through
+    mapInPandas — one input row yields a row per sampled frame with its
+    byte offset, the shape of a video frame-extraction stage. Decode is
+    stubbed (arithmetic on payload length); the row-expansion plumbing,
+    Arrow batching, and offset computation are real."""
+    d = _t(spark, sf_dir, "documents")
+    with_payload = MM.with_binary_payload(d)
+
+    def op(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                n_frames = n % 7 + 1
+                fb = n // n_frames
+                for i in range(0, n_frames, 2):  # sample every 2nd frame
+                    rows.append((doc_id, i, fb * i))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_offset"]
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        op, "doc_id bigint, frame_idx bigint, frame_offset bigint"
+    )
