@@ -195,3 +195,27 @@ def q_parse_running_time(spark, sf_dir):
         "l_linenumber",
         E.parse_running_time(s).alias("minutes"),
     )
+
+
+@query(
+    "strip_money_ranges",
+    oracle="""
+    SELECT o_orderkey,
+           '$' || CAST(round(o_totalprice / 1000, 1) AS VARCHAR) || ' million' AS cleaned
+    FROM orders
+    """,
+)
+def q_strip_money_ranges(spark, sf_dir):
+    """F3 standalone (challenge.py:132,145): "$A–B million" → "$B million"
+    (everything through the dash collapses to '$'); ground truth rebuilt
+    from the upper bound directly."""
+    o = _t(spark, sf_dir, "orders")
+    lower = F.round(F.col("o_totalprice") / 2000, 1)
+    upper = F.round(F.col("o_totalprice") / 1000, 1)
+    ranged = F.concat(
+        F.lit("$"), lower.cast("string"), F.lit("–"),
+        upper.cast("string"), F.lit(" million"),
+    )
+    return o.select(
+        "o_orderkey", E.strip_money_ranges(ranged).alias("cleaned")
+    )

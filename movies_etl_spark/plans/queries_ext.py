@@ -810,3 +810,31 @@ def q_multimodal_frame_sample(spark, sf_dir):
     return with_payload.select("doc_id", "payload").mapInPandas(
         op, "doc_id bigint, frame_idx bigint, frame_offset bigint"
     )
+
+
+@query(
+    "embedding_normalize",
+    oracle=f"""
+    SELECT vec_id,
+           round(sqrt(list_reduce([CAST(0 AS DOUBLE)] ||
+                 list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 (acc, v) -> acc + v)), 6) AS nrm,
+           round(CAST(embedding[1] AS DOUBLE)
+                 / sqrt(list_reduce([CAST(0 AS DOUBLE)] ||
+                   list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (acc, v) -> acc + v)), 6) AS e0_unit
+    FROM embeddings
+    """,
+)
+def q_embedding_normalize(spark, sf_dir):
+    """Vector normalization (the ml.feature Normalizer shape as a native
+    expression): L2 norm + first unit-vector component, scalar-projected
+    for portable comparison."""
+    e = _t(spark, sf_dir, "embeddings")
+    nrm = D.l2norm(F.col("embedding"))
+    e0 = F.element_at(F.col("embedding"), 1).cast("double")
+    return e.select(
+        "vec_id",
+        F.round(nrm, 6).alias("nrm"),
+        F.round(e0 / nrm, 6).alias("e0_unit"),
+    )

@@ -1181,3 +1181,119 @@ def q_corr_covar(spark, sf_dir):
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
         F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("price_per_qty"),
     )
+
+
+@query(
+    "unpivot_stack",
+    oracle="""
+    SELECT user_id, event_type, cnt FROM (
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click')    AS click,
+               count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               count(*) FILTER (WHERE event_type = 'view')     AS view
+        FROM events GROUP BY user_id)
+    UNPIVOT (cnt FOR event_type IN (click, purchase, view))
+    """,
+)
+def q_unpivot_stack(spark, sf_dir):
+    """Unpivot/melt (the inverse of A2, via stack()): wide per-user
+    bucket counts back to long form. Roundtrip of the pivot pair proves
+    both directions; stack is a generator expression — no shuffle beyond
+    the original aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+            for t in ["click", "purchase", "view"]
+        ]
+    )
+    return wide.select(
+        "user_id",
+        F.expr(
+            "stack(3, 'click', click, 'purchase', purchase, 'view', view) "
+            "AS (event_type, cnt)"
+        ),
+    )
+
+
+@query(
+    "percentile_by_group",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentile_by_group(spark, sf_dir):
+    """Exact grouped percentiles (A6 generalized). At 100 TB switch to
+    percentile_approx (t-digest, mergeable partials) — exact percentile
+    holds per-group value buffers."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
+
+
+@query(
+    "date_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS INTEGER) AS days_to_ship,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+           CAST(strftime(o_orderdate, '%Y') AS INTEGER) AS order_year,
+           CAST(strftime(o_orderdate, '%m') AS INTEGER) AS order_month,
+           CAST(strftime(o_orderdate, '%w') AS INTEGER) AS order_dow
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def q_date_arithmetic(spark, sf_dir):
+    """Date arithmetic battery: datediff, day offsets, calendar parts
+    (year/month/day-of-week — Spark dayofweek is 1=Sunday, DuckDB %w is
+    0=Sunday; normalized to the 0-based convention)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    od = F.col("o_orderdate").cast("date")
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(F.col("l_shipdate").cast("date"), od).alias("days_to_ship"),
+        F.date_add(od, 30).cast("timestamp").alias("due_date"),
+        F.year(od).alias("order_year"),
+        F.month(od).alias("order_month"),
+        (F.dayofweek(od) - 1).alias("order_dow"),
+    )
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           trim(p_name) AS name_trim,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+           substr(p_name, 1, 6) AS name_prefix,
+           replace(p_name, '_', '-') AS name_dashed,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           CAST(levenshtein(p_name, p_brand) AS BIGINT) AS brand_dist,
+           CAST(strpos(p_name, '_') AS BIGINT) AS underscore_at
+    FROM part
+    """,
+)
+def q_string_functions(spark, sf_dir):
+    """Scalar string battery (upper/trim/lpad/substring/replace/length/
+    levenshtein/instr) — all codegen'd, zero shuffles."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.trim("p_name").alias("name_trim"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.substring("p_name", 1, 6).alias("name_prefix"),
+        F.replace(F.col("p_name"), F.lit("_"), F.lit("-")).alias("name_dashed"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.levenshtein("p_name", "p_brand").cast("long").alias("brand_dist"),
+        F.instr(F.col("p_name"), "_").cast("long").alias("underscore_at"),
+    )
