@@ -217,3 +217,42 @@ def cosine(a: Column, b: Column) -> Column:
     pairwise workloads prefer dot(a,b)/(norm_a·norm_b) with norms
     precomputed per row — identical value, one fold per pair)."""
     return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def cosine_pairs_vectorized(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Numpy fast path for within-block cosine near-dup pairs: each block
+    is scored with ONE BLAS gram matrix (applyInPandas per block) instead
+    of per-pair folds. Same blocking discipline — pairwise work never
+    leaves a block. Rows-only driver check (BLAS summation order differs
+    from the fold in the last ulp); pair-set equality with the fold twin
+    is asserted in tests."""
+    import numpy as np
+    import pandas as pd
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        v = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        sims = v @ v.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        sel = np.round(sims[iu, ju], 6) >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[sel]],
+                "id_b": ids[ju[sel]],
+                "label": pdf[block_col].iloc[0],
+                "sim": np.round(sims[iu, ju][sel], 4),
+            }
+        )
+
+    return df.select(id_col, vec_col, block_col).groupBy(block_col).applyInPandas(
+        per_block, "id_a bigint, id_b bigint, label int, sim double"
+    )

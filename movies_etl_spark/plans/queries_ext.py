@@ -838,3 +838,11 @@ def q_embedding_normalize(spark, sf_dir):
         F.round(nrm, 6).alias("nrm"),
         F.round(e0 / nrm, 6).alias("e0_unit"),
     )
+
+
+@query("dedup_embedding_cosine_vectorized")
+def q_dedup_embedding_cosine_vectorized(spark, sf_dir):
+    """BLAS fast path for embedding near-dup (rows-only check; pair-set
+    equality with the fold-based oracle-gated twin asserted in tests)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return D.cosine_pairs_vectorized(e, threshold=0.3)

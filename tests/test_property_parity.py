@@ -105,3 +105,14 @@ def test_vectorized_topk_matches_fold_twin(spark, sf_dir):
     a = set(zip(fast.query_id, fast.neighbor_id))
     b = set(zip(ref.query_id, ref.neighbor_id))
     assert a == b
+
+
+def test_vectorized_cosine_pairs_match_fold_twin(spark, sf_dir):
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    fast = qs["dedup_embedding_cosine_vectorized"](spark, sf_dir).toPandas()
+    ref = qs["dedup_embedding_cosine"](spark, sf_dir).toPandas()
+    a = set(zip(fast.id_a, fast.id_b))
+    b = set(zip(ref.id_a, ref.id_b))
+    assert a == b
