@@ -94,6 +94,8 @@ def main() -> None:
     n_out = spark.read.parquet(f"{OUT}/ratings").count()
     mr = spark.read.parquet(f"{OUT}/movies_ratings").count()
 
+    wiki_rows, wiki_elapsed = bench_wiki_parse(spark)
+
     print(
         json.dumps(
             {
@@ -108,9 +110,81 @@ def main() -> None:
                 "speedup_vs_reference": round(
                     (REFERENCE_SECONDS / (REFERENCE_ROWS / n_out)) / elapsed, 1
                 ),
+                "wiki_parse_rows": wiki_rows,
+                "wiki_parse_sec": round(wiki_elapsed, 2),
+                "wiki_parse_rows_per_sec": round(wiki_rows / wiki_elapsed),
             }
         )
     )
+
+
+def bench_wiki_parse(spark, n_rows: int = 1_000_000) -> tuple[int, float]:
+    """The wiki side at 137× the reference's 7,311 records: generate 1M
+    ragged movie records as JSONL (splittable), then run the FULL
+    clean_wiki path — JSON scan, key-existence filter, alt-title map,
+    synonym coalesce, imdb-id extraction, first-wins dedup, 90%-null
+    prune (2 jobs), and all four guarded regex parse pipelines with one
+    batched validation pass."""
+    from movies_etl_spark.plans.pipeline import clean_wiki
+    from movies_etl_spark.sources.readers import read_json_records
+
+    src = f"{OUT}/wiki_jsonl"
+    gen = spark.range(n_rows).select(
+        F.concat(F.lit("https://en.wikipedia.org/wiki/M"), F.col("id")).alias("url"),
+        (F.lit(1950) + F.col("id") % 70).alias("year"),
+        # ~2% duplicate imdb ids; a few records missing the link (filtered)
+        F.when(
+            F.col("id") % 97 != 0,
+            F.concat(
+                F.lit("https://www.imdb.com/title/tt"),
+                F.lpad((F.floor(F.col("id") * 51 / 50).cast("long") % 10_000_000).cast("string"), 7, "0"),
+                F.lit("/"),
+            ),
+        ).alias("imdb_link"),
+        F.concat(F.lit("Movie "), F.col("id")).alias("title"),
+        F.when(F.col("id") % 2 == 0, F.lit("A Director")).alias("Directed by"),
+        F.when(F.col("id") % 2 != 0, F.lit("B Director")).alias("Director"),
+        F.when(F.col("id") % 3 == 0, F.lit("C Writer")).alias("Written by"),
+        F.when(F.col("id") % 11 == 0, F.lit("Le Film")).alias("French"),
+        F.when(F.col("id") % 5 == 0,
+               F.concat(F.lit("$"), (F.col("id") % 900 / 10 + 1).cast("string"),
+                        F.lit(" million")))
+         .when(F.col("id") % 5 == 1,
+               F.concat(F.lit("$"), (F.col("id") % 90 / 10 + 1).cast("string"),
+                        F.lit("–"), (F.col("id") % 900 / 10 + 2).cast("string"),
+                        F.lit(" million")))
+         .when(F.col("id") % 5 == 2, F.lit("N/A"))
+         .otherwise(F.concat(F.lit("$"), F.format_number((F.col("id") % 9000 + 1) * 1111, 0)))
+         .alias("Box office"),
+        F.concat(F.lit("$"), (F.col("id") % 200 / 10 + 0.5).cast("string"),
+                 F.lit(" million")).alias("Budget"),
+        F.when(F.col("id") % 4 == 0,
+               F.concat(F.lit("July "), (F.col("id") % 21 + 10).cast("string"),
+                        F.lit(", "), (1950 + F.col("id") % 70).cast("string")))
+         .when(F.col("id") % 4 == 1,
+               F.concat((1950 + F.col("id") % 70).cast("string"), F.lit("-07-15")))
+         .when(F.col("id") % 4 == 2,
+               F.concat(F.lit("March "), (1950 + F.col("id") % 70).cast("string")))
+         .otherwise((1950 + F.col("id") % 70).cast("string"))
+         .alias("Release date"),
+        F.when(F.col("id") % 3 == 0,
+               F.concat((F.col("id") % 120 + 60).cast("string"), F.lit(" minutes")))
+         .when(F.col("id") % 3 == 1,
+               F.concat(F.lit("1 hour "), (F.col("id") % 60).cast("string"),
+                        F.lit(" minutes")))
+         .otherwise(F.lit("2 hr"))
+         .alias("Running time"),
+        # junk column present on <10% of records → pruned
+        F.when(F.col("id") % 50 == 0, F.lit("junk")).alias("Original network"),
+    )
+    gen.write.mode("overwrite").json(src)
+
+    t0 = time.perf_counter()
+    raw = read_json_records(spark, src, multiline=False)
+    cleaned = clean_wiki(raw)
+    cleaned.write.mode("overwrite").parquet(f"{OUT}/wiki_clean")
+    elapsed = time.perf_counter() - t0
+    return spark.read.parquet(f"{OUT}/wiki_clean").count(), elapsed
 
 
 if __name__ == "__main__":
