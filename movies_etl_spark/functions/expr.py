@@ -112,14 +112,18 @@ def parse_dollars(c: Column) -> Column:
     numeric cast uses Spark cast-to-double (null on bad input), which also
     null-safes the reference's `float()`-raises quirk on mixed separators
     like "1.234.567" (SURVEY §7.3.2)."""
-    million = rf"(?i)^\$\s*\d+\.?\d*\s*milli?on"
-    billion = rf"(?i)^\$\s*\d+\.?\d*\s*billi?on"
-    comma = rf"(?i)^\$\s*\d{{1,3}}(?:[,\.]\d{{3}})+(?!\s[mb]illion)"
+    # One anchored extract distinguishes the million/billion branches
+    # (group = m/b), replacing two separate anchored rlike passes — the
+    # regex engine is the dominant cost of this operator at scale.
+    unit = F.lower(
+        F.regexp_extract(c, r"(?i)^\$\s*\d+\.?\d*\s*([mb])illi?on", 1)
+    )
+    comma = r"(?i)^\$\s*\d{1,3}(?:[,\.]\d{3})+(?!\s[mb]illion)"
     digits = F.regexp_replace(c, r"[\$\sA-Za-z]", "").try_cast("double")
     plain = F.regexp_replace(c, r"[\$,]", "").try_cast("double")
     return (
-        F.when(c.rlike(million), digits * F.lit(1e6))
-        .when(c.rlike(billion), digits * F.lit(1e9))
+        F.when(unit == "m", digits * F.lit(1e6))
+        .when(unit == "b", digits * F.lit(1e9))
         .when(c.rlike(comma), plain)
         .otherwise(F.lit(None).cast("double"))
     )

@@ -1297,3 +1297,20 @@ def q_string_functions(spark, sf_dir):
         F.levenshtein("p_name", "p_brand").cast("long").alias("brand_dist"),
         F.instr(F.col("p_name"), "_").cast("long").alias("underscore_at"),
     )
+
+
+@query("approx_stats")
+def q_approx_stats(spark, sf_dir):
+    """The at-scale swap for exact statistics (SCALE.md): HyperLogLog++
+    distinct counts and t-digest quantiles — mergeable sketch partials,
+    constant memory per group, one shuffle of sketches not values.
+    Rows-only driver check (sketch results are engine-specific by
+    nature); bounds vs exact values are asserted in tests."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.round(
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 2
+        ).alias("approx_median_price"),
+    )

@@ -116,3 +116,17 @@ def test_vectorized_cosine_pairs_match_fold_twin(spark, sf_dir):
     a = set(zip(fast.id_a, fast.id_b))
     b = set(zip(ref.id_a, ref.id_b))
     assert a == b
+
+
+def test_approx_stats_within_bounds(spark, sf_dir, duck):
+    """HLL++ ±5% of exact; t-digest median within 1% of exact."""
+    import __spark_entry__ as m
+
+    row = m.queries()["approx_stats"](spark, sf_dir).collect()[0]
+    exact = duck.execute(
+        """SELECT count(DISTINCT l_orderkey) a, count(DISTINCT l_partkey) b,
+                  quantile_cont(l_extendedprice, 0.5) med FROM lineitem"""
+    ).fetchone()
+    assert abs(row["approx_orders"] - exact[0]) / exact[0] < 0.05
+    assert abs(row["approx_parts"] - exact[1]) / exact[1] < 0.05
+    assert abs(row["approx_median_price"] - exact[2]) / exact[2] < 0.01
