@@ -256,3 +256,56 @@ def cosine_pairs_vectorized(
     return df.select(id_col, vec_col, block_col).groupBy(block_col).applyInPandas(
         per_block, "id_a bigint, id_b bigint, label int, sim double"
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → canonical
+    cluster ids (min member id), the step that turns pairwise dedup
+    output into keep-one-per-cluster decisions.
+
+    Iterative min-label propagation in pure DataFrame ops (the
+    large-graph pattern when GraphFrames isn't on the classpath): each
+    round joins labels across edges in both directions and keeps the
+    minimum; stops when a round changes nothing. Near-dup graphs have
+    tiny diameters (pairs/chains), so convergence is 2-3 rounds; each
+    round is one shuffle of the label table.
+
+    Returns (node, component)."""
+    both = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    labels = (
+        both.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            both.join(labels, both["v"] == labels["node"])
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+                ).alias("component"),
+            )
+        ).persist()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
+            .filter(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -846,3 +846,49 @@ def q_dedup_embedding_cosine_vectorized(spark, sf_dir):
     equality with the fold-based oracle-gated twin asserted in tests)."""
     e = _t(spark, sf_dir, "embeddings")
     return D.cosine_pairs_vectorized(e, threshold=0.3)
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE shing AS ({_INT_SHINGLES_SQL.format(corpus=_NEAR_CORPUS_SQL)}),
+    sig0 AS (SELECT doc_id, shingles, {_SIG_COLS_SQL} FROM shing),
+    sig AS (SELECT *, {_BAND_COLS_SQL} FROM sig0),
+    cand AS ({_CAND_UNION_SQL}),
+    edges AS (
+        SELECT c.id_a, c.id_b FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b
+        WHERE len(sa.shingles) > 0 AND len(sb.shingles) > 0
+          AND round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                / CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE), 4) >= 0.5),
+    bidir AS (
+        SELECT id_a AS u, id_b AS v FROM edges
+        UNION SELECT id_b, id_a FROM edges
+        UNION SELECT id_a, id_a FROM edges
+        UNION SELECT id_b, id_b FROM edges),
+    reach AS (
+        SELECT u, v FROM bidir
+        UNION
+        SELECT r.u, b.v FROM reach r JOIN bidir b ON r.v = b.u)
+    SELECT u AS node, min(v) AS component FROM reach GROUP BY u
+    """,
+)
+def q_dedup_cluster_components(spark, sf_dir):
+    """Dedup cluster resolution: MinHash-LSH verified pairs → connected
+    components → canonical cluster id (min member). The oracle computes
+    the same components via a recursive transitive closure; the engine
+    uses iterative min-label propagation (one label-table shuffle per
+    round, 2-3 rounds at near-dup diameters)."""
+    corpus = _near_corpus(spark, sf_dir)
+    sh_all = D.shingled(corpus, "text", "doc_id").persist()
+    pairs = D.candidate_pairs_minhash(sh_all, "doc_id")
+    sh = sh_all.filter(F.size("shingles") > 0)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    edges = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .filter(F.round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 4) >= 0.5)
+        .select("id_a", "id_b")
+    )
+    return D.connected_components(edges)
