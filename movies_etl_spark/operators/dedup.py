@@ -284,6 +284,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    prev_persisted = None
     for _ in range(max_iter):
         neighbor_min = (
             both.join(labels, both["v"] == labels["node"])
@@ -305,6 +306,11 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # new_labels is materialized by the count above → the previous
+        # round's cache is safe to drop (bounded memory over iterations)
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = new_labels
         labels = new_labels
         if changed == 0:
             break
