@@ -892,3 +892,47 @@ def q_dedup_cluster_components(spark, sf_dir):
         .select("id_a", "id_b")
     )
     return D.connected_components(edges)
+
+
+@query(
+    "streaming_session_window",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS s
+               FROM events),
+    marked AS (
+        SELECT user_id, s,
+               CASE WHEN s - lag(s) OVER (PARTITION BY user_id ORDER BY s)
+                         >= INTERVAL 30 MINUTE
+                     OR lag(s) OVER (PARTITION BY user_id ORDER BY s) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e),
+    grp AS (
+        SELECT user_id, s,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY s
+                                ROWS UNBOUNDED PRECEDING) AS g
+        FROM marked)
+    SELECT user_id, min(s) AS session_start, count(*) AS n_events
+    FROM grp GROUP BY user_id, g
+    """,
+)
+def q_streaming_session_window(spark, sf_dir):
+    """Native `session_window` (the built-in complement to the custom
+    applyInPandasWithState sessionizer): 30-minute-gap sessions as a
+    single hash aggregate with session merging — Spark closes a session
+    when the NEXT event is >= gap after the previous (an exactly-gap
+    event still merges... no: session_window half-open [start, last+gap)
+    means an event at exactly +gap starts a NEW session), matching the
+    oracle's `>= INTERVAL 30 MINUTE` break condition."""
+    from movies_etl_spark.sources import readers
+
+    ev = readers.load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("second", F.col("ts")).alias("s")
+    )
+    agg = ev.groupBy(
+        F.session_window(F.col("s"), "30 minutes").alias("w"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return agg.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        "n_events",
+    )
