@@ -1314,3 +1314,218 @@ def q_approx_stats(spark, sf_dir):
             F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 2
         ).alias("approx_median_price"),
     )
+
+
+@query(
+    "scan_orc",
+    oracle="SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+)
+def q_scan_orc(spark, sf_dir):
+    """ORC source (columnar alternative; same pushdown/pruning class as
+    parquet). Round-trips orders through an ORC write."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _scratch("scan_orc", sf_dir)
+    o.write.mode("overwrite").orc(f"{path}/orders_orc")
+    return spark.read.orc(f"{path}/orders_orc")
+
+
+@query(
+    "scan_jsonl",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+)
+def q_scan_jsonl(spark, sf_dir):
+    """JSON-lines scan (the SPLITTABLE json shape — the at-scale ingest
+    contract vs the reference's single multiLine array, SCALE.md)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = _scratch("scan_jsonl", sf_dir)
+    d.write.mode("overwrite").json(f"{path}/docs_jsonl")
+    return readers.read_json_records(
+        spark,
+        f"{path}/docs_jsonl",
+        schema="doc_id BIGINT, lang STRING, n_chars BIGINT",
+        multiline=False,
+    )
+
+
+@query(
+    "scan_text",
+    oracle="SELECT text AS value, CAST(length(text) AS BIGINT) AS n FROM documents",
+)
+def q_scan_text(spark, sf_dir):
+    """Raw text-line source (one row per line, the corpus-file shape)."""
+    d = _t(spark, sf_dir, "documents").select("text")
+    path = _scratch("scan_text", sf_dir)
+    d.write.mode("overwrite").text(f"{path}/docs_txt")
+    t = spark.read.text(f"{path}/docs_txt")
+    return t.select("value", F.length("value").cast("long").alias("n"))
+
+
+@query(
+    "scan_binary_files",
+    oracle="""
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS fname,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def q_scan_binary_files(spark, sf_dir):
+    """binaryFile source — the multimodal ingest path: opaque payloads
+    land as (path, length, content) rows; metadata joins by filename.
+    50 deterministic payload files round-tripped."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    path = _scratch("scan_binfiles", sf_dir)
+    for r in d.select("doc_id", "text").collect():  # 50 small files
+        with open(f"{path}/doc_{r['doc_id']}.bin", "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    b = spark.read.format("binaryFile").load(f"{path}/*.bin")
+    return b.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+        F.length(F.col("content")).cast("long").alias("n_bytes"),
+    )
+
+
+@query(
+    "rank_battery",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS prnk,
+           round(cume_dist() OVER w, 6) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_rank_battery(spark, sf_dir):
+    """Ranking-function battery over a deterministic window (rank /
+    dense_rank / ntile / percent_rank / cume_dist) — one shuffle on the
+    partition key, all five share the frame."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "correlated_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+    WHERE o_totalprice > (SELECT avg(o2.o_totalprice) * 1.5 FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery (orders 1.5× above their customer's
+    average) through the SQL surface — Catalyst decorrelates it into an
+    aggregate + join (check the plan: no per-row subquery execution)."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_corr")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders_corr o
+        WHERE o_totalprice > (SELECT avg(o2.o_totalprice) * 1.5 FROM orders_corr o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@query(
+    "range_join_bucketed",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+)
+def q_range_join_bucketed(spark, sf_dir):
+    """Range join (purchases within 5 minutes after a click, same user)
+    via the bucketize-and-filter pattern (pyspark guide: Spark has no
+    native range join): both sides bucket ts into 5-minute cells, join on
+    (user, cell) for the cell and its successor, filter the exact range.
+    Join fan-out is bounded by events-per-cell — never a per-user cross
+    product. The oracle states the plain inequality-join spec."""
+    ev = _t(spark, sf_dir, "events")
+    bucket_sec = 300
+    cell = (F.unix_timestamp("ts") / bucket_sec).cast("long")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("id_a"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("ts_a"),
+        cell.alias("cell_a"),
+    )
+    # each click probes its own cell and the next one
+    clicks2 = clicks.withColumn(
+        "probe_cell", F.explode(F.array(F.col("cell_a"), F.col("cell_a") + 1))
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("id_b"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("ts_b"),
+        cell.alias("probe_cell"),
+    )
+    joined = clicks2.join(buys, ["u", "probe_cell"]).filter(
+        (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    return joined.select("id_a", "id_b").distinct()
+
+
+@query(
+    "asof_join_window",
+    oracle="""
+    SELECT event_id, user_id, prev_click_ts FROM (
+        SELECT event_id, user_id, event_type,
+               max(click_ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts
+        FROM (
+            SELECT event_id, user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts,
+                   CASE WHEN event_type = 'click'
+                        THEN CAST(date_trunc('second', ts) AS TIMESTAMP) END AS click_ts,
+                   event_type
+            FROM events))
+    WHERE event_type = 'error'
+    """,
+)
+def q_asof_join_window(spark, sf_dir):
+    """As-of join (for every error event, the most recent PRIOR click by
+    the same user) as a window scan — the scale-correct as-of
+    implementation: one sort-shuffle on the partition key instead of a
+    per-row backward search (pyspark guide's merge_asof alternative)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.date_trunc("second", F.col("ts")).alias("ts"),
+        "event_type",
+    )
+    marked = ev.withColumn(
+        "click_ts", F.when(F.col("event_type") == "click", F.col("ts"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # max == last-non-null here: click_ts is monotone in the frame order
+    # (and DuckDB 1.0 parses but ignores IGNORE NULLS on last_value —
+    # max() is the portable formulation)
+    return (
+        marked.withColumn("prev_click_ts", F.max("click_ts").over(w))
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "prev_click_ts")
+    )

@@ -23,9 +23,13 @@ ORACLES = entrymod.oracle_sql()
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        # normalize temporal dtypes to ns, tz-naive
+        # normalize temporal dtypes to ns, tz-naive — comparing
+        # datetime64 columns of MISMATCHED units (spark ns vs duckdb us)
+        # makes assert_frame_equal diff the raw int64 representations
         if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+            df[c] = (
+                pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[ns]")
+            )
         elif df[c].dtype == object:
             df[c] = df[c].map(
                 lambda v: None if v is None or (isinstance(v, float) and math.isnan(v)) else v
