@@ -22,6 +22,7 @@ directly on the scan so Catalyst pushes them into parquet.
 
 from __future__ import annotations
 
+import functools
 import os
 import shutil
 from collections.abc import Callable
@@ -45,6 +46,7 @@ def query(name: str, oracle: str | None = None):
     its DuckDB oracle SQL (omitted → driver runs rows-only check)."""
 
     def deco(fn):
+        @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             pin_session_conf(spark)
             return fn(spark, sf_dir)
@@ -1528,4 +1530,100 @@ def q_asof_join_window(spark, sf_dir):
         marked.withColumn("prev_click_ts", F.max("click_ts").over(w))
         .filter(F.col("event_type") == "error")
         .select("event_id", "user_id", "prev_click_ts")
+    )
+
+
+@query(
+    "array_functions",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(list_slice(t, 1, 8))), ',') AS uniq_sorted,
+           CAST(list_position(t, 'the') AS BIGINT) AS the_at,
+           list_contains(t, 'spark') AS has_spark,
+           array_to_string(list_reverse(list_slice(t, 1, 3)), ',') AS first3_rev,
+           CAST(len(list_filter(t, x -> len(x) > 4)) AS BIGINT) AS n_long_tokens
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    """,
+)
+def q_array_functions(spark, sf_dir):
+    """Array-function battery (distinct/sort/position/contains/reverse/
+    filter) — engine array semantics head-to-head, scalar-projected.
+    NB Spark array_position and DuckDB list_position are both 1-based,
+    0/NULL-on-missing respectively → coalesced to 0 on both sides."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_distinct(F.slice(t, 1, 8))), ",").alias(
+            "uniq_sorted"
+        ),
+        F.array_position(t, "the").cast("long").alias("the_at"),
+        F.array_contains(t, "spark").alias("has_spark"),
+        F.array_join(F.reverse(F.slice(t, 1, 3)), ",").alias("first3_rev"),
+        F.size(F.filter(t, lambda x: F.length(x) > 4)).cast("long").alias(
+            "n_long_tokens"
+        ),
+    )
+
+
+@query(
+    "map_functions",
+    oracle="""
+    SELECT o_orderkey,
+           array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted,
+           m['status'][1] AS status_val,
+           CAST(cardinality(m) AS INTEGER) AS m_size
+    FROM (
+        SELECT o_orderkey,
+               MAP {'status': o_orderstatus, 'priority': o_orderpriority} AS m
+        FROM orders)
+    """,
+)
+def q_map_functions(spark, sf_dir):
+    """Map-function battery: construction, key listing, value access,
+    cardinality (scalar-projected — map cells themselves don't hash
+    portably across engines)."""
+    o = _t(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        m["status"].alias("status_val"),
+        F.size(m).alias("m_size"),
+    )
+
+
+@query(
+    "null_semantics",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(maybe, 'fallback') AS c1,
+           (maybe IS NOT DISTINCT FROM 'P') AS null_safe_eq,
+           (maybe IS NULL) AS is_null,
+           ifnull(maybe, o_orderpriority) AS c2
+    FROM (
+        SELECT o_orderkey, o_orderpriority,
+               CASE WHEN o_orderstatus = 'P' THEN 'P' END AS maybe
+        FROM orders)
+    """,
+)
+def q_null_semantics(spark, sf_dir):
+    """Null-handling battery: coalesce, null-safe equality (<=> / IS NOT
+    DISTINCT FROM), IS NULL, ifnull — the semantics SURVEY §7.3.2 flags
+    as the pandas-NaN/Spark-null parity risk, pinned down explicitly."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_orderstatus") == "P", F.lit("P")).alias("maybe"),
+    )
+    return base.select(
+        "o_orderkey",
+        F.coalesce(F.col("maybe"), F.lit("fallback")).alias("c1"),
+        F.col("maybe").eqNullSafe(F.lit("P")).alias("null_safe_eq"),
+        F.col("maybe").isNull().alias("is_null"),
+        F.ifnull(F.col("maybe"), F.col("o_orderpriority")).alias("c2"),
     )
