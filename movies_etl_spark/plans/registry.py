@@ -1627,3 +1627,92 @@ def q_null_semantics(spark, sf_dir):
         F.col("maybe").isNull().alias("is_null"),
         F.ifnull(F.col("maybe"), F.col("o_orderpriority")).alias("c2"),
     )
+
+
+@query(
+    "scan_csv_permissive",
+    oracle="""
+    SELECT CAST(count(*) FILTER (WHERE o_orderkey % 13 <> 0) AS BIGINT) AS n_good,
+           CAST(count(*) FILTER (WHERE o_orderkey % 13 = 0) AS BIGINT) AS n_corrupt
+    FROM orders
+    """,
+)
+def q_scan_csv_permissive(spark, sf_dir):
+    """Corrupt-row tolerance at the SOURCE (the kaggle CSV had shifted
+    rows, FIXTURES.md/ETL.ipynb:3508): PERMISSIVE mode captures rows that
+    fail the schema into _corrupt_record instead of failing the scan.
+    Every 13th row is written mangled (unparseable numeric); the query
+    returns good/corrupt counts. At scale this is the quarantine pattern:
+    corrupt rows route to a dead-letter sink, the scan never aborts."""
+    o = _t(spark, sf_dir, "orders")
+    path = _scratch("scan_csv_perm", sf_dir)
+    # write a CSV where every 13th row has garbage in a numeric column
+    mangled = o.select(
+        F.col("o_orderkey"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("not-a-number"))
+        .otherwise(F.col("o_totalprice").cast("string"))
+        .alias("o_totalprice"),
+        F.col("o_orderstatus"),
+    )
+    mangled.write.mode("overwrite").option("header", "true").csv(f"{path}/csv")
+    schema = (
+        "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING, "
+        "_corrupt_record STRING"
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(f"{path}/csv")
+    )
+    df = df.cache()  # one scan serves both counts; also required for
+    # _corrupt_record visibility (Spark disallows filtering on it alone
+    # from a lazy raw scan)
+    return df.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias("n_corrupt"),
+    )
+
+
+@query(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    SELECT order_year, cnt,
+           CAST(CASE WHEN order_year = 1997 THEN cnt ELSE 0 END AS BIGINT) AS n_rewritten
+    FROM (
+        SELECT CAST(strftime(o_orderdate, '%Y') AS INTEGER) AS order_year,
+               count(*) AS cnt
+        FROM orders GROUP BY 1)
+    """,
+)
+def q_sink_dynamic_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite (the incremental-reload sink
+    semantics): rewriting ONE year's partition replaces only that
+    directory; untouched partitions survive. The rewritten partition
+    carries a marker status; per-year counts must equal the source and
+    the marker must appear ONLY in the rewritten year — which only holds
+    if the other partitions were preserved, not truncated."""
+    o = _t(spark, sf_dir, "orders")
+    path = _scratch("dyn_overwrite", sf_dir)
+    base = o.select(
+        "o_orderkey", "o_orderstatus", F.year("o_orderdate").alias("order_year")
+    )
+    base.write.mode("overwrite").partitionBy("order_year").parquet(f"{path}/t")
+    # rewrite ONLY 1997 with a marker status, dynamic overwrite mode
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            base.filter(F.col("order_year") == 1997)
+            .withColumn("o_orderstatus", F.lit("X"))
+            .write.mode("overwrite")
+            .partitionBy("order_year")
+            .parquet(f"{path}/t")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    back = spark.read.parquet(f"{path}/t")
+    return back.groupBy(F.col("order_year").cast("int").alias("order_year")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum((F.col("o_orderstatus") == "X").cast("long")).alias("n_rewritten"),
+    )
