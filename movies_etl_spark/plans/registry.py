@@ -1716,3 +1716,62 @@ def q_sink_dynamic_partition_overwrite(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"),
         F.sum((F.col("o_orderstatus") == "X").cast("long")).alias("n_rewritten"),
     )
+
+
+@query(
+    "pivot_sum",
+    oracle="""
+    SELECT user_id,
+           round(sum(value) FILTER (WHERE event_type = 'click'), 2) AS val_click,
+           round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS val_purchase,
+           round(sum(value) FILTER (WHERE event_type = 'view'), 2) AS val_view
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_sum(spark, sf_dir):
+    """A2 generalized: pivot with a SUM measure (the reference only
+    pivots counts); absent buckets stay null (no fill)."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.round(F.sum("value"), 2))
+    )
+    return out.select(
+        "user_id",
+        F.col("click").alias("val_click"),
+        F.col("purchase").alias("val_purchase"),
+        F.col("view").alias("val_view"),
+    )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_first_last(spark, sf_dir):
+    """first_value / last_value / nth_value over an unbounded frame with
+    a fully deterministic ordering (partition-wide positional lookups)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
