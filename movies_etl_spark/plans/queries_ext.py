@@ -902,7 +902,7 @@ def q_dedup_cluster_components(spark, sf_dir):
     marked AS (
         SELECT user_id, s,
                CASE WHEN s - lag(s) OVER (PARTITION BY user_id ORDER BY s)
-                         >= INTERVAL 30 MINUTE
+                         > INTERVAL 30 MINUTE
                      OR lag(s) OVER (PARTITION BY user_id ORDER BY s) IS NULL
                     THEN 1 ELSE 0 END AS new_s
         FROM e),
@@ -918,11 +918,11 @@ def q_dedup_cluster_components(spark, sf_dir):
 def q_streaming_session_window(spark, sf_dir):
     """Native `session_window` (the built-in complement to the custom
     applyInPandasWithState sessionizer): 30-minute-gap sessions as a
-    single hash aggregate with session merging — Spark closes a session
-    when the NEXT event is >= gap after the previous (an exactly-gap
-    event still merges... no: session_window half-open [start, last+gap)
-    means an event at exactly +gap starts a NEW session), matching the
-    oracle's `>= INTERVAL 30 MINUTE` break condition."""
+    single hash aggregate with session merging. Boundary semantics
+    (verified empirically at sf0.1 where an exactly-30-minute gap
+    occurs): an event at EXACTLY start+gap still merges — the session
+    break requires a gap STRICTLY greater than the threshold, matching
+    the `> INTERVAL 30 MINUTE` oracle and the stateful sessionizer."""
     from movies_etl_spark.sources import readers
 
     ev = readers.load_table(spark, sf_dir, "events").select(
