@@ -964,10 +964,15 @@ def q_value_counts_array(spark, sf_dir):
 
 
 # ===========================================================================
-# The reference pipeline end-to-end (rows-only checks: its inputs are
-# reference-shaped files, not the pre-registered oracle views; golden
-# value assertions live in tests/test_pipeline_fixture.py)
+# The reference pipeline end-to-end. The composites run on deterministic
+# reference-shaped fixture files (plans/fixtures.py), so their expected
+# output is a constant: the oracles (plans/oracles_golden.py) pin every
+# cell of it, matching the reference output contract (README.md:36-39,
+# challenge.py:235-314). Piecewise assertions of the same golden run live
+# in tests/test_pipeline_fixture.py.
 # ===========================================================================
+
+from movies_etl_spark.plans import oracles_golden as _OG
 
 
 def _pipeline_outputs(spark, sf_dir):
@@ -977,21 +982,24 @@ def _pipeline_outputs(spark, sf_dir):
     return pipeline.run_pipeline(spark, *paths)
 
 
-@query("movies_etl_movies")
+@query("movies_etl_movies", oracle=_OG.MOVIES_ETL_MOVIES_ORACLE)
 def q_movies_etl_movies(spark, sf_dir):
     """Full ETLchallenge-equivalent composition (challenge.py:18-314) on
     reference-shaped fixture inputs → the `movies` table (J1 merge,
-    F15 precedence fills, P6/P8 projection+rename)."""
-    return _pipeline_outputs(spark, sf_dir)["movies"]
+    F15 precedence fills, P6/P8 projection+rename). release_date is
+    cast DATE→TIMESTAMP for the engine-portable compare (NOTES gotcha 7)."""
+    out = _pipeline_outputs(spark, sf_dir)["movies"]
+    return out.withColumn("release_date", F.col("release_date").cast("timestamp"))
 
 
-@query("movies_etl_movies_ratings")
+@query("movies_etl_movies_ratings", oracle=_OG.MOVIES_ETL_MOVIES_RATINGS_ORACLE)
 def q_movies_etl_movies_ratings(spark, sf_dir):
     """Pipeline output 2: `movies_ratings` (A1-A3 pivot block + J2)."""
-    return _pipeline_outputs(spark, sf_dir)["movies_ratings"]
+    out = _pipeline_outputs(spark, sf_dir)["movies_ratings"]
+    return out.withColumn("release_date", F.col("release_date").cast("timestamp"))
 
 
-@query("movies_etl_ratings")
+@query("movies_etl_ratings", oracle=_OG.MOVIES_ETL_RATINGS_ORACLE)
 def q_movies_etl_ratings(spark, sf_dir):
     """Pipeline output 3: typed `ratings` pass-through (F10)."""
     return _pipeline_outputs(spark, sf_dir)["ratings"]
