@@ -55,6 +55,34 @@ def _nullif_empty(c: Column) -> Column:
     return F.nullif(c, F.lit(""))
 
 
+#: group delimiter for single-pass multi-group extraction; cannot collide
+#: with captured content because no capture group in the fused patterns
+#: below can match a control character.
+_GSEP = "\x01"
+
+
+def _extract_groups(c: Column, alternation: str, n_groups: int) -> list[Column]:
+    """Single-pass multi-group extraction: ONE regexp_replace canonicalizes
+    the first match of ``alternation`` into all its capture groups at once,
+    where chained ``regexp_extract(c, pat, i)`` calls would re-run the same
+    pattern over the full string once per group — the dominant cost of the
+    parsing operators at scale (regex time ∝ passes × string length).
+
+    The pattern wraps the alternation as ``^(?:[\\s\\S]*?(?:ALTS))?[\\s\\S]*$``:
+    the optional shell means the replace ALWAYS applies (a no-match row
+    yields all-empty groups → nulls, since Java substitutes '' for a
+    non-participating group reference), ``^``-anchoring guarantees exactly
+    one replacement, and the lazy prefix preserves regexp_extract's
+    leftmost-first match semantics. ``[\\s\\S]`` rather than ``(?s)`` +
+    ``.`` so any ``.`` INSIDE the alternation keeps its default
+    doesn't-match-newline meaning. Returns the n_groups captured columns,
+    '' normalized to null."""
+    pat = rf"^(?:[\s\S]*?(?:{alternation}))?[\s\S]*$"
+    repl = _GSEP.join(f"${i}" for i in range(1, n_groups + 1))
+    parts = F.split(F.regexp_replace(c, pat, repl), _GSEP)
+    return [_nullif_empty(F.element_at(parts, i)) for i in range(1, n_groups + 1)]
+
+
 # ---------------------------------------------------------------------------
 # F1-F4: extraction / cleanup
 # ---------------------------------------------------------------------------
@@ -129,11 +157,43 @@ def parse_dollars(c: Column) -> Column:
     )
 
 
+#: fused F5+F6 alternation: the same two money forms as extract_money, with
+#: the branch-deciding pieces captured — (1) form-one number, (2) form-one
+#: unit letter, (3) form-two digit string. ``(?i)`` is scoped by Java to the
+#: enclosing group _extract_groups wraps the alternation in. Alternation
+#: order (form one first) matches extract_money; leftmost match still wins
+#: across forms, exactly like regexp_extract.
+_MONEY_FUSED = (
+    r"(?i)\$\s*(\d+\.?\d*)\s*([mb])illi?on"
+    r"|\$\s*(\d{1,3}(?:[,\.]\d{3})+)(?!\s[mb]illion)"
+)
+
+
 def parse_money_column(c: Column) -> Column:
     """F3+F5+F6 composed: the reference's full box-office/budget pipeline
     (challenge.py:130-147): join list cells upstream, strip ranges,
-    extract the money expression, convert to a double."""
-    return parse_dollars(extract_money(strip_money_ranges(c)))
+    extract the money expression, convert to a double.
+
+    Single-pass form (VERDICT r1 #4): one range-strip regexp_replace plus
+    ONE fused extraction via :func:`_extract_groups` — where the naive
+    composition ``parse_dollars(extract_money(...))`` costs four more regex
+    passes over the full string (extract + unit-extract + rlike + digit
+    strip). Branch dispatch then happens on the short captured groups:
+    a non-null unit group ⇔ form one matched first (reference's
+    million/billion branches, challenge.py:104-112), a non-null comma
+    group ⇔ form two (challenge.py:113-116). try_cast null-safes the
+    reference's ``float()``-raises quirk on mixed separators like
+    "1.234.567" identically to the composed form (SURVEY §7.3.2)."""
+    g_num, g_unit, g_comma = _extract_groups(strip_money_ranges(c), _MONEY_FUSED, 3)
+    num = g_num.try_cast("double")
+    unit = F.lower(g_unit)
+    plain = F.regexp_replace(g_comma, ",", "").try_cast("double")
+    return (
+        F.when(unit == "m", num * F.lit(1e6))
+        .when(unit == "b", num * F.lit(1e9))
+        .when(g_comma.isNotNull(), plain)
+        .otherwise(F.lit(None).cast("double"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -162,10 +222,38 @@ def to_date_inferred(c: Column) -> Column:
     )
 
 
+#: fused F7+F8 alternation: the same four date shapes in the same priority
+#: order as extract_date_multiform, each wrapped in its own capture group so
+#: the matching FORM is known from which group participated.
+_DATE_FUSED = (
+    f"({DATE_FORM_ONE})|({DATE_FORM_TWO})|({DATE_FORM_THREE})|({DATE_FORM_FOUR})"
+)
+
+
 def parse_date_column(c: Column) -> Column:
     """F7+F8 composed: the reference's release-date pipeline
-    (challenge.py:155-162)."""
-    return to_date_inferred(extract_date_multiform(c))
+    (challenge.py:155-162).
+
+    Single-pass form (VERDICT r1 #4): ONE fused extraction via
+    :func:`_extract_groups` with one capture group per date shape, then a
+    per-form ``try_to_timestamp`` — the matched form is known from which
+    group participated, so each row attempts exactly one format instead of
+    the composed version's up-to-four-format coalesce chain.
+
+    Equivalent to ``to_date_inferred(extract_date_multiform(c))`` because
+    Spark's non-legacy datetime parser rejects trailing text: a string of
+    form k that its own format cannot parse (e.g. "July 39, 1994" — the
+    ``[123]\\d`` day quirk admits invalid days) is not parseable by any
+    OTHER format on the full string either, so the cross-format fallbacks
+    in the coalesce chain never fire across forms (asserted by the
+    equivalence corpus in tests/test_expr_unit.py)."""
+    g1, g2, g3, g4 = _extract_groups(c, _DATE_FUSED, 4)
+    return F.coalesce(
+        F.try_to_timestamp(g1, F.lit("MMMM d, yyyy")).cast("date"),
+        F.try_to_timestamp(g2, F.lit("yyyy-MM-dd")).cast("date"),
+        F.try_to_timestamp(g3, F.lit("MMMM yyyy")).cast("date"),
+        F.try_to_timestamp(g4, F.lit("yyyy")).cast("date"),
+    )
 
 
 def to_date_std(c: Column) -> Column:
@@ -190,6 +278,11 @@ def parse_running_time(c: Column) -> Column:
     hours, bare-minutes). The reference coerces each to numeric, fills NaN
     with 0, then computes ``g1*60 + g2 if g3 == 0 else g3`` row-wise; here
     that is a single native expression."""
+    # Deliberately NOT fused through _extract_groups: measured 2× slower
+    # here (10.9 s vs 5.3 s at sf0.1) — on very short inputs the wrapped
+    # replace+split+element_at machinery costs more than the two extra
+    # find() passes it saves. Fusion pays off only when pattern passes over
+    # LONG strings dominate (parse_money_column, parse_date_column).
     g1 = F.coalesce(
         _nullif_empty(F.regexp_extract(c, RUNNING_TIME_PATTERN, 1)).try_cast("double"),
         F.lit(0.0),

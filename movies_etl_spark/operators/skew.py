@@ -69,7 +69,15 @@ def salted_join_hot_keys(
     hot keys, salt the big side's hot rows, equi-join on (key, salt).
     Kept as the explicit form of what AQE skew-join does adaptively —
     useful when statistics are known ahead of time (e.g. a fixed head-key
-    distribution in a production feed)."""
+    distribution in a production feed).
+
+    The broadcast of ``small_rep`` is intentional and safe: callers pass a
+    genuinely dimension-sized ``small`` side (the contract of a skew JOIN
+    mitigation — the big side salts, the small side replicates), and the
+    replication factor is bounded by ``n_salts`` (default 16), so the
+    broadcast payload is |small| × n_salts rows, still dimension-scale.
+    Contrast flagship_user_activity, where an unbounded-cardinality
+    aggregate must NOT be broadcast."""
     hot = F.array(*[F.lit(k) for k in hot_keys])
     big_salted = big.withColumn(
         "__salt__",

@@ -58,8 +58,15 @@ def flagship_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").alias("total_value"),
     )
 
+    # No broadcast hint on per_user: it has one row per distinct user —
+    # the same cardinality class as `customer` — so forcing a broadcast
+    # would OOM the driver at 100× scale. Both sides are keyed on the
+    # join column (per_user is already hash-partitioned on user_id by its
+    # aggregation), so the worst case is one extra exchange of the
+    # dimension side; at test scale AQE observes the sub-threshold
+    # aggregate size at runtime and converts to a broadcast join itself.
     joined = cust.join(
-        F.broadcast(per_user), cust["c_custkey"] == per_user["user_id"], "left"
+        per_user, cust["c_custkey"] == per_user["user_id"], "left"
     ).drop("user_id")
     return joined.select(
         "c_custkey",

@@ -76,7 +76,7 @@ def q_strip_citations(spark, sf_dir):
            CASE o_orderkey % 5
              WHEN 0 THEN round(o_totalprice / 1000, 1) * 1e6
              WHEN 1 THEN round(o_totalprice / 100000, 2) * 1e9
-             WHEN 2 THEN CAST(CAST(round(o_totalprice) AS BIGINT) AS DOUBLE)
+             WHEN 2 THEN CAST(CAST(round(o_totalprice) AS BIGINT) + 1000 AS DOUBLE)
              WHEN 3 THEN round(o_totalprice / 1000, 1) * 1e6
              ELSE NULL
            END AS amount
@@ -90,7 +90,9 @@ def q_parse_money(spark, sf_dir):
 
       0: "$X million"            → X*1e6
       1: "$X billion"            → X*1e9
-      2: "$#,###,###"            → plain float
+      2: "$#,###,###"            → plain float (amount forced ≥1000: money
+         form two REQUIRES a thousands separator, so a sub-1000 synth
+         would correctly parse to null and diverge from the oracle)
       3: "$A–$B million" (range) → upper bound B*1e6 (F3 strips "$A–")
       4: "N/A"                   → null
     """
@@ -98,7 +100,7 @@ def q_parse_money(spark, sf_dir):
     mod = F.col("o_orderkey") % 5
     mil = F.round(F.col("o_totalprice") / 1000, 1)
     bil = F.round(F.col("o_totalprice") / 100000, 2)
-    whole = F.round(F.col("o_totalprice")).cast("bigint")
+    whole = F.round(F.col("o_totalprice")).cast("bigint") + 1000
     lower = F.round(F.col("o_totalprice") / 2000, 1)
     s = (
         F.when(mod == 0, F.concat(F.lit("$"), mil.cast("string"), F.lit(" million")))

@@ -72,6 +72,16 @@ DATE_CASES = [
     ("released July 11, 1990 in the US", "1990-07-11"),
     ("no date here", None),
     (None, None),
+    # Fused-extraction equivalence corpus (see parse_date_column): a form-k
+    # match that format k cannot parse must yield null exactly as the
+    # composed 4-format coalesce chain did — the strict-trailing parser
+    # means no OTHER format can rescue the full match either.
+    ("July 39, 1994", None),          # [123]\d quirk admits invalid day 39
+    ("1990/07/11", None),             # form two any-separator, not ISO
+    ("1990.07.11", None),             # ditto (dot separator)
+    ("1990-19-11", None),             # [01]\d admits invalid month 19
+    ("seen 1990-07-11 then July 12, 1991", "1990-07-11"),  # leftmost wins
+    ("July 1990 and 1990-07-11", "1990-07-01"),            # ditto
 ]
 
 

@@ -38,13 +38,23 @@ def _exchanges(plan: str) -> int:
     return _nodes(plan, "Exchange")
 
 
-def test_flagship_single_shuffle_broadcast_joins(spark, sf_dir):
+def test_flagship_no_forced_broadcast_aqe_converts(spark, sf_dir):
+    """The per-user aggregate has unbounded cardinality (one row per
+    distinct user), so the plan must NOT force a broadcast of it; at test
+    scale AQE observes the sub-threshold runtime size and converts the
+    shuffle join to a broadcast join itself."""
+    df = QUERIES["flagship_user_activity"](spark, sf_dir)
     plan = _plan(spark, sf_dir, "flagship_user_activity")
-    assert _exchanges(plan) == 1, "flagship must shuffle the fact table once"
-    assert _nodes(plan, "BroadcastHashJoin") == 1, "dimension join must broadcast"
-    assert "SortMergeJoin" not in plan
+    # static plan: fact-table shuffle for the aggregate + at most one
+    # exchange for the dimension side of the join — never more
+    assert 1 <= _exchanges(plan) <= 2, "flagship must shuffle at most twice"
     # events scanned once (the path appears once per scan's Location line)
     assert plan.count("events.parquet") == 1, "fact table must scan once"
+    # final adaptive plan: AQE converted the join to broadcast at this SF
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final, "AQE should broadcast at test SF"
+    assert "SortMergeJoin" not in final
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
