@@ -221,3 +221,53 @@ def q_strip_money_ranges(spark, sf_dir):
     return o.select(
         "o_orderkey", E.strip_money_ranges(ranged).alias("cleaned")
     )
+
+
+@query(
+    "validated_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice) AS BIGINT) AS price_ok
+    FROM orders
+    """,
+)
+def q_validated_cast(spark, sf_dir):
+    """§2.8 validate-then-commit fault tolerance, driver-visible
+    (reference: the try/except column-drop wrappers at challenge.py:129-230).
+
+    Three synthesized columns exercise all three outcomes of
+    :func:`movies_etl_spark.operators.normalize.validated_cast_many` in
+    ONE validation pass:
+
+    - ``price_ok``      — every row parses     → survives, typed
+    - ``price_corrupt`` — "N/A" on key%97 rows → ``fail_when='any'`` drops
+    - ``date_dead``     — digit-free garbage   → ``fail_when='all'`` drops
+
+    The survivor schema is deterministic, so the oracle states it
+    directly: the key plus the typed ``price_ok``."""
+    from movies_etl_spark.operators.normalize import validated_cast_many
+
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    num = F.round(F.col("o_totalprice")).cast("bigint").cast("string")
+    corrupt = F.when(key % 97 == 0, F.lit("N/A")).otherwise(num)
+    # digit-free so no substring can satisfy even the bare-year date form
+    dead = F.concat(
+        F.lit("tba-"),
+        F.translate(key.cast("string"), "0123456789", "abcdefghij"),
+    )
+    staged = o.select(
+        key.alias("o_orderkey"),
+        num.alias("price_ok"),
+        corrupt.alias("price_corrupt"),
+        dead.alias("date_dead"),
+    )
+    out, _stats = validated_cast_many(
+        staged,
+        {
+            "price_ok": (F.col("price_ok").try_cast("bigint"), "any"),
+            "price_corrupt": (F.col("price_corrupt").try_cast("bigint"), "any"),
+            "date_dead": (E.parse_date_column(F.col("date_dead")), "all"),
+        },
+    )
+    return out
