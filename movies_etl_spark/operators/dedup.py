@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from movies_etl_spark.operators.caching import tracked_persist
 from movies_etl_spark.operators.text import token_hash, tokens
 
 # MinHash configuration: 8 hashes, 4 bands × 2 rows.
@@ -155,7 +156,7 @@ def candidate_pairs_minhash(sh_df: DataFrame, id_col: str) -> DataFrame:
     reuse the shingles. The exploded band table is persisted here because
     the self-join consumes it twice (Spark would otherwise execute the
     signature computation once per side)."""
-    ex = with_minhash_bands(sh_df, id_col).persist()
+    ex = tracked_persist(with_minhash_bands(sh_df, id_col))
     a = ex.select(
         F.col(id_col).alias("id_a"), "band_id", "band_key"
     )
@@ -299,7 +300,11 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
                 ).alias("component"),
             )
-        ).persist()
+        )
+        # tracked so the FINAL round's labels (returned persisted, consumed
+        # by the caller's action) are released when the next query builds;
+        # intermediate rounds are still unpersisted eagerly below.
+        new_labels = tracked_persist(new_labels)
         changed = (
             new_labels.join(labels.withColumnRenamed("component", "old"), "node")
             .filter(F.col("component") != F.col("old"))

@@ -150,6 +150,11 @@ def null_ratio_prune(
         for c in df.columns
         if c in keep_always or (row.get(c, 0) / total) < threshold
     ]
+    if not keep:
+        # Parity with the reference's guarded edge (challenge.py:95-97):
+        # when EVERY column exceeds the threshold it leaves the frame
+        # unchanged (warn-and-continue) rather than projecting to nothing.
+        return df
     return df.select(*[F.col(f"`{c}`") for c in keep])
 
 

@@ -154,9 +154,10 @@ def topk_bruteforce_vectorized(
     numpy's pairwise summation rounds differently than a sequential
     fold (driver records a rows-only check for this one).
 
-    Per-partition local top-k → global top-k: only k rows per partition
-    per query reach the final window, so the shuffle is O(k·queries·
-    partitions), independent of corpus size."""
+    Per-partition local top-k → global top-k: only k rows (plus any ties
+    at the k-th boundary) per partition per query reach the final window,
+    so the shuffle is O(k·queries·partitions), independent of corpus
+    size."""
     import numpy as np
     import pandas as pd
 
@@ -167,26 +168,41 @@ def topk_bruteforce_vectorized(
 
     def score(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             ids = pdf[id_col].to_numpy()
             c = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             c /= np.linalg.norm(c, axis=1, keepdims=True)
             sims = c @ q_mat.T  # (batch, n_queries)
             out = []
             for qi, qid in enumerate(q_ids):
-                col = sims[:, qi]
+                # round BEFORE selecting so the local cut agrees with the
+                # global window's ordering (which sees rounded sims)
+                col = np.round(sims[:, qi], 6)
                 mask = ids != qid
-                take = min(k, int(mask.sum()))
-                idx = np.argpartition(-col[mask], take - 1)[:take]
+                m_ids, m_sims = ids[mask], col[mask]
+                take = min(k, m_ids.size)
+                if take == 0:
+                    # batch held only the query row itself — nothing to
+                    # emit (argpartition(kth=-1) on empty would raise)
+                    continue
+                # keep k PLUS any ties at the k-th boundary: the final
+                # window resolves ties by (sim desc, neighbor_id asc), so
+                # a raw top-k cut here could drop the exact neighbor the
+                # deterministic fold-based twin keeps
+                kth = -np.partition(-m_sims, take - 1)[take - 1]
+                cand = np.flatnonzero(m_sims >= kth)
                 out.append(
                     pd.DataFrame(
                         {
                             "query_id": qid,
-                            "neighbor_id": ids[mask][idx],
-                            "sim": np.round(col[mask][idx], 6),
+                            "neighbor_id": m_ids[cand],
+                            "sim": m_sims[cand],
                         }
                     )
                 )
-            yield pd.concat(out, ignore_index=True)
+            if out:
+                yield pd.concat(out, ignore_index=True)
 
     local = corpus.select(id_col, vec_col).mapInPandas(
         score, "query_id bigint, neighbor_id bigint, sim double"

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from movies_etl_spark.operators import caching
 from movies_etl_spark.operators import dedup as D
 from movies_etl_spark.operators import multimodal as MM
 from movies_etl_spark.operators import similarity as SIM
@@ -266,7 +267,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     (checkpointed table at 100 TB) because banding and verification both
     consume it."""
     corpus = _near_corpus(spark, sf_dir)
-    sh_all = D.shingled(corpus, "text", "doc_id").persist()
+    sh_all = caching.tracked_persist(D.shingled(corpus, "text", "doc_id"))
     pairs = D.candidate_pairs_minhash(sh_all, "doc_id")
     sh = sh_all.filter(F.size("shingles") > 0)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
@@ -605,7 +606,8 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     corpus = _near_corpus(spark, sf_dir)
     simh = corpus.select(
         "doc_id", D.simhash16(TX.tokens(F.col("text"))).alias("simhash")
-    ).persist()
+    )
+    simh = caching.tracked_persist(simh)
     # explode into nibble bands
     bands = simh.select(
         "doc_id",
@@ -881,7 +883,7 @@ def q_dedup_cluster_components(spark, sf_dir):
     uses iterative min-label propagation (one label-table shuffle per
     round, 2-3 rounds at near-dup diameters)."""
     corpus = _near_corpus(spark, sf_dir)
-    sh_all = D.shingled(corpus, "text", "doc_id").persist()
+    sh_all = caching.tracked_persist(D.shingled(corpus, "text", "doc_id"))
     pairs = D.candidate_pairs_minhash(sh_all, "doc_id")
     sh = sh_all.filter(F.size("shingles") > 0)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from movies_etl_spark.functions import expr as E
+from movies_etl_spark.operators import caching
 from movies_etl_spark.operators import normalize as N
 from movies_etl_spark.operators import ratings as R
 from movies_etl_spark.operators import relational as REL
@@ -49,6 +50,10 @@ def query(name: str, oracle: str | None = None):
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             pin_session_conf(spark)
+            # the PREVIOUS query's action has completed by the time the
+            # driver builds the next one — release its tracked caches so
+            # cached blocks don't accumulate over a 100+-query session
+            caching.release_tracked()
             return fn(spark, sf_dir)
 
         QUERIES[name] = wrapped
@@ -1674,7 +1679,7 @@ def q_scan_csv_permissive(spark, sf_dir):
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(f"{path}/csv")
     )
-    df = df.cache()  # one scan serves both counts; also required for
+    df = caching.tracked_persist(df)  # one scan serves both counts; also required for
     # _corrupt_record visibility (Spark disallows filtering on it alone
     # from a lazy raw scan)
     return df.agg(

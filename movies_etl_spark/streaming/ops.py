@@ -17,6 +17,7 @@ Spark docs pattern. Results are deterministic on the bounded test data.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import uuid
 
@@ -32,23 +33,36 @@ EVENTS_STREAM_SCHEMA = (
 SESSION_GAP_MINUTES = 30
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table with the ns→µs timestamp
-    normalization applied (same contract as the batch loader).
+def _stream_source_dir(sf_dir: str) -> str:
+    """Scratch directory exposing ``<sf_dir>/events.parquet`` as a
+    one-file directory (Spark's file stream source requires a directory;
+    in production the source is already a directory of arriving files).
 
-    Spark's file stream source requires a DIRECTORY; the single test
-    parquet is exposed through a symlink in a scratch dir (in production
-    the source is already a directory of arriving files)."""
-    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    stream_dir = f"/tmp/movies_etl_scratch/stream-src-{sf_tag}"
+    Keyed by a digest of the FULL resolved sf_dir — not its basename — so
+    two datasets that share a basename (e.g. an override pointing at a
+    different tree) can never alias each other's scratch. The symlink is
+    recreated atomically on every call (temp name + os.replace), which
+    also self-heals a dangling leftover link, where a bare
+    ``os.path.exists`` check would see False and ``os.symlink`` would then
+    raise FileExistsError."""
+    resolved = os.path.realpath(sf_dir)
+    key = hashlib.sha1(resolved.encode()).hexdigest()[:12]
+    stream_dir = f"/tmp/movies_etl_scratch/stream-src-{key}"
     os.makedirs(stream_dir, exist_ok=True)
     link = f"{stream_dir}/events.parquet"
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    tmp = f"{link}.{os.getpid()}.{uuid.uuid4().hex[:6]}.tmp"
+    os.symlink(f"{resolved}/events.parquet", tmp)
+    os.replace(tmp, link)
+    return stream_dir
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table with the ns→µs timestamp
+    normalization applied (same contract as the batch loader)."""
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .format("parquet")
-        .load(stream_dir)
+        .load(_stream_source_dir(sf_dir))
     )
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
@@ -155,13 +169,11 @@ def windowed_counts_watermarked(
     ev = events_stream(spark, sf_dir)
     if max_files_per_trigger:
         # re-read with the trigger cap (option lives on the reader)
-        sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-        stream_dir = f"/tmp/movies_etl_scratch/stream-src-{sf_tag}"
         raw = (
             spark.readStream.schema(EVENTS_STREAM_SCHEMA)
             .option("maxFilesPerTrigger", str(max_files_per_trigger))
             .format("parquet")
-            .load(stream_dir)
+            .load(_stream_source_dir(sf_dir))
         )
         ev = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     agg = (

@@ -203,3 +203,15 @@ def test_validated_cast_staged_single_pass(spark, tmp_path):
     final = apply_validation(spark.read.parquet(stage_path), specs, metrics)
     assert "bad" not in final.columns
     assert sorted(r["good"] for r in final.collect()) == [1, 2]
+
+
+def test_null_ratio_prune_keeps_frame_when_all_pruned(spark):
+    """ADVICE r1 parity fix: every column over the threshold → frame
+    returned unchanged (challenge.py:95-97 warns and keeps), never a
+    zero-column projection."""
+    from movies_etl_spark.operators.normalize import null_ratio_prune
+
+    df = spark.createDataFrame([(None, None), (None, None)], "a string, b string")
+    out = null_ratio_prune(df, threshold=0.5)
+    assert out.columns == ["a", "b"]
+    assert out.count() == 2

@@ -58,3 +58,25 @@ def test_lakehouse_gated(spark):
     df = spark.range(1)
     with pytest.raises(LakehouseUnavailableError):
         write_delta(df, "/tmp/never")
+
+
+def test_stream_source_dir_self_heals_and_keys_by_full_path(tmp_path):
+    """ADVICE r1: the scratch dir must key on the RESOLVED sf_dir (two
+    datasets sharing a basename must not alias), and a dangling leftover
+    symlink must be replaced, not raise FileExistsError."""
+    import os
+
+    from movies_etl_spark.streaming.ops import _stream_source_dir
+
+    a = tmp_path / "x" / "sf0.001"
+    b = tmp_path / "y" / "sf0.001"
+    for d in (a, b):
+        d.mkdir(parents=True)
+        (d / "events.parquet").write_bytes(b"")
+    da, db = _stream_source_dir(str(a)), _stream_source_dir(str(b))
+    assert da != db, "same-basename datasets must not share scratch"
+    assert os.readlink(f"{da}/events.parquet").startswith(str(tmp_path))
+    # dangling leftover: point the link at something then delete the target
+    (a / "events.parquet").unlink()
+    da2 = _stream_source_dir(str(a))  # must not raise despite dangling link
+    assert da2 == da
