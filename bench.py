@@ -47,6 +47,15 @@ HEADLINE = [
     "text_quality_score",
     "doc_fingerprint",
     "multimodal_extract",
+    # end-to-end curation chain: the operators a real 100 TB training-data
+    # run composes (near-dup clustering -> survivor selection -> filter).
+    "dedup_cluster_components",
+    "training_data_filter",
+    # sessionization twins: custom applyInPandasWithState vs the native
+    # session_window production path — benched side by side so the cost
+    # gap between them stays on record (see SCALE.md "Streaming").
+    "streaming_sessionize",
+    "streaming_session_window",
 ]
 
 
