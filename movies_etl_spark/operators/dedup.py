@@ -277,9 +277,14 @@ def connected_components(
     round is one shuffle of the label table.
 
     Returns (node, component)."""
+    # The edge list is scanned once per round; its lineage is typically the
+    # expensive candidate-verify join (LSH band join + Jaccard over shingle
+    # arrays), so persist the bidirectional table for the loop's duration —
+    # otherwise every round re-executes the whole near-dup pipeline. At
+    # 100 TB this is a checkpointed edges table for the same reason.
     both = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))).persist()
     labels = (
         both.select(F.col("u").alias("node"))
         .distinct()
@@ -293,30 +298,38 @@ def connected_components(
             .agg(F.min("component").alias("nbr_comp"))
         )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            labels.withColumnRenamed("component", "_old")
+            .join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+                    F.col("_old"), F.coalesce(F.col("nbr_comp"), F.col("_old"))
                 ).alias("component"),
+                F.col("_old"),
             )
         )
         # tracked so the FINAL round's labels (returned persisted, consumed
         # by the caller's action) are released when the next query builds;
         # intermediate rounds are still unpersisted eagerly below.
         new_labels = tracked_persist(new_labels)
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
-            .filter(F.col("component") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        # new_labels is materialized by the count above → the previous
+        # One action per round: the aggregate both materializes the cache
+        # and answers convergence (min-label propagation is monotone, so
+        # counting component < _old is exact). The old two-job shape — a
+        # count to materialize plus a self-join to detect change — paid a
+        # full extra job of stage-scheduling overhead every round.
+        changed = new_labels.agg(
+            F.sum((F.col("component") < F.col("_old")).cast("long")).alias("c")
+        ).collect()[0]["c"]
+        # new_labels is materialized by the aggregate above → the previous
         # round's cache is safe to drop (bounded memory over iterations)
         if prev_persisted is not None:
             prev_persisted.unpersist()
         prev_persisted = new_labels
-        labels = new_labels
+        # next round reads the cached frame through a 2-column projection
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
-    return labels
+    # final labels are materialized (by the last round's aggregate), so
+    # the edge cache can be released before returning
+    both.unpersist()
+    return labels.select("node", "component")
