@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from movies_etl_spark.plans import flagship, registry  # noqa: E402,F401
+from movies_etl_spark.plans import queries_curation  # noqa: E402,F401
 from movies_etl_spark.plans import queries_expr  # noqa: E402,F401
 from movies_etl_spark.plans import queries_ext  # noqa: E402,F401
 

@@ -1,0 +1,405 @@
+"""Training-data curation queries (north star, round-2 additions):
+corpus splitting, quota sampling, benchmark decontamination, repetition
+quality signals, PII redaction, embedding quantization, batch
+sessionization, and bucketed (exchange-free) joins.
+
+Oracle strategy matches queries_ext.py: md5-only hashing, identical
+arithmetic on both engines, floor(+0.5) instead of round() where a half
+case could tie-break differently, and every float that feeds a threshold
+rounded to 4 places first.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from movies_etl_spark.operators import curation as C
+from movies_etl_spark.plans.registry import _t, query
+
+# ===========================================================================
+# Quality signals / filtering
+# ===========================================================================
+
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (
+        SELECT doc_id, tk,
+               CASE WHEN len(tk) >= 2
+                    THEN list_transform(generate_series(1, len(tk) - 1),
+                                        i -> tk[i] || ' ' || tk[i + 1])
+                    ELSE [] END AS g2
+        FROM t)
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CASE WHEN len(tk) > 0
+                THEN round(1.0 - CAST(len(list_distinct(tk)) AS DOUBLE)
+                           / CAST(len(tk) AS DOUBLE), 4)
+                ELSE 0.0 END AS dup_token_frac,
+           CASE WHEN len(g2) > 0
+                THEN round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                           / CAST(len(g2) AS DOUBLE), 4)
+                ELSE 0.0 END AS dup_2gram_frac
+    FROM g
+    """,
+)
+def q_text_repetition_ratio(spark, sf_dir):
+    """Gopher-style repetition signals: fraction of duplicate tokens and
+    duplicate word-2-grams per document — the standard cheap filter for
+    boilerplate/spam in web-scale corpora (Rae et al. 2021 §A1.1).
+
+    Pure map over the scan (array expressions, zero shuffles, zero
+    Python): at 100 TB this runs at ingest speed alongside the other
+    text.py signals."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    g2 = C.word_ngrams(toks, 2)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        C.duplicate_fraction(toks).alias("dup_token_frac"),
+        C.duplicate_fraction(g2).alias("dup_2gram_frac"),
+    )
+
+
+@query(
+    "decontaminate_ngram",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) >= 5
+                    THEN list_transform(generate_series(1, len(tk) - 4),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                              || ' ' || tk[i+3] || ' ' || tk[i+4])
+                    ELSE [] END AS gr
+        FROM t),
+    ev AS (SELECT DISTINCT unnest(gr) AS ng FROM g WHERE doc_id % 97 = 0),
+    bad AS (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_id, unnest(gr) AS ng FROM g WHERE doc_id % 97 <> 0) x
+        JOIN ev USING (ng))
+    SELECT doc_id, lang FROM t
+    WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def q_decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination: drop training documents sharing any
+    word-5-gram with the held-out evaluation set (docs with
+    doc_id % 97 == 0 stand in for the benchmark corpus).
+
+    Scale shape: the eval n-gram set is tiny relative to the corpus →
+    build it once, BROADCAST it, and semi-join the exploded corpus grams
+    against it (map-side, no corpus shuffle); only the contaminated
+    doc-id set (small) shuffles for the distinct + anti-join. The corpus
+    is never self-joined. This is the standard n-gram-overlap
+    decontamination step (GPT-3 appendix C / PaLM §6)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = C.word_ngrams(toks, 5)
+    with_grams = d.select("doc_id", "lang", grams.alias("gr"))
+    ev = (
+        with_grams.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("gr").alias("ng"))
+        .distinct()
+    )
+    corpus = with_grams.filter(F.col("doc_id") % 97 != 0)
+    contaminated = (
+        corpus.select("doc_id", F.explode("gr").alias("ng"))
+        .join(F.broadcast(ev), "ng", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return corpus.join(contaminated, "doc_id", "left_anti").select("doc_id", "lang")
+
+
+@query(
+    "pii_redact",
+    oracle=r"""
+    WITH s AS (
+        SELECT doc_id,
+               text || CASE doc_id % 3
+                 WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com now'
+                 WHEN 1 THEN ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                             || ' today'
+                 ELSE '' END AS raw
+        FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(raw, '[a-z0-9]+@[a-z]+\.[a-z]+',
+                                         '[EMAIL]', 'g'),
+                          '\d{3}-\d{4}', '[PHONE]', 'g') AS clean,
+           CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+\.[a-z]+'))
+                + len(regexp_extract_all(raw, '\d{3}-\d{4}')) AS BIGINT) AS n_pii
+    FROM s
+    """,
+)
+def q_pii_redact(spark, sf_dir):
+    """PII redaction: replace emails/phone numbers with typed placeholder
+    tokens and count the spans removed. The corpus has no natural PII, so
+    deterministic spans are synthesized per doc_id (same construction on
+    both engines). Patterns are a Java-regex/RE2 common subset (no
+    lookaround) so oracle semantics match exactly.
+
+    Pure codegen map (regexp_replace/regexp_count) — scan-speed at
+    100 TB, same class as the reference's citation-strip F4."""
+    d = _t(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 3
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            mod == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            mod == 1,
+            F.concat(
+                F.lit(" call 555-"),
+                (1000 + F.col("doc_id") % 9000).cast("string"),
+                F.lit(" today"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        C.redact_pii(raw).alias("clean"),
+        C.pii_count(raw).alias("n_pii"),
+    )
+
+
+# ===========================================================================
+# Splitting / sampling
+# ===========================================================================
+
+
+@query(
+    "train_test_split",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                     AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                     AS BIGINT) % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_train_test_split(spark, sf_dir):
+    """Deterministic 80/10/10 corpus split by key hash. Unlike rand()
+    sampling, membership is a pure function of the key: stable across
+    engines, retries, re-runs, and incremental appends — a new batch of
+    documents lands in the same splits without touching old rows (the
+    property that matters for a 100 TB corpus that grows daily).
+    Map-only: no shuffle, no state."""
+    d = _t(spark, sf_dir, "documents")
+    b = C.hash_bucket(F.col("doc_id"), 100)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test").alias("split"),
+    )
+
+
+@query(
+    "group_quota_sample",
+    oracle="""
+    SELECT doc_id, lang, rn FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rn
+        FROM documents) t
+    WHERE rn <= 50
+    """,
+)
+def q_group_quota_sample(spark, sf_dir):
+    """Per-group quota sampling: at most K=50 documents per language,
+    chosen by deterministic hash order — the language-balancing step of a
+    multilingual corpus (cap the head languages, keep the tail whole).
+
+    One shuffle on the group key. At 100 TB with skewed groups the same
+    plan applies with a two-stage cap (per-partition pre-limit, then the
+    window) — the per-partition pre-cap is exactly what topk_per_group's
+    scale note describes; reused here by construction since row_number
+    over hash order IS a top-k per group."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        C.hash_order(F.col("doc_id")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 50)
+    )
+
+
+# ===========================================================================
+# Embedding quantization
+# ===========================================================================
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        FROM embeddings),
+    s AS (
+        SELECT vec_id, vd,
+               list_max(list_transform(vd, x -> abs(x))) / 127.0 AS scale
+        FROM v)
+    SELECT vec_id,
+           round(scale, 4) AS scale_r,
+           CASE WHEN scale = 0 THEN
+                    array_to_string(list_transform(vd, x -> 0), ',')
+                ELSE
+                    array_to_string(list_transform(vd,
+                        x -> CAST(floor(x / scale + 0.5) AS INT)), ',')
+           END AS q_str
+    FROM s
+    """,
+)
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization per embedding vector (scale =
+    max|v|/127): 4x memory reduction for the ANN corpus — the standard
+    storage format for billion-vector indexes. Map-only array
+    expressions; quantized levels use floor(+0.5), which is defined
+    identically on every engine (round()'s half-case is not), so the
+    oracle reproduces the exact integers. Output levels are serialized to
+    a CSV string so the driver's value hash sees a scalar column."""
+    e = _t(spark, sf_dir, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = C.int8_scale(vd)
+    q = C.int8_quantize(vd, scale)
+    return e.select(
+        "vec_id",
+        F.round(scale, 4).alias("scale_r"),
+        F.array_join(q.cast("array<string>"), ",").alias("q_str"),
+    )
+
+
+# ===========================================================================
+# Batch sessionization (gaps-and-islands twin of session_window)
+# ===========================================================================
+
+
+@query(
+    "sessionize_batch",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS s
+               FROM events),
+    marked AS (
+        SELECT user_id, s,
+               CASE WHEN s - lag(s) OVER (PARTITION BY user_id ORDER BY s)
+                         > INTERVAL 30 MINUTE
+                     OR lag(s) OVER (PARTITION BY user_id ORDER BY s) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e),
+    grp AS (
+        SELECT user_id, s,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY s
+                                ROWS UNBOUNDED PRECEDING) AS g
+        FROM marked)
+    SELECT user_id, min(s) AS session_start, max(s) AS session_end,
+           count(*) AS n_events,
+           CAST(date_diff('second', min(s), max(s)) AS BIGINT) AS duration_sec
+    FROM grp GROUP BY user_id, g
+    """,
+)
+def q_sessionize_batch(spark, sf_dir):
+    """Batch sessionization via gaps-and-islands window functions (lag →
+    new-session flag → running sum → group), the third sessionizer twin
+    (vs native session_window and the applyInPandasWithState stateful
+    op). This is the formulation for HISTORICAL re-sessionization of a
+    100 TB event archive, where no streaming state is wanted: both
+    windows and the final groupBy share the user_id partitioning, so the
+    fact table shuffles exactly once. Same-second ties are safe: tied
+    rows have gap 0, so session assignment is order-independent."""
+    from movies_etl_spark.sources import readers
+
+    ev = readers.load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("second", F.col("ts")).alias("s")
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("s")
+    marked = ev.select(
+        "user_id",
+        "s",
+        F.when(
+            (F.col("s").cast("long") - F.lag("s").over(w_lag).cast("long") > 1800)
+            | F.lag("s").over(w_lag).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = marked.select("user_id", "s", F.sum("new_s").over(w_run).alias("g"))
+    return grp.groupBy("user_id", "g").agg(
+        F.min("s").alias("session_start"),
+        F.max("s").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("s").cast("long") - F.min("s").cast("long")).alias("duration_sec"),
+    ).drop("g")
+
+
+# ===========================================================================
+# Bucketed (exchange-free) join
+# ===========================================================================
+
+
+@query(
+    "bucketed_join",
+    oracle="""
+    SELECT c_custkey, c_name, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spent
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q_bucketed_join(spark, sf_dir):
+    """Co-located join via bucketed tables: both sides are written
+    bucketed (8 buckets) and sorted on the join key, so the sort-merge
+    join — and the groupBy on the same key after it — run with ZERO
+    exchanges and zero sorts (asserted in tests/test_plan_shapes.py).
+
+    This is THE pattern for repeatedly-joined 100 TB fact tables: pay the
+    key shuffle once at write time, then every downstream join/agg on
+    that key is shuffle-free. Tables land under the scratch dir via an
+    explicit path (in-memory catalog, no metastore dependency); the
+    merge hint pins SMJ so the demonstration doesn't degrade to a
+    broadcast join at test scale."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = f"/tmp/movies_etl_scratch/{os.getpid()}/bucketed-{sf_tag}"
+    t_o, t_c = f"bkt_orders_{sf_tag}", f"bkt_customer_{sf_tag}"
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    for name, df, key in ((t_o, o, "o_custkey"), (t_c, c, "c_custkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.format("parquet")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{base}/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    ob, cb = spark.table(t_o), spark.table(t_c)
+    j = cb.hint("merge").join(ob, cb["c_custkey"] == ob["o_custkey"])
+    return j.groupBy("c_custkey", "c_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+    )

@@ -96,3 +96,36 @@ def test_similarity_topk_broadcasts_queries(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # corpus scanned once per side at most; no corpus self-shuffle join
     assert "SortMergeJoin" not in plan
+
+
+def test_curation_map_queries_have_no_shuffle(spark, sf_dir):
+    for name in ["text_repetition_ratio", "train_test_split", "pii_redact",
+                 "embedding_quantize"]:
+        plan = _plan(spark, sf_dir, name)
+        assert _exchanges(plan) == 0, f"{name} is a pure map — no shuffle"
+
+
+def test_sessionize_batch_single_shuffle(spark, sf_dir):
+    """Both windows and the final groupBy share the user_id partitioning:
+    the fact table must shuffle exactly once."""
+    plan = _plan(spark, sf_dir, "sessionize_batch")
+    assert _exchanges(plan) == 1, plan
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """Bucketed+sorted tables on the join key: the SMJ and the follow-up
+    groupBy on the same key must introduce NO exchange and NO sort."""
+    df = QUERIES["bucketed_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert _exchanges(plan) == 0, plan
+    assert "SortMergeJoin" in plan, "merge hint must pin SMJ"
+    assert _nodes(plan, "Sort") == 0, "bucket sortBy must satisfy SMJ ordering"
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval n-gram set must broadcast: the corpus-side semi-join runs
+    map-side, never shuffling the exploded corpus grams."""
+    plan = _plan(spark, sf_dir, "decontaminate_ngram")
+    assert "BroadcastHashJoin" in plan
