@@ -230,9 +230,10 @@ def cosine_pairs_vectorized(
     """Numpy fast path for within-block cosine near-dup pairs: each block
     is scored with ONE BLAS gram matrix (applyInPandas per block) instead
     of per-pair folds. Same blocking discipline — pairwise work never
-    leaves a block. Rows-only driver check (BLAS summation order differs
-    from the fold in the last ulp); pair-set equality with the fold twin
-    is asserted in tests."""
+    leaves a block. Output sims are rounded to 4 places (threshold on 6),
+    which absorbs the fold-vs-BLAS last-ulp difference, so the fold
+    twin's oracle gates this one too; pair-set equality with the fold
+    twin is additionally asserted in tests."""
     import numpy as np
     import pandas as pd
 
@@ -317,8 +318,13 @@ def connected_components(
         # counting component < _old is exact). The old two-job shape — a
         # count to materialize plus a self-join to detect change — paid a
         # full extra job of stage-scheduling overhead every round.
+        # coalesce: F.sum over an EMPTY labels frame (no edges) is NULL —
+        # without it `changed == 0` never holds and the loop runs max_iter
         changed = new_labels.agg(
-            F.sum((F.col("component") < F.col("_old")).cast("long")).alias("c")
+            F.coalesce(
+                F.sum((F.col("component") < F.col("_old")).cast("long")),
+                F.lit(0),
+            ).alias("c")
         ).collect()[0]["c"]
         # new_labels is materialized by the aggregate above → the previous
         # round's cache is safe to drop (bounded memory over iterations)

@@ -150,9 +150,10 @@ def topk_bruteforce_vectorized(
     The query matrix (small) is captured in the UDF closure and each
     Arrow batch of corpus vectors is scored with one BLAS matmul —
     orders of magnitude faster per row than the fold-based `cosine`.
-    Kept SEPARATE from the oracle-gated fold implementation because
-    numpy's pairwise summation rounds differently than a sequential
-    fold (driver records a rows-only check for this one).
+    Kept SEPARATE from the fold implementation as its performance twin;
+    since sims are rounded to 6 places before ranking, numpy's pairwise
+    summation agrees with the sequential fold post-rounding and the
+    same SQL oracle gates both.
 
     Per-partition local top-k → global top-k: only k rows (plus any ties
     at the k-th boundary) per partition per query reach the final window,

@@ -372,23 +372,31 @@ def q_sessionize_batch(spark, sf_dir):
 )
 def q_bucketed_join(spark, sf_dir):
     """Co-located join via bucketed tables: both sides are written
-    bucketed (8 buckets) and sorted on the join key, so the sort-merge
-    join — and the groupBy on the same key after it — run with ZERO
-    exchanges and zero sorts (asserted in tests/test_plan_shapes.py).
+    bucketed (8 buckets) on the join key, so the sort-merge join — and
+    the groupBy on the same key after it — run with ZERO exchanges
+    (asserted in tests/test_plan_shapes.py). Spark ≥3.0 bucketed scans
+    deliberately do NOT report per-bucket sort order (SPARK-28632, the
+    legacy `bucketedTableScan.outputOrdering` conf defaults false), so
+    the SMJ still plans a within-partition Sort on each side; the scale
+    property bucketing buys is exchange elimination — the shuffle, not
+    the sort, is what dominates a repeatedly-joined 100 TB fact table.
 
-    This is THE pattern for repeatedly-joined 100 TB fact tables: pay the
-    key shuffle once at write time, then every downstream join/agg on
-    that key is shuffle-free. Tables land under the scratch dir via an
-    explicit path (in-memory catalog, no metastore dependency); the
-    merge hint pins SMJ so the demonstration doesn't degrade to a
-    broadcast join at test scale."""
+    Pay the key shuffle once at write time, then every downstream
+    join/agg on that key is shuffle-free. Tables land under the scratch
+    dir via an explicit path (in-memory catalog, no metastore
+    dependency) and are written once per (process, sf) then reused — a
+    plan test, parity test, and bench invocation in the same session
+    share one write, mirroring the write-once/read-many economics the
+    pattern exists for. The merge hint pins SMJ so the demonstration
+    doesn't degrade to a broadcast join at test scale."""
     sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     base = f"/tmp/movies_etl_scratch/{os.getpid()}/bucketed-{sf_tag}"
     t_o, t_c = f"bkt_orders_{sf_tag}", f"bkt_customer_{sf_tag}"
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     for name, df, key in ((t_o, o, "o_custkey"), (t_c, c, "c_custkey")):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        if spark.catalog.tableExists(name):
+            continue  # written earlier this session for this sf — reuse
         (
             df.write.format("parquet")
             .bucketBy(8, key)

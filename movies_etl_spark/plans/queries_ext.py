@@ -374,16 +374,20 @@ _COS_SQL = """
 """
 
 
-@query(
-    "dedup_embedding_cosine",
-    oracle=f"""
+#: shared by the fold query and its BLAS twin: both round sims to 4
+#: places (threshold on 6) before output, and the rounded values agree —
+#: the last-ulp fold-vs-BLAS difference vanishes under the rounding, so
+#: the twin is fully oracle-gated too (closes the r2 `no_oracle` rows).
+_EMB_PAIRS_ORACLE = f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
            round({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 4) AS sim
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE round({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 6) >= 0.3
-    """,
-)
+    """
+
+
+@query("dedup_embedding_cosine", oracle=_EMB_PAIRS_ORACLE)
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup: pairwise ONLY within partition blocks
     (label), cosine as a bit-reproducible double fold, threshold applied
@@ -419,9 +423,8 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 # ===========================================================================
 
 
-@query(
-    "similarity_topk",
-    oracle=f"""
+#: shared by the fold query and its BLAS twin (see _EMB_PAIRS_ORACLE).
+_TOPK_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
                FROM embeddings WHERE vec_id < 8),
     scored AS (
@@ -434,8 +437,10 @@ def q_dedup_embedding_cosine(spark, sf_dir):
                     ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
         FROM scored)
     WHERE rank <= 5
-    """,
-)
+    """
+
+
+@query("similarity_topk", oracle=_TOPK_ORACLE)
 def q_similarity_topk(spark, sf_dir):
     """Brute-force cosine top-k (exact ANN baseline): broadcast the query
     set, scan the corpus once, window top-k. Ordering on (rounded sim,
@@ -558,12 +563,14 @@ def q_streaming_sessionize(spark, sf_dir):
     return ops.sessionize(spark, sf_dir)
 
 
-@query("similarity_topk_vectorized")
+@query("similarity_topk_vectorized", oracle=_TOPK_ORACLE)
 def q_similarity_topk_vectorized(spark, sf_dir):
-    """Numpy/Arrow fast path for brute-force ANN (rows-only check: BLAS
-    summation order differs from the sequential fold the SQL oracle
-    replicates; the fold-based `similarity_topk` is the oracle-gated
-    twin)."""
+    """Numpy/Arrow fast path for brute-force ANN. Oracle-gated since r3:
+    both twins round sims to 6 places before ranking/output, and the
+    fold-vs-BLAS difference (last ulp of the unrounded double) vanishes
+    under that rounding, so the fold twin's SQL is exact for this one
+    too. The pair-set equality test (test_property_parity.py) remains as
+    the defense-in-depth check."""
     e = _t(spark, sf_dir, "embeddings")
     return SIM.topk_bruteforce_vectorized(e, e.filter(F.col("vec_id") < 8), k=5)
 
@@ -842,10 +849,12 @@ def q_embedding_normalize(spark, sf_dir):
     )
 
 
-@query("dedup_embedding_cosine_vectorized")
+@query("dedup_embedding_cosine_vectorized", oracle=_EMB_PAIRS_ORACLE)
 def q_dedup_embedding_cosine_vectorized(spark, sf_dir):
-    """BLAS fast path for embedding near-dup (rows-only check; pair-set
-    equality with the fold-based oracle-gated twin asserted in tests)."""
+    """BLAS fast path for embedding near-dup. Oracle-gated since r3 (see
+    similarity_topk_vectorized: rounding to 4 places absorbs the
+    fold-vs-BLAS ulp); pair-set equality with the fold twin stays
+    asserted in tests as defense in depth."""
     e = _t(spark, sf_dir, "embeddings")
     return D.cosine_pairs_vectorized(e, threshold=0.3)
 

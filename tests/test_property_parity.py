@@ -118,6 +118,18 @@ def test_vectorized_cosine_pairs_match_fold_twin(spark, sf_dir):
     assert a == b
 
 
+def test_connected_components_empty_edges_exits_first_round(spark):
+    """F.sum over an empty labels frame is NULL: without the coalesce the
+    convergence check never fires and the loop runs all max_iter rounds.
+    Regression: empty edge list must terminate after one round and return
+    an empty labels frame."""
+    from movies_etl_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    out = connected_components(edges, max_iter=50)
+    assert out.count() == 0
+
+
 def test_approx_stats_within_bounds(spark, sf_dir, duck):
     """HLL++ ±5% of exact; t-digest median within 1% of exact."""
     import __spark_entry__ as m
