@@ -64,6 +64,14 @@ _ROUND3_PRIORITY = [
     # formerly rows-only (`no_oracle`) — oracle-gated since r3
     "dedup_embedding_cosine_vectorized",
     "similarity_topk_vectorized",
+    # NEW in r3 (registered before this round's driver run, unlike the
+    # r2 late registrations): end-to-end dedup composite, sequence
+    # packing, domain mixing, streaming dedup + stream-stream join
+    "dedup_survivors",
+    "sequence_pack",
+    "domain_mix_sample",
+    "streaming_dedup",
+    "streaming_stream_join",
 ]
 
 

@@ -64,6 +64,50 @@ def hash_order(key: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# distributed prefix sum (sequence packing)
+# ---------------------------------------------------------------------------
+
+
+def global_running_offset(df, n_col: str, shard_col: str, order_cols: list) -> "object":
+    """Global exclusive running sum of ``n_col`` over the total order
+    (shard asc, then ``order_cols`` within shard) WITHOUT a single-task
+    global window — the classic two-phase distributed prefix sum:
+
+    1. per-shard exclusive cumsum (one shuffle on the shard key, W
+       parallel window tasks);
+    2. shard totals (P rows) → exclusive prefix per shard (a window over
+       a P-row frame — trivially small even at 100 TB);
+    3. broadcast-join the shard prefixes back and add.
+
+    A naive ``Window.orderBy(...)`` with no partition key funnels the
+    whole corpus through ONE task; this shape keeps the heavy pass fully
+    parallel and puts only P rows through the serial step. Adds a
+    ``cum_before`` column."""
+    from pyspark.sql import Window
+
+    w_local = (
+        Window.partitionBy(shard_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = df.withColumn(
+        "_local_cum", F.sum(n_col).over(w_local) - F.col(n_col)
+    )
+    totals = df.groupBy(shard_col).agg(F.sum(n_col).alias("_shard_total"))
+    w_shard = Window.orderBy(shard_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prefixes = totals.withColumn(
+        "_shard_prefix", F.sum("_shard_total").over(w_shard) - F.col("_shard_total")
+    ).select(shard_col, "_shard_prefix")
+    return (
+        local.join(F.broadcast(prefixes), shard_col)
+        .withColumn("cum_before", F.col("_shard_prefix") + F.col("_local_cum"))
+        .drop("_local_cum", "_shard_prefix")
+    )
+
+
+# ---------------------------------------------------------------------------
 # repetition signals (Gopher-style quality filters)
 # ---------------------------------------------------------------------------
 

@@ -242,6 +242,100 @@ def q_group_quota_sample(spark, sf_dir):
     )
 
 
+#: per-language keep-rates (basis points of 10000) for corpus mixing:
+#: downsample the head language toward a more uniform mixture.
+_MIX_RATES_BP = {"de": 10000, "en": 5000, "es": 8000, "fr": 10000, "zh": 6000}
+
+
+@query(
+    "domain_mix_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 12)
+               AS BIGINT) % 10000
+          < CASE lang
+              {" ".join(f"WHEN '{lg}' THEN {bp}" for lg, bp in sorted(_MIX_RATES_BP.items()))}
+              ELSE 10000 END
+    """,
+)
+def q_domain_mix_sample(spark, sf_dir):
+    """Domain/language mixture sampling: downsample each language to a
+    target keep-rate (basis points) by deterministic key hash — the
+    mixture-reweighting step of multilingual corpus assembly (cap the
+    head language, keep tails whole), with the same stability property
+    as train_test_split: membership is a pure function of the key, so
+    appends and re-runs never resample old rows.
+
+    The hash is SALTED with the purpose tag ('mix:') so this decision is
+    independent of the split decision — reusing one hash for both would
+    correlate "sampled out" with "test split" and bias both. Map-only,
+    zero shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    b = C.hash_bucket(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string")), 10000
+    )
+    rate = F.lit(10000)
+    for lg, bp in sorted(_MIX_RATES_BP.items()):
+        rate = F.when(F.col("lang") == lg, bp).otherwise(rate)
+    return d.filter(b < rate).select("doc_id", "lang", "source")
+
+
+@query(
+    "sequence_pack",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) % 8 AS shard,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents),
+    c AS (
+        SELECT doc_id, n,
+               CAST(sum(n) OVER (ORDER BY shard, h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n AS BIGINT)
+                   AS cum_before
+        FROM t)
+    SELECT doc_id, n AS n_tokens,
+           cum_before // 512 AS seq_first,
+           (cum_before + n - 1) // 512 AS seq_last,
+           cum_before % 512 AS bin_offset
+    FROM c
+    """,
+)
+def q_sequence_pack(spark, sf_dir):
+    """Sequence packing (GPT-style concat-and-chunk): lay the corpus out
+    in a deterministic pseudo-random order, then cut the concatenated
+    token stream into fixed 512-token training sequences; each document
+    reports the sequence span it occupies and its offset in the first
+    one. Documents may straddle sequence boundaries — the standard
+    packing that wastes zero tokens (vs first-fit binning, which is
+    inherently sequential and engine-unfriendly).
+
+    Scale shape: the global running offset uses the two-phase
+    distributed prefix sum (curation.global_running_offset) — per-shard
+    window cumsum in parallel, then only the 8 shard TOTALS pass through
+    a serial window — never a single-task global sort. One shuffle of
+    the corpus (on the shard key)."""
+    d = _t(spark, sf_dir, "documents")
+    budget = 512
+    t = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n"),
+        C.hash_bucket(F.col("doc_id"), 8).alias("shard"),
+        C.hash_order(F.col("doc_id")).alias("h"),
+    )
+    off = C.global_running_offset(t, "n", "shard", [F.col("h"), F.col("doc_id")])
+    cb = F.col("cum_before")
+    return off.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.floor(cb / budget).cast("long").alias("seq_first"),
+        F.floor((cb + F.col("n") - 1) / budget).cast("long").alias("seq_last"),
+        (cb % budget).alias("bin_offset"),
+    )
+
+
 # ===========================================================================
 # Embedding quantization
 # ===========================================================================

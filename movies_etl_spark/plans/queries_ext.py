@@ -891,18 +891,76 @@ def q_dedup_cluster_components(spark, sf_dir):
     the same components via a recursive transitive closure; the engine
     uses iterative min-label propagation (one label-table shuffle per
     round, 2-3 rounds at near-dup diameters)."""
+    return D.connected_components(_verified_near_dup_edges(spark, sf_dir))
+
+
+def _verified_near_dup_edges(spark, sf_dir):
+    """LSH candidates Jaccard-verified at ≥ 0.5 over the near-dup corpus
+    (shared by dedup_cluster_components and dedup_survivors)."""
     corpus = _near_corpus(spark, sf_dir)
     sh_all = caching.tracked_persist(D.shingled(corpus, "text", "doc_id"))
     pairs = D.candidate_pairs_minhash(sh_all, "doc_id")
     sh = sh_all.filter(F.size("shingles") > 0)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    edges = (
+    return (
         pairs.join(a, "id_a").join(b, "id_b")
         .filter(F.round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 4) >= 0.5)
         .select("id_a", "id_b")
     )
-    return D.connected_components(edges)
+
+
+@query(
+    "dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE shing AS ({_INT_SHINGLES_SQL.format(corpus=_NEAR_CORPUS_SQL)}),
+    sig0 AS (SELECT doc_id, shingles, {_SIG_COLS_SQL} FROM shing),
+    sig AS (SELECT *, {_BAND_COLS_SQL} FROM sig0),
+    cand AS ({_CAND_UNION_SQL}),
+    edges AS (
+        SELECT c.id_a, c.id_b FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b
+        WHERE len(sa.shingles) > 0 AND len(sb.shingles) > 0
+          AND round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                / CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE), 4) >= 0.5),
+    bidir AS (
+        SELECT id_a AS u, id_b AS v FROM edges
+        UNION SELECT id_b, id_a FROM edges
+        UNION SELECT id_a, id_a FROM edges
+        UNION SELECT id_b, id_b FROM edges),
+    reach AS (
+        SELECT u, v FROM bidir
+        UNION
+        SELECT r.u, b.v FROM reach r JOIN bidir b ON r.v = b.u),
+    dropped AS (
+        SELECT u AS doc_id FROM reach GROUP BY u HAVING min(v) <> u)
+    SELECT c.doc_id, md5(c.text) AS text_hash
+    FROM ({_NEAR_CORPUS_SQL}) c
+    WHERE c.doc_id NOT IN (SELECT doc_id FROM dropped)
+    """,
+)
+def q_dedup_survivors(spark, sf_dir):
+    """END-TO-END near-dedup composite — the full 100 TB dedup story as
+    one query: shingle → MinHash-LSH candidates → Jaccard verify →
+    connected components → keep the minimum member of each cluster →
+    anti-join the losers out of the corpus.
+
+    Scale shape: every stage is the already-audited operator (band-bucket
+    candidate join, blocked verification, per-round label shuffle); the
+    final keep/drop decision is one broadcast-sized anti-join (the
+    dropped set is small relative to the corpus). This is the query a
+    user actually runs nightly; the pieces exist separately for
+    inspection and incremental runs."""
+    edges = _verified_near_dup_edges(spark, sf_dir)
+    comp = D.connected_components(edges)
+    dropped = comp.filter(F.col("component") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    corpus = _near_corpus(spark, sf_dir)
+    return corpus.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", TX.content_hash(F.col("text")).alias("text_hash")
+    )
 
 
 @query(
@@ -947,3 +1005,48 @@ def q_streaming_session_window(spark, sf_dir):
         F.col("w.start").alias("session_start"),
         "n_events",
     )
+
+
+@query(
+    "streaming_dedup",
+    oracle="""
+    SELECT DISTINCT md5(text) AS text_hash,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def q_streaming_dedup(spark, sf_dir):
+    """Stateful streaming dedup at ingest (dropDuplicates on content
+    hash over a file-source stream). Oracle: the duplicated corpus's
+    distinct text set IS the base documents' distinct text set (planted
+    dups copy existing texts); output columns are text-derived only, so
+    the result is survivor-order-independent. See
+    streaming/ops.dedup_stream for the state-bounding discussion."""
+    from movies_etl_spark.streaming import ops
+
+    return ops.dedup_stream(spark, sf_dir)
+
+
+@query(
+    "streaming_stream_join",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      CAST(date_trunc('second', ts) AS TIMESTAMP) AS s
+               FROM events)
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           CAST(date_diff('second', c.s, p.s) AS BIGINT) AS lag_sec
+    FROM e c JOIN e p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.s >= c.s AND p.s <= c.s + INTERVAL 30 MINUTE
+    """,
+)
+def q_streaming_stream_join(spark, sf_dir):
+    """Stream-stream interval join (click→purchase attribution within 30
+    minutes, both sides watermarked for bounded join state). The batch
+    SQL oracle is exact because inner stream-stream joins emit every
+    match regardless of watermark progress — the watermark only bounds
+    buffered state."""
+    from movies_etl_spark.streaming import ops
+
+    return ops.stream_stream_join(spark, sf_dir)

@@ -150,6 +150,101 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(sessions, "append")
 
 
+def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time streaming deduplication: ``dropDuplicates`` on a
+    content hash over a file-source stream — the operator that keeps an
+    append-only corpus exact-duplicate-free AT INGEST instead of by
+    periodic batch re-scans (the streaming complement of
+    ``dedup_exact`` / ``dedup_incremental``).
+
+    State = one entry per distinct hash, kept in the JVM state store; on
+    an unbounded source the production variant is
+    ``dropDuplicatesWithinWatermark`` so state is TTL-bounded by the
+    watermark horizon. Output projects only text-DERIVED columns
+    (hash + length): which physical row survives is arrival-order
+    dependent, and a corpus can hold the same text under two different
+    (lang, source) rows — survivor-agnostic output keeps the result
+    set-deterministic.
+
+    The duplicated corpus (base ∪ exact copies of doc_id % 100 == 0,
+    same planting as dedup_exact) is materialized to a scratch ingest
+    directory first — the file stream source reads a directory, which is
+    also the real shape of an ingest landing zone."""
+    from movies_etl_spark.sources import readers
+
+    base = readers.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    dups = base.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source"
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    src = f"/tmp/movies_etl_scratch/{os.getpid()}/stream-dedup-{sf_tag}"
+    base.unionByName(dups).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "doc_id BIGINT, text STRING, lang STRING, source STRING"
+        )
+        .format("parquet")
+        .load(src)
+    )
+    deduped = (
+        stream.select(
+            F.md5("text").alias("text_hash"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .dropDuplicates(["text_hash"])
+    )
+    return _run_to_memory(deduped, "append")
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: click→purchase attribution — each
+    click joined to every purchase by the same user within the following
+    30 minutes. Both sides are watermarked so the join state is bounded:
+    Spark buffers each side only until the other side's watermark passes
+    the join window (inner join emits matches immediately; the watermark
+    exists to EVICT state, the knob that keeps a day-long 100 TB event
+    join from accumulating unbounded buffers).
+
+    Timestamps are truncated to seconds on both sides before the join so
+    the bounded-data result is exactly reproducible by the batch SQL
+    oracle (µs-vs-ns storage difference)."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.date_trunc("second", F.col("ts")).alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.date_trunc("second", F.col("ts")).alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias("lag_sec"),
+    )
+    return _run_to_memory(joined, "append")
+
+
 def windowed_counts_watermarked(
     spark: SparkSession,
     sf_dir: str,

@@ -100,9 +100,25 @@ def test_similarity_topk_broadcasts_queries(spark, sf_dir):
 
 def test_curation_map_queries_have_no_shuffle(spark, sf_dir):
     for name in ["text_repetition_ratio", "train_test_split", "pii_redact",
-                 "embedding_quantize"]:
+                 "embedding_quantize", "domain_mix_sample"]:
         plan = _plan(spark, sf_dir, name)
         assert _exchanges(plan) == 0, f"{name} is a pure map — no shuffle"
+
+
+def test_sequence_pack_distributed_prefix_sum_shape(spark, sf_dir):
+    """The two-phase prefix sum: the CORPUS passes through exactly one
+    exchange (hash on the shard key); the other two exchanges carry only
+    the 8 shard totals (partial agg + single-partition window); shard
+    prefixes come back via broadcast, never a sort-merge join. A naive
+    global-order window would show an Exchange SinglePartition on the
+    corpus path instead."""
+    plan = _plan(spark, sf_dir, "sequence_pack")
+    assert _exchanges(plan) == 3, plan
+    assert _nodes(plan, "BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    # exactly two Window nodes: the per-shard cumsum and the 8-row
+    # shard-prefix window — no third (global) window anywhere
+    assert _nodes(plan, "Window") == 2
 
 
 def test_sessionize_batch_single_shuffle(spark, sf_dir):
