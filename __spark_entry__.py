@@ -72,6 +72,9 @@ _ROUND3_PRIORITY = [
     "domain_mix_sample",
     "streaming_dedup",
     "streaming_stream_join",
+    "upsert_merge",
+    "scd2_intervals",
+    "curation_pipeline",
 ]
 
 

@@ -383,6 +383,137 @@ def q_embedding_quantize(spark, sf_dir):
 
 
 # ===========================================================================
+# End-to-end curation pipeline composite
+# ===========================================================================
+
+
+def _curation_pipeline_oracle() -> str:
+    from movies_etl_spark.plans.queries_ext import (
+        _BAND_COLS_SQL,
+        _CAND_UNION_SQL,
+        _INT_SHINGLES_SQL,
+        _NEAR_CORPUS_SQL,
+        _SIG_COLS_SQL,
+    )
+
+    return f"""
+    WITH RECURSIVE corp0 AS ({_NEAR_CORPUS_SQL}),
+    tok AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM corp0),
+    qual AS (
+        SELECT doc_id, text, tk FROM tok
+        WHERE len(tk) >= 10
+          AND round(1.0 - CAST(len(list_distinct(tk)) AS DOUBLE)
+                    / CAST(len(tk) AS DOUBLE), 4) <= 0.5),
+    g_ev AS (
+        SELECT CASE WHEN len(tk) >= 5
+                    THEN list_transform(generate_series(1, len(tk) - 4),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                              || ' ' || tk[i+3] || ' ' || tk[i+4])
+                    ELSE [] END AS gr
+        FROM tok WHERE doc_id % 97 = 0),
+    ev AS (SELECT DISTINCT unnest(gr) AS ng FROM g_ev),
+    g_corp AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) >= 5
+                    THEN list_transform(generate_series(1, len(tk) - 4),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                              || ' ' || tk[i+3] || ' ' || tk[i+4])
+                    ELSE [] END AS gr
+        FROM qual WHERE doc_id % 97 <> 0),
+    bad AS (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_id, unnest(gr) AS ng FROM g_corp) x
+        JOIN ev USING (ng)),
+    clean AS (
+        SELECT doc_id, text FROM qual
+        WHERE doc_id % 97 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM bad)),
+    shing AS ({_INT_SHINGLES_SQL.format(corpus="SELECT doc_id, text FROM clean")}),
+    sig0 AS (SELECT doc_id, shingles, {_SIG_COLS_SQL} FROM shing),
+    sig AS (SELECT *, {_BAND_COLS_SQL} FROM sig0),
+    cand AS ({_CAND_UNION_SQL}),
+    edges AS (
+        SELECT c.id_a, c.id_b FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b
+        WHERE len(sa.shingles) > 0 AND len(sb.shingles) > 0
+          AND round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                / CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE), 4) >= 0.5),
+    bidir AS (
+        SELECT id_a AS u, id_b AS v FROM edges
+        UNION SELECT id_b, id_a FROM edges
+        UNION SELECT id_a, id_a FROM edges
+        UNION SELECT id_b, id_b FROM edges),
+    reach AS (
+        SELECT u, v FROM bidir
+        UNION
+        SELECT r.u, b.v FROM reach r JOIN bidir b ON r.v = b.u),
+    dropped AS (SELECT u AS doc_id FROM reach GROUP BY u HAVING min(v) <> u)
+    SELECT c.doc_id, md5(c.text) AS text_hash,
+           CASE WHEN CAST('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 12)
+                     AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 12)
+                     AS BIGINT) % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM clean c
+    WHERE c.doc_id NOT IN (SELECT doc_id FROM dropped)
+    """
+
+
+@query("curation_pipeline", oracle=_curation_pipeline_oracle())
+def q_curation_pipeline(spark, sf_dir):
+    """THE nightly 100 TB curation run as one query: cheap quality
+    signals (token count ≥ 10, duplicate-token fraction ≤ 0.5) →
+    benchmark decontamination (drop docs sharing a word-5-gram with the
+    raw eval set) → MinHash-LSH near-dedup with connected-component
+    survivor selection → deterministic train/valid/test assignment.
+
+    Stage ORDER is the scale design: map-only quality filters prune
+    first (scan-speed, shrink everything downstream), the broadcast
+    decontamination semi-join prunes second, and only the surviving
+    corpus pays the LSH banding + component shuffles; the split column
+    is a free map at the end. Every stage is the already-audited
+    standalone operator — this composite exists because chaining is
+    where partition-alignment mistakes appear, and the oracle replays
+    the full chain in SQL to pin the composition, not just the parts."""
+    from movies_etl_spark.operators import dedup as D
+    from movies_etl_spark.operators import text as TX
+    from movies_etl_spark.plans.queries_ext import _near_corpus, verified_edges
+
+    corp = _near_corpus(spark, sf_dir)
+    toks = TX.tokens(F.col("text"))
+    qual = corp.filter(
+        (F.size(toks) >= 10) & (C.duplicate_fraction(toks) <= 0.5)
+    )
+    ev = (
+        corp.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(C.word_ngrams(toks, 5)).alias("ng"))
+        .distinct()
+    )
+    corpus2 = qual.filter(F.col("doc_id") % 97 != 0)
+    contaminated = (
+        corpus2.select("doc_id", F.explode(C.word_ngrams(toks, 5)).alias("ng"))
+        .join(F.broadcast(ev), "ng", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = corpus2.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "text"
+    )
+    comp = D.connected_components(verified_edges(clean))
+    dropped = comp.filter(F.col("component") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    survivors = clean.join(dropped, "doc_id", "left_anti")
+    b = C.hash_bucket(F.col("doc_id"), 100)
+    return survivors.select(
+        "doc_id",
+        TX.content_hash(F.col("text")).alias("text_hash"),
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test").alias("split"),
+    )
+
+
+# ===========================================================================
 # Batch sessionization (gaps-and-islands twin of session_window)
 # ===========================================================================
 

@@ -897,7 +897,13 @@ def q_dedup_cluster_components(spark, sf_dir):
 def _verified_near_dup_edges(spark, sf_dir):
     """LSH candidates Jaccard-verified at ≥ 0.5 over the near-dup corpus
     (shared by dedup_cluster_components and dedup_survivors)."""
-    corpus = _near_corpus(spark, sf_dir)
+    return verified_edges(_near_corpus(spark, sf_dir))
+
+
+def verified_edges(corpus):
+    """Jaccard-verified (≥ 0.5) MinHash-LSH near-dup edges over any
+    (doc_id, text) corpus — also consumed by the curation_pipeline
+    composite (queries_curation.py)."""
     sh_all = caching.tracked_persist(D.shingled(corpus, "text", "doc_id"))
     pairs = D.candidate_pairs_minhash(sh_all, "doc_id")
     sh = sh_all.filter(F.size("shingles") > 0)

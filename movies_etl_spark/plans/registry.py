@@ -1732,6 +1732,144 @@ def q_sink_dynamic_partition_overwrite(spark, sf_dir):
 
 
 @query(
+    "upsert_merge",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus,
+               CAST(strftime(o_orderdate, '%Y') AS INTEGER) AS order_year
+        FROM orders),
+    upd AS (
+        SELECT o_orderkey, round(o_totalprice + 10.0, 2) AS o_totalprice,
+               'U' AS o_orderstatus, order_year
+        FROM base WHERE o_orderkey % 13 = 0),
+    ins AS (
+        SELECT o_orderkey + 100000000, round(o_totalprice, 2),
+               'N', order_year
+        FROM base WHERE o_orderkey % 997 = 0),
+    merged AS (
+        SELECT * FROM base WHERE o_orderkey % 13 <> 0
+        UNION ALL SELECT * FROM upd
+        UNION ALL SELECT * FROM ins)
+    SELECT order_year,
+           count(*) AS n_rows,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'U') AS BIGINT) AS n_updated,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'N') AS BIGINT) AS n_inserted,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM merged GROUP BY order_year
+    """,
+)
+def q_upsert_merge(spark, sf_dir):
+    """Batch MERGE/upsert into a partitioned parquet lake WITHOUT a table
+    format: updates win over base rows (left-anti + union), inserts
+    append, and the result lands via DYNAMIC partition overwrite so only
+    partitions the upsert batch touches are rewritten — untouched
+    partitions survive on disk. This is the pre-Delta/Iceberg MERGE INTO
+    pattern for a 100 TB fact table: cost scales with the AFFECTED
+    partitions (the anti-join shuffles only those), never the full table.
+
+    The read-back per-year aggregate proves the semantics: updated rows
+    carry 'U', inserted rows 'N', per-year counts and sums reconcile
+    exactly with a pure-SQL merge of the same batches."""
+    o = _t(spark, sf_dir, "orders")
+    path = _scratch("upsert", sf_dir)
+    base = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+        F.year("o_orderdate").alias("order_year"),
+    )
+    base.write.mode("overwrite").partitionBy("order_year").parquet(f"{path}/t")
+    lake = spark.read.parquet(f"{path}/t")
+    upd = lake.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") + 10.0, 2).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+        "order_year",
+    )
+    ins = lake.filter(F.col("o_orderkey") % 997 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        F.lit("N").alias("o_orderstatus"),
+        "order_year",
+    )
+    batch = upd.unionByName(ins)
+    # affected partitions only: at 100 TB the upsert batch usually touches
+    # a handful of recent partitions — restrict the rewrite to those
+    affected = [
+        r["order_year"]
+        for r in batch.select("order_year").distinct().collect()
+    ]
+    merged_affected = (
+        lake.filter(F.col("order_year").isin(affected))
+        .join(batch.select("o_orderkey"), "o_orderkey", "left_anti")
+        .unionByName(batch)
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged_affected.write.mode("overwrite").partitionBy("order_year").parquet(
+            f"{path}/t"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    back = spark.read.parquet(f"{path}/t")
+    return back.groupBy(F.col("order_year").cast("int").alias("order_year")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("o_orderstatus") == "U").cast("long")).alias("n_updated"),
+        F.sum((F.col("o_orderstatus") == "N").cast("long")).alias("n_inserted"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      CAST(date_trunc('second', ts) AS TIMESTAMP) AS s
+               FROM events),
+    m AS (SELECT *, CASE WHEN lag(event_type) OVER
+                              (PARTITION BY user_id ORDER BY s, event_id)
+                              IS DISTINCT FROM event_type
+                         THEN 1 ELSE 0 END AS chg
+          FROM e),
+    c AS (SELECT user_id, event_type, s, event_id FROM m WHERE chg = 1),
+    o AS (SELECT user_id, event_type, s AS valid_from,
+                 lead(s) OVER (PARTITION BY user_id ORDER BY s, event_id)
+                     AS valid_to
+          FROM c)
+    SELECT user_id, event_type, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM o
+    """,
+)
+def q_scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) construction from a change
+    log: collapse consecutive equal states per key, then emit validity
+    intervals [valid_from, valid_to) with lead(), open interval = current
+    row — the standard CDC→dimension-history materialization.
+
+    Ties inside one second are ordered by event_id on both engines, so
+    the interval set is fully deterministic. Both windows and the filter
+    share the user_id partitioning: the change log shuffles exactly once
+    (asserted in plan tests), same class as sessionize_batch."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_trunc("second", F.col("ts")).alias("s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    m = ev.withColumn("prev", F.lag("event_type").over(w))
+    chg = m.filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    out = chg.select(
+        "user_id",
+        "event_type",
+        F.col("s").alias("valid_from"),
+        F.lead("s").over(w).alias("valid_to"),
+    )
+    return out.withColumn("is_current", F.col("valid_to").isNull())
+
+
+@query(
     "pivot_sum",
     oracle="""
     SELECT user_id,

@@ -128,6 +128,13 @@ def test_sessionize_batch_single_shuffle(spark, sf_dir):
     assert _exchanges(plan) == 1, plan
 
 
+def test_scd2_intervals_single_shuffle(spark, sf_dir):
+    """lag-window, filter, and lead-window all share the user_id
+    partitioning: the change log must shuffle exactly once."""
+    plan = _plan(spark, sf_dir, "scd2_intervals")
+    assert _exchanges(plan) == 1, plan
+
+
 def test_bucketed_join_is_exchange_free(spark, sf_dir):
     """Bucketed tables on the join key: the SMJ and the follow-up groupBy
     on the same key must introduce NO exchange — that is the scale
