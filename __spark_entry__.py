@@ -75,6 +75,8 @@ _ROUND3_PRIORITY = [
     "upsert_merge",
     "scd2_intervals",
     "curation_pipeline",
+    "skew_report",
+    "kmeans_assign",
 ]
 
 

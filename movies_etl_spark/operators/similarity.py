@@ -15,7 +15,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from movies_etl_spark.operators.dedup import cosine
@@ -135,6 +135,88 @@ def topk_ivf(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """Squared euclidean distance as a left-to-right double fold (same
+    bit-reproducibility discipline as dedup.dot/l2norm)."""
+    diff = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _assign_cells(v_df: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid (rounded distance,
+    ties to the lowest cell id — fully deterministic). Centroids are
+    tiny → broadcast; the corpus is scanned once per assignment pass."""
+    scored = v_df.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "vd",
+        "cell",
+        F.round(sq_dist(F.col("vd"), F.col("centroid")), 6).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "vd", "cell", "d2")
+    )
+
+
+def _recompute_centroids(assigned: DataFrame) -> DataFrame:
+    """Element-wise mean per cell (the label_centroids shape keyed on
+    the learned cell): one shuffle on (cell, position), k rows out.
+
+    Means are QUANTIZED to 6 places: learned centroids are stored
+    artifacts, and rounding makes them identical across engines (a
+    parallel partial-sum avg differs from a sequential fold in the last
+    ulp, which otherwise leaks through every downstream distance)."""
+    pos = assigned.select("cell", F.posexplode("vd").alias("pos", "x"))
+    means = pos.groupBy("cell", "pos").agg(F.round(F.avg("x"), 6).alias("m"))
+    return (
+        means.groupBy("cell")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+        )
+        .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means, fixed iteration count, pure DataFrame ops — the
+    IVF coarse-quantizer TRAINER (topk_ivf consumes the resulting cell
+    assignment as its partition key; here the cells are learned instead
+    of given). Seeds are the first k vectors by id (deterministic, so
+    the SQL oracle replays the identical iterations).
+
+    Per iteration: one broadcast-assignment scan of the corpus + one
+    (cell, position) shuffle for the mean recompute — the corpus is
+    never self-joined and nothing iterative accumulates driver state.
+    Fixed `iters` (not convergence-tested) keeps the plan static and the
+    oracle finite; production runs pick iters from a held-out inertia
+    check. Returns (vec_id, cell, d2 = rounded squared distance)."""
+    v = corpus.select(
+        id_col, F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd")
+    )
+    cents = v.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cell"), F.col("vd").alias("centroid")
+    )
+    assigned = _assign_cells(v, cents)
+    for _ in range(iters - 1):
+        assigned = _assign_cells(v, _recompute_centroids(assigned))
+    return assigned.select(
+        id_col, "cell", F.round(F.col("d2"), 4).alias("d2")
     )
 
 

@@ -487,6 +487,57 @@ def q_similarity_ann_ivf(spark, sf_dir):
     return SIM.topk_ivf(e, e.filter(F.col("vec_id") < 8), k=3)
 
 
+#: squared euclidean distance, same fold discipline as _COS_SQL
+_D2_SQL = """
+    list_reduce([CAST(0 AS DOUBLE)] ||
+      list_transform(list_zip({a}, {b}),
+        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+             * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+      (acc, v) -> acc + v)
+"""
+
+
+@query(
+    "kmeans_assign",
+    oracle=f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+               FROM embeddings),
+    seeds AS (SELECT vec_id AS cell, vd AS centroid FROM v WHERE vec_id < 4),
+    a1 AS (
+        SELECT vec_id, vd, cell FROM (
+            SELECT v.vec_id, v.vd, s.cell,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY round({_D2_SQL.format(a="v.vd", b="s.centroid")}, 6),
+                                s.cell) AS r
+            FROM v, seeds s) WHERE r = 1),
+    c10 AS (SELECT cell, i, round(avg(vd[i]), 6) AS m
+            FROM a1, range(1, 65) t(i) GROUP BY cell, i),
+    c1 AS (SELECT cell, list(m ORDER BY i) AS centroid FROM c10 GROUP BY cell),
+    a2 AS (
+        SELECT vec_id, cell, d2 FROM (
+            SELECT v.vec_id, c.cell,
+                   round({_D2_SQL.format(a="v.vd", b="c.centroid")}, 6) AS d2,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY round({_D2_SQL.format(a="v.vd", b="c.centroid")}, 6),
+                                c.cell) AS r
+            FROM v, c1 c) WHERE r = 1)
+    SELECT vec_id, cell, round(d2, 4) AS d2 FROM a2
+    """,
+)
+def q_kmeans_assign(spark, sf_dir):
+    """Lloyd's k-means (k=4, 2 fixed iterations) as pure DataFrame ops —
+    the iterative-algorithm pattern and the IVF coarse-quantizer trainer
+    (similarity_ann_ivf consumes a cell column; this LEARNS one).
+    Deterministic end to end: seeds = first k ids, distances rounded
+    before argmin, ties to the lowest cell. Per iteration the corpus is
+    scanned once against broadcast centroids and shuffled once on
+    (cell, position) for the mean recompute — never self-joined. The
+    oracle replays both iterations verbatim in SQL."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.kmeans_assign(e, k=4, iters=2)
+
+
 # ===========================================================================
 # Multimodal plumbing
 # ===========================================================================

@@ -1870,6 +1870,42 @@ def q_scd2_intervals(spark, sf_dir):
 
 
 @query(
+    "skew_report",
+    oracle="""
+    WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(cnt) AS BIGINT) AS max_cnt,
+           round(avg(cnt), 4) AS avg_cnt,
+           round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+           round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+           round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+               AS top1_share
+    FROM c
+    """,
+)
+def q_skew_report(spark, sf_dir):
+    """Key-skew diagnostic: the distribution of per-key row counts
+    (count, max, mean, exact p50/p99, heaviest key's share) — the
+    numbers that decide whether a join/agg key needs salting
+    (operators/skew.py) or can rely on AQE's skew-join splitting. Two
+    hash aggregates (per-key then summary), map-side partials both;
+    exact percentile kept for oracle parity, approx at 100 TB (same
+    trade documented in describe_stats)."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.avg("cnt"), 4).alias("avg_cnt"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 4).alias("p50_cnt"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_cnt"),
+        F.round(
+            F.max("cnt").cast("double") / F.sum("cnt").cast("double"), 6
+        ).alias("top1_share"),
+    )
+
+
+@query(
     "pivot_sum",
     oracle="""
     SELECT user_id,
