@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from movies_etl_spark.plans import flagship, registry  # noqa: E402,F401
+from movies_etl_spark.plans import queries_analytics  # noqa: E402,F401
 from movies_etl_spark.plans import queries_curation  # noqa: E402,F401
 from movies_etl_spark.plans import queries_expr  # noqa: E402,F401
 from movies_etl_spark.plans import queries_ext  # noqa: E402,F401
@@ -77,6 +78,16 @@ _ROUND3_PRIORITY = [
     "curation_pipeline",
     "skew_report",
     "kmeans_assign",
+    # analytics/retrieval suite (queries_analytics.py, new in r3)
+    "funnel_analysis",
+    "retention_cohorts",
+    "zscore_outliers",
+    "gapfill_daily",
+    "quantile_bucket",
+    "snapshot_diff",
+    "fuzzy_join_levenshtein",
+    "inverted_index",
+    "bm25_rank",
 ]
 
 

@@ -72,6 +72,15 @@ HEADLINE = [
     "streaming_session_window",
     "streaming_dedup",
     "streaming_stream_join",
+    # analytics/retrieval suite (r3): the event-analytics shuffle shapes
+    # (multi-stage funnel joins, distinct-count retention, densify +
+    # window gap-fill) and the two text-retrieval paths (token-shuffle
+    # BM25, blocked fuzzy join).
+    "funnel_analysis",
+    "retention_cohorts",
+    "gapfill_daily",
+    "bm25_rank",
+    "fuzzy_join_levenshtein",
 ]
 
 
@@ -85,6 +94,7 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 def main() -> None:
     from movies_etl_spark.plans import flagship, registry  # noqa: F401
+    from movies_etl_spark.plans import queries_analytics  # noqa: F401
     from movies_etl_spark.plans import queries_curation  # noqa: F401
     from movies_etl_spark.plans import queries_expr, queries_ext  # noqa: F401
 

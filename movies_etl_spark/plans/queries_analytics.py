@@ -1,0 +1,586 @@
+"""Analytics / retrieval / entity-resolution extension queries.
+
+These extend the engine past the reference's ETL surface into the event-
+analytics and text-retrieval shapes a production lakehouse serves daily:
+sequential funnels, cohort retention, per-group outlier scoring,
+time-series gap-fill with forward-fill, scale-correct quantile binning
+(the distributed alternative to a global ntile sort), snapshot diffing
+(the lakehouse audit primitive), blocked fuzzy matching (entity
+resolution without an all-pairs join), and an inverted index + BM25
+ranking pair (the classical-retrieval complement to similarity_topk).
+
+Oracle discipline (same as queries_ext): every float that crosses the
+engine boundary is rounded first; every multi-term float sum is a
+left-to-right fold over a sorted list so DuckDB replays the identical
+reduction order; timestamps that appear in output are truncated to
+seconds (events.ts is TIMESTAMP(NANOS) in parquet — see
+sources/readers.load_table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from movies_etl_spark.plans.registry import _t, query
+
+# ===========================================================================
+# Event analytics: funnel, retention, outliers, gap-fill
+# ===========================================================================
+
+
+@query(
+    "funnel_analysis",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id)
+    SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS users FROM v
+    UNION ALL
+    SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
+    """,
+)
+def q_funnel_analysis(spark, sf_dir):
+    """Ordered conversion funnel (view -> later click -> later purchase):
+    users reaching each stage, where each stage's timestamp must strictly
+    follow the previous stage's first occurrence. Three aggregations all
+    keyed on user_id — the shuffles share one key, and each stage's join
+    input shrinks monotonically (AQE broadcasts the later stages at
+    runtime). The event scan is filtered per stage, so column pruning +
+    predicate pushdown reach parquet; no self-join of the full table."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(df, name):
+        return df.agg(
+            F.lit(name).alias("stage"), F.count(F.lit(1)).cast("long").alias("users")
+        )
+
+    return stage(v, "1_view").unionAll(stage(c, "2_click")).unionAll(
+        stage(p, "3_purchase")
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH f AS (SELECT user_id,
+                      CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+               FROM events GROUP BY user_id)
+    SELECT f.cohort,
+           CAST(datediff('day', f.cohort,
+                CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT)
+               AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS users
+    FROM events e JOIN f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity week, and
+    for each (cohort, weeks-since-cohort) the count of distinct active
+    users — the canonical product-analytics rollup. Two shuffles: one on
+    user_id for the first-event aggregate (then an equi-join back on the
+    SAME key — co-partitioned, no extra exchange), one for the final
+    distinct-count aggregate. date_trunc('week') is Monday-based in both
+    engines; the day-diff is an exact multiple of 7 by construction, so
+    the integer division is lossless."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    f = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    j = e.join(f, "user_id").select(
+        "user_id",
+        "cohort",
+        (
+            F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort"))
+            / 7
+        )
+        .cast("long")
+        .alias("week_offset"),
+    )
+    return j.groupBy("cohort", "week_offset").agg(
+        F.countDistinct("user_id").cast("long").alias("users")
+    )
+
+
+@query(
+    "zscore_outliers",
+    oracle="""
+    WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+               FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.mu) / s.sigma, 4) AS z
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE abs(round((e.value - s.mu) / s.sigma, 4)) > 3
+    """,
+)
+def q_zscore_outliers(spark, sf_dir):
+    """Per-group standardization + outlier filter: z = (x - mu)/sigma
+    within each event_type, keep |z| > 3. The group stats are a 5-row
+    aggregate joined back via an explicit broadcast (a window over the
+    full table would re-shuffle every row for a 5-row answer); the
+    outlier predicate is applied to the ROUNDED z on both sides so the
+    oracle's threshold decision is identical. One full-table map + one
+    tiny aggregate: at 100 TB this is a scan, not a shuffle, of the fact
+    table."""
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    s = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        e.join(F.broadcast(s), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 3)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+@query(
+    "gapfill_daily",
+    oracle="""
+    WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS n_events,
+                      round(sum(value), 4) AS day_value
+               FROM events GROUP BY 1, 2),
+    b AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+    cal AS (SELECT user_id,
+                   CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                       AS day
+            FROM b),
+    j AS (SELECT cal.user_id, cal.day,
+                 coalesce(d.n_events, 0) AS n_events, d.day_value,
+                 count(d.day_value) OVER (PARTITION BY cal.user_id
+                     ORDER BY cal.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM cal LEFT JOIN d ON cal.user_id = d.user_id AND cal.day = d.day)
+    SELECT user_id, day, n_events,
+           max(day_value) OVER (PARTITION BY user_id, grp) AS value_ffill
+    FROM j
+    """,
+)
+def q_gapfill_daily(spark, sf_dir):
+    """Time-series gap-fill (the hypertable `time_bucket_gapfill`
+    pattern): densify each user's daily series over their own [min, max]
+    span via sequence()+explode, zero-fill the counts, and forward-fill
+    the last observed daily value. The forward-fill is the portable
+    gaps-and-islands form — a running count of non-nulls defines island
+    ids, then max() within (user, island) propagates the island's single
+    non-null — because last_value(IGNORE NULLS) parses but is ignored in
+    DuckDB 1.0 (same portability note as asof_join_window). All three
+    windows and the join share the user_id partition key: one shuffle,
+    reused. Calendar expansion is per-user-bounded (span x users rows),
+    never a global calendar cross-join."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    d = e.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("day_value"),
+    )
+    b = d.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = b.select(
+        "user_id", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    j = cal.join(d, ["user_id", "day"], "left")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    j = j.select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "day_value",
+        F.count("day_value").over(w_run).alias("grp"),
+    )
+    w_grp = Window.partitionBy("user_id", "grp")
+    return j.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.max("day_value").over(w_grp).alias("value_ffill"),
+    )
+
+
+# ===========================================================================
+# Distribution ops: quantile binning, snapshot diff
+# ===========================================================================
+
+
+@query(
+    "quantile_bucket",
+    oracle="""
+    WITH b AS (SELECT list_transform(
+                   quantile_cont(o_totalprice,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                   x -> round(x, 6)) AS bnds
+               FROM orders),
+    a AS (SELECT o_orderkey, o_totalprice,
+                 1 + len(list_filter(b.bnds, x -> o_totalprice > x)) AS bucket
+          FROM orders, b)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM a GROUP BY bucket
+    """,
+)
+def q_quantile_bucket(spark, sf_dir):
+    """Decile binning done the scale-correct way: compute the 9 exact
+    decile boundaries ONCE (single tiny aggregate), broadcast them, and
+    assign bucket = 1 + #boundaries strictly below the value — instead
+    of ntile() over a global ORDER BY, which plans a single-partition
+    sort of the whole table. Boundaries are rounded to 6 places before
+    comparison so both engines bin against the identical cutoffs (the
+    exact-percentile interpolation matches describe_stats' established
+    parity). Bucket populations differ from ntile's equal-count split
+    only on boundary ties — the binning, unlike ntile, is a pure
+    per-row function of the value, which is what makes it reusable as a
+    stored feature at 100 TB."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    b = o.agg(
+        F.expr(
+            "transform(percentile(o_totalprice,"
+            " array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)),"
+            " x -> round(x, 6))"
+        ).alias("bnds")
+    )
+    a = o.crossJoin(F.broadcast(b)).select(
+        "o_orderkey",
+        "o_totalprice",
+        (
+            F.lit(1)
+            + F.aggregate(
+                "bnds",
+                F.lit(0),
+                lambda acc, x: acc
+                + F.when(F.col("o_totalprice") > x, 1).otherwise(0),
+            )
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    return a.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH a AS (SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_orderkey % 10 != 0),
+    b AS (SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 7 = 0
+                      THEN o_totalprice + 10.0
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 10 != 3)
+    SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           a.o_totalprice AS old_price,
+           b.o_totalprice AS new_price
+    FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_totalprice != b.o_totalprice
+    """,
+)
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot diff — the lakehouse audit primitive (what changed
+    between yesterday's table and today's?): full outer join on the key,
+    classify added / removed / changed, drop unchanged. Both snapshots
+    are deterministic slices of orders (new snapshot drops key%10==3,
+    adds key%10==0, reprices key%7==0 — by an exact IEEE addition, not a
+    scaled round: round-half of a double tie differs between engines,
+    which a 0.04% sample of repriced rows hit at sf0.01). One shuffle on the key for the
+    join; the unchanged-row filter happens BEFORE any wide projection,
+    so at 100 TB the output is proportional to the churn, not the table.
+    For partitioned lakes, run per-partition and prune unchanged
+    partitions by metadata first (see upsert_merge)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    a = o.filter(F.col("o_orderkey") % 10 != 0)
+    b = o.filter(F.col("o_orderkey") % 10 != 3).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.when(F.col("a.o_orderkey").isNull(), "added")
+            .when(F.col("b.o_orderkey").isNull(), "removed")
+            .otherwise("changed")
+            .alias("status"),
+            F.col("a.o_totalprice").alias("old_price"),
+            F.col("b.o_totalprice").alias("new_price"),
+        )
+        .filter(
+            F.col("old_price").isNull()
+            | F.col("new_price").isNull()
+            | (F.col("old_price") != F.col("new_price"))
+        )
+    )
+
+
+# ===========================================================================
+# Entity resolution: blocked fuzzy match
+# ===========================================================================
+
+
+@query(
+    "fuzzy_join_levenshtein",
+    oracle="""
+    WITH v AS (SELECT p_partkey AS variant_key,
+                      substr(p_name, 1, 1) || substr(p_name, 3) AS typo
+               FROM part WHERE p_partkey < 500),
+    c AS (SELECT v.variant_key, v.typo, p.p_partkey, p.p_name,
+                 levenshtein(v.typo, p.p_name) AS dist
+          FROM v JOIN part p
+            ON substr(v.typo, 1, 1) = substr(p.p_name, 1, 1)
+           AND substr(v.typo, length(v.typo), 1)
+               = substr(p.p_name, length(p.p_name), 1)
+          WHERE abs(length(v.typo) - length(p.p_name)) <= 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY variant_key
+                                       ORDER BY dist, p_partkey) AS rn
+          FROM c)
+    SELECT variant_key, typo, p_partkey AS matched_partkey,
+           p_name AS matched_name, CAST(dist AS BIGINT) AS dist
+    FROM r WHERE rn = 1 AND dist <= 2
+    """,
+)
+def q_fuzzy_join_levenshtein(spark, sf_dir):
+    """Blocked fuzzy matching (entity resolution): corrupted part names
+    (2nd char deleted — a planted typo corpus) are resolved back to the
+    catalog via edit distance, WITHOUT an all-pairs comparison. Blocking
+    = equi-join on (first char, last char) + a +/-2 length band, so the
+    levenshtein UDF-free builtin runs only inside blocks; best match per
+    variant by (distance, key) with a per-variant window. At 100 TB the
+    block key graduates to (first token, length bucket) or a phonetic
+    key — the plan shape (equi-join on block key, never CartesianProduct)
+    is the point, and test_plan_shapes asserts it."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    v = p.filter(F.col("p_partkey") < 500).select(
+        F.col("p_partkey").alias("variant_key"),
+        F.expr("concat(substring(p_name, 1, 1), substring(p_name, 3))").alias(
+            "typo"
+        ),
+    )
+    cand = (
+        v.join(
+            p,
+            (
+                F.expr("substring(typo, 1, 1)")
+                == F.expr("substring(p_name, 1, 1)")
+            )
+            & (
+                F.expr("substring(typo, length(typo), 1)")
+                == F.expr("substring(p_name, length(p_name), 1)")
+            ),
+        )
+        .filter(
+            F.abs(F.length("typo") - F.length("p_name")) <= 2
+        )
+        .select(
+            "variant_key",
+            "typo",
+            "p_partkey",
+            "p_name",
+            F.levenshtein("typo", "p_name").cast("long").alias("dist"),
+        )
+    )
+    w = Window.partitionBy("variant_key").orderBy("dist", "p_partkey")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("dist") <= 2))
+        .select(
+            "variant_key",
+            "typo",
+            F.col("p_partkey").alias("matched_partkey"),
+            F.col("p_name").alias("matched_name"),
+            "dist",
+        )
+    )
+
+
+# ===========================================================================
+# Classical retrieval: inverted index + BM25
+# ===========================================================================
+
+#: the BM25 demo query terms (mid-frequency tokens in the synthetic corpus)
+_BM25_TERMS = ("join", "vector", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "inverted_index",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+               FROM documents)
+    SELECT token,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+           CAST(count(*) AS BIGINT) AS cf,
+           array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+    FROM t GROUP BY token
+    HAVING count(DISTINCT doc_id) >= 5
+    """,
+)
+def q_inverted_index(spark, sf_dir):
+    """Inverted index build: token -> (document frequency, corpus
+    frequency, sorted posting list). One explode + one shuffle on the
+    token; postings are collect_set'd then sorted so the list is
+    canonical. Tokens below df=5 are dropped (the long tail is the bulk
+    of the vocabulary). At 100 TB, posting lists for stop-word-class
+    tokens exceed task memory as single arrays — production splits
+    postings into fixed-size blocks ((token, block_no) keys, the
+    standard postings-file layout); the df/cf aggregates are unaffected
+    map-side partials. Postings serialize as a comma-joined string (the
+    repo's array-output convention — embedding_quantize does the same)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias(
+            "token"
+        ),
+    )
+    return (
+        d.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("df"),
+            F.count(F.lit(1)).cast("long").alias("cf"),
+            F.array_join(
+                F.array_sort(F.collect_set("doc_id")).cast("array<string>"), ","
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 5)
+    )
+
+
+@query(
+    "bm25_rank",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+               FROM documents),
+    dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+    st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                  CAST(sum(dl) AS DOUBLE) AS sum_dl FROM dl),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+           FROM tok WHERE token IN ('join', 'vector', 'stream')
+           GROUP BY doc_id, token),
+    dfr AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+    sc AS (SELECT tf.doc_id, tf.token,
+                  round(round(ln((st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5) + 1), 6)
+                        * (tf.tf * ({_BM25_K1} + 1))
+                        / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                           + {_BM25_B} * dl.dl / (st.sum_dl / st.n_docs))),
+                        6) AS contrib
+           FROM tf
+           JOIN dfr ON tf.token = dfr.token
+           JOIN dl ON tf.doc_id = dl.doc_id, st),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                   round(list_reduce(
+                       [CAST(0 AS DOUBLE)] || list(contrib ORDER BY token),
+                       (acc, v) -> acc + v), 4) AS score
+            FROM sc GROUP BY doc_id)
+    SELECT doc_id, n_terms, score FROM agg
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def q_bm25_rank(spark, sf_dir):
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a 3-term query — the
+    lexical complement to similarity_topk. Corpus stats (N, total length)
+    are a 1-row aggregate cross-joined broadcast; document frequencies a
+    3-row broadcast; term frequencies one shuffle on (doc, token). The
+    idf is rounded to 6 places before the tf product (ln() may differ in
+    the last ulp across libm implementations), each term's contribution
+    is rounded, and the per-doc sum is a fold over the token-sorted list
+    — the oracle replays the exact reduction order. Top-10 via
+    orderBy+limit compiles to TakeOrdered (per-partition heap + driver
+    merge), not a global sort."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("toks"),
+    )
+    dl = d.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    tok = d.select("doc_id", F.explode("toks").alias("token"))
+    tf = (
+        tok.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfr = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    idf = F.round(
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1), 6
+    )
+    contrib = F.round(
+        idf
+        * (F.col("tf") * (k1 + 1))
+        / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("dl") / (F.col("sum_dl") / F.col("n_docs")))
+        ),
+        6,
+    )
+    sc = (
+        tf.join(F.broadcast(dfr), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", "token", contrib.alias("contrib"))
+    )
+    agg = sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("token", "contrib"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["contrib"],
+            ),
+            4,
+        ).alias("score"),
+    )
+    return agg.orderBy(F.desc("score"), "doc_id").limit(10)

@@ -157,3 +157,39 @@ def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
     map-side, never shuffling the exploded corpus grams."""
     plan = _plan(spark, sf_dir, "decontaminate_ngram")
     assert "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_join_blocks_never_cartesian(spark, sf_dir):
+    """The fuzzy match must join on the (first char, last char) block key
+    — an equi-join — never degrade to an all-pairs cartesian/nested-loop
+    over the catalog."""
+    plan = _plan(spark, sf_dir, "fuzzy_join_levenshtein")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_quantile_bucket_has_no_global_sort(spark, sf_dir):
+    """Quantile binning must come from a broadcast boundary array, not an
+    ntile over a global ORDER BY: zero Sort nodes anywhere in the plan
+    (the exact-percentile aggregate sorts within the agg buffer, not as a
+    plan node)."""
+    plan = _plan(spark, sf_dir, "quantile_bucket")
+    assert _nodes(plan, "Sort") == 0, plan
+    assert "BroadcastExchange" in plan, "boundary array must broadcast"
+
+
+def test_bm25_topk_uses_take_ordered(spark, sf_dir):
+    """The top-10 must compile to TakeOrderedAndProject (per-partition
+    heap + driver merge), not a global Sort; corpus stats and document
+    frequencies must broadcast."""
+    plan = _plan(spark, sf_dir, "bm25_rank")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_zscore_broadcasts_group_stats(spark, sf_dir):
+    """The 5-row per-type stats aggregate must broadcast back onto the
+    fact table (a window over the full table would shuffle every row for
+    a 5-row answer)."""
+    plan = _plan(spark, sf_dir, "zscore_outliers")
+    assert "BroadcastHashJoin" in plan, plan
