@@ -584,3 +584,184 @@ def q_bm25_rank(spark, sf_dir):
         ).alias("score"),
     )
     return agg.orderBy(F.desc("score"), "doc_id").limit(10)
+
+
+# ===========================================================================
+# Time-series ops: sweep-line concurrency, TWAP, rolling range windows
+# ===========================================================================
+
+
+@query(
+    "concurrency_sweep",
+    oracle="""
+    WITH iv AS (SELECT event_id, ts AS t0,
+                       ts + to_seconds(CAST(floor(value) AS BIGINT)) AS t1
+                FROM events),
+    pts AS (SELECT event_id, t0 AS t, 1 AS delta FROM iv
+            UNION ALL
+            SELECT event_id, t1 AS t, -1 AS delta FROM iv),
+    c AS (SELECT t, delta,
+                 sum(delta) OVER (ORDER BY t, delta, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS conc
+          FROM pts)
+    SELECT CAST(t AS DATE) AS day,
+           CAST(max(conc) AS BIGINT) AS max_concurrent,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM c GROUP BY 1
+    """,
+)
+def q_concurrency_sweep(spark, sf_dir):
+    """Sweep-line concurrency: treat each event as an interval
+    [ts, ts + floor(value) seconds) and compute the maximum number of
+    simultaneously-open intervals per day — the classic capacity-planning
+    query (concurrent sessions / connections / jobs).
+
+    The running +1/-1 sum needs a GLOBAL time order, which a naive
+    Window.orderBy(t) funnels through one task. Here the day is the
+    range-shard: per-day cumulative sums run in parallel, only the ~30
+    day TOTALS pass through the serial window, and the broadcast-joined
+    day prefix restores the exact global running sum (the same two-phase
+    distributed prefix sum as sequence_pack, with a time-range shard
+    instead of a hash shard — correct because the shard key is a prefix
+    of the global order). Intervals spanning midnight are handled by
+    construction: their -1 lands in the next day's shard but the prefix
+    carries the open count across. Ends sort before starts at the same
+    instant (delta -1 < +1), making intervals half-open."""
+    from movies_etl_spark.operators import curation as C
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    iv = ev.select(
+        "event_id",
+        F.col("ts").alias("t0"),
+        F.timestamp_micros(
+            F.unix_micros("ts") + (F.floor("value") * 1000000).cast("long")
+        ).alias("t1"),
+    )
+    pts = iv.select(
+        "event_id", F.col("t0").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(iv.select("event_id", F.col("t1").alias("t"), F.lit(-1).alias("delta")))
+    pts = pts.withColumn("day", F.to_date("t"))
+    off = C.global_running_offset(
+        pts, "delta", "day", [F.col("t"), F.col("delta"), F.col("event_id")]
+    )
+    conc = (F.col("cum_before") + F.col("delta")).alias("conc")
+    return (
+        off.select("day", conc)
+        .groupBy("day")
+        .agg(
+            F.max("conc").cast("long").alias("max_concurrent"),
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+        )
+    )
+
+
+@query(
+    "time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+        SELECT user_id, ts, event_id, value,
+               date_diff('microsecond', ts,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   / 1000000.0 AS dt
+        FROM events),
+    k AS (SELECT user_id, ts, event_id,
+                 round(value * dt, 6) AS vdt, dt
+          FROM seg WHERE dt IS NOT NULL),
+    a AS (SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n_segments,
+                 list_reduce([CAST(0 AS DOUBLE)]
+                     || list(vdt ORDER BY ts, event_id),
+                     (acc, v) -> acc + v) AS s,
+                 list_reduce([CAST(0 AS DOUBLE)]
+                     || list(dt ORDER BY ts, event_id),
+                     (acc, v) -> acc + v) AS d
+          FROM k GROUP BY user_id)
+    SELECT user_id, n_segments,
+           round(d, 4) AS total_sec,
+           round(s / d, 4) AS twap
+    FROM a
+    """,
+)
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average (the hypertable TWAP aggregate): each
+    observation's value is weighted by how long it remained current
+    (until the user's next event), twap = sum(v*dt)/sum(dt). One shuffle
+    on user_id shared by the lead-window and the final aggregate. Both
+    float sums are folds over the (ts, event_id)-sorted segment list —
+    the same bit-reproducibility discipline as the cosine/BM25 folds —
+    because a hash-aggregate's partial-sum order is engine-dependent.
+    dt derives from exact microsecond integers, so only the product
+    needs rounding."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")) / 1000000.0
+    seg = e.withColumn("dt", dt).filter(F.col("dt").isNotNull())
+    k = seg.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * F.col("dt"), 6).alias("vdt"),
+        "dt",
+    )
+
+    def fold(field):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", field))),
+            F.lit(0.0),
+            lambda acc, s: acc + s[field],
+        )
+
+    a = k.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        fold("vdt").alias("s"),
+        fold("dt").alias("d"),
+    )
+    return a.select(
+        "user_id",
+        "n_segments",
+        F.round(F.col("d"), 4).alias("total_sec"),
+        F.round(F.col("s") / F.col("d"), 4).alias("twap"),
+    )
+
+
+@query(
+    "rolling_range_window",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id,
+                      CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t_sec,
+                      CAST(floor(value * 100) AS BIGINT) AS cents
+               FROM events)
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS cnt_7d,
+           CAST(sum(cents) OVER w AS BIGINT) AS sum_cents_7d
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY t_sec
+                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_range_window(spark, sf_dir):
+    """Rolling 7-day per-user aggregate via a RANGE window frame (time-
+    based, not row-based — the frame is defined by the timestamp gap, so
+    sparse and dense users get the same 7 calendar days). One shuffle on
+    user_id. The summed measure is integer cents: a sliding float sum is
+    evaluated incrementally in Spark but by segment tree in other
+    engines, so only an association-free integer sum is portable —
+    floor(value*100) is computed from identical doubles in both
+    engines."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("t_sec"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_sec")
+        .rangeBetween(-604800, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cnt_7d"),
+        F.sum("cents").over(w).cast("long").alias("sum_cents_7d"),
+    )
