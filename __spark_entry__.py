@@ -88,6 +88,10 @@ _ROUND3_PRIORITY = [
     "fuzzy_join_levenshtein",
     "inverted_index",
     "bm25_rank",
+    # time-series suite (queries_analytics.py, new in r3)
+    "concurrency_sweep",
+    "time_weighted_avg",
+    "rolling_range_window",
 ]
 
 
