@@ -35,6 +35,7 @@ from movies_etl_spark.plans import queries_analytics  # noqa: E402,F401
 from movies_etl_spark.plans import queries_curation  # noqa: E402,F401
 from movies_etl_spark.plans import queries_expr  # noqa: E402,F401
 from movies_etl_spark.plans import queries_ext  # noqa: E402,F401
+from movies_etl_spark.plans import queries_scale  # noqa: E402,F401
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
@@ -92,6 +93,15 @@ _ROUND3_PRIORITY = [
     "concurrency_sweep",
     "time_weighted_avg",
     "rolling_range_window",
+    # scale-operations suite (queries_scale.py, new in r3)
+    "event_transitions",
+    "session_paths",
+    "vocab_topk",
+    "bigram_lm_counts",
+    "span_dedup",
+    "table_fingerprint",
+    "partition_stats",
+    "mad_outliers",
 ]
 
 

@@ -1,0 +1,494 @@
+"""Scale-operations query suite: corpus statistics, integrity
+fingerprints, partition metadata, sequence modeling, and robust
+outliers — the operational layer a 100 TB lakehouse runs daily next to
+the curation suite.
+
+Contents:
+- ``event_transitions`` / ``session_paths``: event-sequence modeling
+  (Markov transition matrix, top user journeys) — windowed per-user.
+- ``vocab_topk`` / ``bigram_lm_counts``: corpus token statistics (the
+  word-count and KenLM-style count-table primitives). The bigram query
+  deliberately uses array-zip instead of a window to show the
+  window-free formulation (one shuffle total, no per-doc ordering
+  state).
+- ``span_dedup``: fixed-width token-chunk duplicate-span detection —
+  the scalable approximation of suffix-array substring dedup
+  (Lee et al., "Deduplicating Training Data Makes Language Models
+  Better"), at chunk granularity instead of arbitrary substrings.
+- ``table_fingerprint``: order-insensitive bit_xor row-hash fingerprint
+  — compares two 100 TB table copies with one aggregate each, no sort,
+  no join.
+- ``partition_stats``: per-partition min/max/count metadata (the file-
+  skipping statistics a lakehouse table format maintains).
+- ``mad_outliers``: median-absolute-deviation robust outliers (the
+  heavy-tail-safe complement to zscore_outliers).
+
+Oracle discipline (same as queries_ext/queries_analytics): floats are
+rounded before they cross the engine boundary; thresholds compare
+identically-rounded operands so boundary rows cannot flip between
+engines; event timestamps are truncated to seconds on both sides
+(events.ts is TIMESTAMP(NANOS) parquet — Spark reads µs, DuckDB ns);
+ordering ties under LIMIT are broken by a deterministic total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from movies_etl_spark.plans.registry import _t, query
+
+# ===========================================================================
+# Event-sequence modeling
+# ===========================================================================
+
+
+@query(
+    "event_transitions",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      CAST(date_trunc('second', ts) AS TIMESTAMP) AS s
+               FROM events),
+    p AS (SELECT event_type AS next_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY s, event_id) AS prev_type
+          FROM e)
+    SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS cnt,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY prev_type),
+                 6) AS prob
+    FROM p WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def q_event_transitions(spark, sf_dir):
+    """Markov transition matrix over per-user event sequences: for each
+    observed (prev_type -> next_type) pair, its count and conditional
+    probability P(next | prev) — the first-order sequence model behind
+    next-event prediction and anomaly scoring.
+
+    One shuffle of the fact table (user_id window for lag), then the
+    pair aggregation collapses to |event_types|^2 <= 25 rows, and the
+    probability window runs on that tiny frame. Ordering inside a user
+    is (second-truncated ts, event_id): deterministic on both engines
+    regardless of the parquet nanos (ties broken by the unique id)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_trunc("second", F.col("ts")).alias("s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    pairs = e.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(w_prev), 6).alias("prob"),
+    )
+
+
+@query(
+    "session_paths",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      CAST(date_trunc('second', ts) AS TIMESTAMP) AS s
+               FROM events),
+    marked AS (
+        SELECT user_id, event_id, event_type, s,
+               CASE WHEN s - lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id)
+                         > INTERVAL 30 MINUTE
+                     OR lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id)
+                        IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e),
+    grp AS (
+        SELECT user_id, event_id, event_type, s,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS UNBOUNDED PRECEDING) AS g
+        FROM marked),
+    paths AS (
+        SELECT string_agg(event_type, '>' ORDER BY s, event_id) AS path
+        FROM grp GROUP BY user_id, g)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def q_session_paths(spark, sf_dir):
+    """Top-20 user journeys: sessionize (30-min gap), render each
+    session as an ordered 'view>click>purchase' path string, count
+    identical paths — the product-analytics "common flows" report.
+
+    The sessionizing windows, the per-session path aggregation, and the
+    running sum all share the user_id partitioning: the fact table
+    shuffles ONCE. Path counting then shuffles only distinct path
+    strings (already collapsed map-side), and the top-20 is a
+    TakeOrdered — no global sort. Path order inside a session is
+    (second-truncated ts, event_id) — deterministic on both engines;
+    the LIMIT tie-break is (count DESC, path ASC), a total order."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_trunc("second", F.col("ts")).alias("s"),
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("s", "event_id")
+    marked = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "s",
+        F.when(
+            (F.col("s").cast("long") - F.lag("s").over(w_lag).cast("long") > 1800)
+            | F.lag("s").over(w_lag).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = marked.select(
+        "user_id", "event_id", "event_type", "s", F.sum("new_s").over(w_run).alias("g")
+    )
+    paths = grp.groupBy("user_id", "g").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("s", "event_id", "event_type"))
+                ),
+                lambda r: r["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+
+
+# ===========================================================================
+# Corpus token statistics
+# ===========================================================================
+
+
+@query(
+    "vocab_topk",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents)
+    SELECT term,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+           CAST(count(*) AS BIGINT) AS term_freq
+    FROM tok WHERE term <> ''
+    GROUP BY term
+    ORDER BY doc_freq DESC, term_freq DESC, term LIMIT 100
+    """,
+)
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head: top-100 terms by document frequency (then
+    collection frequency) — the word-count primitive that sizes
+    tokenizer vocabularies and stop-word lists.
+
+    Explode is map-side; count(DISTINCT doc_id) plans as the standard
+    two-phase expand-aggregate (partials combine map-side, so the
+    shuffle carries (term, doc_id) partials, not raw token instances —
+    at 100 TB the shuffle volume is bounded by |vocab| x |docs touched|,
+    not token count). Top-100 is TakeOrdered, no global sort."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count(F.lit(1)).alias("term_freq"),
+        )
+        .orderBy(F.col("doc_freq").desc(), F.col("term_freq").desc(), "term")
+        .limit(100)
+    )
+
+
+@query(
+    "bigram_lm_counts",
+    oracle="""
+    WITH d AS (SELECT string_split(text, ' ') AS toks
+               FROM documents WHERE len(string_split(text, ' ')) >= 2),
+    bg AS (SELECT toks[p] AS w1, toks[p + 1] AS w2
+           FROM d, unnest(range(1, len(toks))) AS t(p))
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY w1),
+                 6) AS cond_p
+    FROM bg GROUP BY w1, w2
+    ORDER BY cnt DESC, w1, w2 LIMIT 100
+    """,
+)
+def q_bigram_lm_counts(spark, sf_dir):
+    """KenLM-style bigram count table: top-100 (w1, w2) pairs with the
+    conditional probability P(w2 | w1) — the n-gram LM / Gopher-repetition
+    statistics primitive.
+
+    Deliberately WINDOW-FREE (contrast event_transitions): adjacent
+    pairs come from zipping the token array against itself map-side
+    (transform over sequence), so there is no per-document ordering
+    state and the ONLY shuffle carries pre-combined (w1, w2) partial
+    counts — bounded by vocabulary squared, not corpus size. The
+    conditional-probability window then runs on the collapsed count
+    table. This is the shape that survives 100 TB: corpus-size work is
+    all in the map stage."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(F.split(F.col("text"), " ").alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    bg = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "p -> named_struct('w1', element_at(toks, p), "
+                "'w2', element_at(toks, p + 1)))"
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    w_prev = Window.partitionBy("w1")
+    return (
+        counts.select(
+            "w1",
+            "w2",
+            "cnt",
+            F.round(F.col("cnt") / F.sum("cnt").over(w_prev), 6).alias("cond_p"),
+        )
+        .orderBy(F.col("cnt").desc(), "w1", "w2")
+        .limit(100)
+    )
+
+
+# ===========================================================================
+# Duplicate-span detection (chunk-granular substring dedup)
+# ===========================================================================
+
+
+@query(
+    "span_dedup",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sp AS (SELECT doc_id,
+                  md5(array_to_string(toks[st:st + 19], ' ')) AS h
+           FROM d, unnest(range(1, len(toks) + 1, 20)) AS t(st)),
+    hc AS (SELECT h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY h)
+    SELECT sp.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN hc.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+           round(sum(CASE WHEN hc.nd >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS dup_frac
+    FROM sp JOIN hc USING (h)
+    GROUP BY sp.doc_id
+    """,
+)
+def q_span_dedup(spark, sf_dir):
+    """Duplicated-span detection at 20-token chunk granularity: for each
+    document, the fraction of its non-overlapping 20-token chunks whose
+    exact content also appears in ANOTHER document — the scalable
+    approximation of suffix-array substring dedup (Lee et al. 2022) at
+    fixed chunk boundaries, used to flag boilerplate-heavy documents.
+
+    Chunking is map-side (sequence + slice + md5 on the token array; the
+    ragged tail chunk clips identically in both engines). The hash table
+    aggregates once on the 16-byte chunk hash, joins back on the same
+    key (co-partitioned after AQE; spans:hashes is near 1:1 so there is
+    no skew), and the per-doc rollup is the only other shuffle. Never
+    materializes a pair list — cost is linear in corpus size, which is
+    what makes chunk-granular dedup runnable where true suffix arrays
+    are not."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    sp = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks), 20), "
+                "st -> md5(array_join(slice(toks, st, 20), ' ')))"
+            )
+        ).alias("h"),
+    )
+    hc = sp.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    j = sp.join(hc, "h")
+    dup = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(dup).cast("long").alias("n_dup_spans"),
+        F.round(F.sum(dup) / F.count(F.lit(1)), 4).alias("dup_frac"),
+    )
+
+
+# ===========================================================================
+# Table integrity / partition metadata
+# ===========================================================================
+
+
+@query(
+    "table_fingerprint",
+    oracle="""
+    WITH r AS (SELECT o_orderstatus,
+                      CAST('0x' || substr(md5(concat_ws('|',
+                          CAST(o_orderkey AS VARCHAR),
+                          CAST(o_custkey AS VARCHAR),
+                          o_orderstatus,
+                          CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                          CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+                          o_orderpriority)), 1, 15) AS BIGINT) AS h
+               FROM orders)
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(h) AS fingerprint
+    FROM r GROUP BY o_orderstatus
+    """,
+)
+def q_table_fingerprint(spark, sf_dir):
+    """Order-insensitive content fingerprint per order-status partition:
+    bit_xor over a canonical 60-bit row hash, plus the row count. Two
+    table copies (a migration, a replica, yesterday's snapshot) compare
+    by fingerprint with ONE aggregate scan each — no sort, no join, no
+    row transfer — which is the only table-diff that is practical at
+    100 TB (snapshot_diff gives the row-level answer when fingerprints
+    disagree).
+
+    Canonicalization is engine-portable: integers/strings verbatim,
+    doubles through DECIMAL(18,2), timestamps through DATE, fields
+    joined with '|' (concat_ws skips NULLs identically in both
+    engines), md5 truncated to 15 hex digits = 60 bits so the XOR stays
+    inside a signed 64-bit long. XOR is commutative/associative —
+    partition order, task order, and shuffle order cannot change the
+    result, exactly why this beats any checksum that folds
+    order-dependently."""
+    o = _t(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    r = o.select(
+        "o_orderstatus",
+        F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    return r.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(h)").alias("fingerprint"),
+    )
+
+
+@query(
+    "partition_stats",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM orders GROUP BY 1
+    """,
+)
+def q_partition_stats(spark, sf_dir):
+    """Per-month partition statistics for orders: row count, min/max
+    order key, exact price total, distinct customers — the min/max/count
+    metadata a lakehouse table format (Iceberg/Delta-style) keeps per
+    partition for file skipping, computed as a query.
+
+    One hash aggregate with map-side partials; count(DISTINCT) expands
+    to the standard two-phase plan. The price total sums in
+    DECIMAL(18,2) — exact and order-insensitive, so no float summation-
+    order caveat — and converts to DOUBLE only at the boundary. At
+    100 TB this runs per-partition-scan with partial aggregation; it is
+    the query you run to prime or audit metadata-based pruning."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
+
+
+# ===========================================================================
+# Robust outliers (median absolute deviation)
+# ===========================================================================
+
+
+@query(
+    "mad_outliers",
+    oracle="""
+    WITH med AS (SELECT event_type,
+                        round(quantile_cont(value, 0.5), 6) AS med
+                 FROM events GROUP BY event_type),
+    dev AS (SELECT e.event_type, abs(e.value - m.med) AS d, m.med
+            FROM events e JOIN med m ON e.event_type = m.event_type),
+    mad AS (SELECT event_type, round(quantile_cont(d, 0.5), 6) AS mad
+            FROM dev GROUP BY event_type)
+    SELECT d.event_type, any_value(d.med) AS median_value,
+           any_value(a.mad) AS mad,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN d.d > 3.5 * 1.4826 * a.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad a ON d.event_type = a.event_type
+    GROUP BY d.event_type
+    """,
+)
+def q_mad_outliers(spark, sf_dir):
+    """Median-absolute-deviation outlier screen per event type: robust
+    location (median) and scale (MAD), and the count of rows beyond the
+    standard 3.5 robust-z cutoff (3.5 x 1.4826 x MAD) — the heavy-tail-
+    safe complement to zscore_outliers (a single extreme value shifts a
+    mean/stddev screen; it cannot move a median/MAD screen).
+
+    Three aggregate passes over a 2-column pruned scan (median, MAD of
+    deviations, threshold count); each stats frame is <= |event_types|
+    rows and joins back as a broadcast — never a full-table window.
+    Exact medians use the same interpolation in both engines
+    (established by describe_stats/percentile_by_group parity) and are
+    rounded to 6 places BEFORE the deviation/threshold arithmetic, so
+    both engines compare bit-identical doubles and boundary rows cannot
+    flip."""
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("d")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("d", F.lit(0.5)), 6).alias("mad")
+    )
+    j = dev.join(F.broadcast(mad), "event_type")
+    out = F.when(F.col("d") > 3.5 * 1.4826 * F.col("mad"), 1).otherwise(0)
+    return j.groupBy("event_type").agg(
+        F.any_value(F.col("med")).alias("median_value"),
+        F.any_value(F.col("mad")).alias("mad"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(out).cast("long").alias("n_outliers"),
+    )

@@ -193,3 +193,40 @@ def test_zscore_broadcasts_group_stats(spark, sf_dir):
     a 5-row answer)."""
     plan = _plan(spark, sf_dir, "zscore_outliers")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bigram_counts_window_free(spark, sf_dir):
+    """bigram_lm_counts promises a window-free corpus stage: adjacent
+    pairs come from map-side array zipping, so the only Window in the
+    plan is the conditional-probability one over the collapsed count
+    table, and corpus-size work never enters a per-doc window. The scan
+    must prune to the text column only."""
+    plan = _plan(spark, sf_dir, "bigram_lm_counts")
+    assert _nodes(plan, "Window") == 1, plan
+    assert "TakeOrderedAndProject" in plan, "top-100 must not global-sort"
+    m = re.search(r"ReadSchema: (.*)", plan)
+    assert m and "doc_id" not in m.group(1), "scan must prune to text only"
+
+
+def test_vocab_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "vocab_topk")
+    assert "TakeOrderedAndProject" in plan, "top-100 must not global-sort"
+
+
+def test_mad_outliers_broadcasts_stats(spark, sf_dir):
+    """Both tiny stats frames (per-type median, per-type MAD) must come
+    back onto the fact table as broadcasts — never a full-table window
+    or a shuffled join for a 5-row side. The dev subtree is referenced
+    twice (MAD aggregate + final count), so its med-broadcast repeats:
+    every stats join must be broadcast (3 of them), none sort-merge."""
+    plan = _plan(spark, sf_dir, "mad_outliers")
+    assert _nodes(plan, "BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_table_fingerprint_single_shuffle_no_sort(spark, sf_dir):
+    """One hash-aggregate shuffle on the 3-value status key; XOR is
+    order-insensitive so the plan must contain no Sort at all."""
+    plan = _plan(spark, sf_dir, "table_fingerprint")
+    assert _exchanges(plan) == 1, plan
+    assert _nodes(plan, "Sort") == 0, plan
