@@ -81,6 +81,15 @@ HEADLINE = [
     "gapfill_daily",
     "bm25_rank",
     "fuzzy_join_levenshtein",
+    # scale-operations suite (r3): corpus token statistics (explode-heavy
+    # map stages), chunk-granular span dedup, the O(scan) bit_xor table
+    # fingerprint, and the sessionize-then-aggregate journey report.
+    "vocab_topk",
+    "bigram_lm_counts",
+    "span_dedup",
+    "table_fingerprint",
+    "session_paths",
+    "mad_outliers",
 ]
 
 
@@ -97,6 +106,7 @@ def main() -> None:
     from movies_etl_spark.plans import queries_analytics  # noqa: F401
     from movies_etl_spark.plans import queries_curation  # noqa: F401
     from movies_etl_spark.plans import queries_expr, queries_ext  # noqa: F401
+    from movies_etl_spark.plans import queries_scale  # noqa: F401
 
     spark = get_spark(app_name="movies_etl_bench")
 

@@ -528,30 +528,48 @@ def q_inverted_index(spark, sf_dir):
 )
 def q_bm25_rank(spark, sf_dir):
     """BM25 ranked retrieval (k1=1.2, b=0.75) for a 3-term query — the
-    lexical complement to similarity_topk. Corpus stats (N, total length)
+    lexical complement to similarity_topk. The expensive step — regex
+    tokenization of every document — runs exactly ONCE: doc length and
+    each query term's tf are array expressions over the same token array
+    in one projection, and the resulting per-doc stats frame (a few
+    numeric columns per doc — O(n_docs), no token rows) is persisted so
+    the corpus-stats aggregate, the document-frequency count, and the
+    scoring join all reuse it instead of re-tokenizing (the pre-r3 shape
+    re-ran the regex 4x through unshared subtrees and exploded every
+    token just to keep 3). There is no explode and no (doc, token)
+    shuffle at corpus scale: tf rows materialize only for matching
+    (doc, term) pairs via a 3-row stack. Corpus stats (N, total length)
     are a 1-row aggregate cross-joined broadcast; document frequencies a
-    3-row broadcast; term frequencies one shuffle on (doc, token). The
-    idf is rounded to 6 places before the tf product (ln() may differ in
-    the last ulp across libm implementations), each term's contribution
-    is rounded, and the per-doc sum is a fold over the token-sorted list
-    — the oracle replays the exact reduction order. Top-10 via
-    orderBy+limit compiles to TakeOrdered (per-partition heap + driver
-    merge), not a global sort."""
+    3-row broadcast. The idf is rounded to 6 places before the tf
+    product (ln() may differ in the last ulp across libm
+    implementations), each term's contribution is rounded, and the
+    per-doc sum is a fold over the token-sorted list — the oracle
+    replays the exact reduction order. Top-10 via orderBy+limit compiles
+    to TakeOrdered (per-partition heap + driver merge), not a global
+    sort."""
+    from movies_etl_spark.operators import caching
+
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("toks"),
     )
-    dl = d.select("doc_id", F.size("toks").cast("double").alias("dl"))
-    st = dl.agg(
+    tf_cols = [
+        F.expr(f"size(filter(toks, x -> x = '{t}'))")
+        .cast("double")
+        .alias(f"tf_{t}")
+        for t in _BM25_TERMS
+    ]
+    docstats = caching.tracked_persist(
+        d.select("doc_id", F.size("toks").cast("double").alias("dl"), *tf_cols)
+    )
+    st = docstats.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
     )
-    tok = d.select("doc_id", F.explode("toks").alias("token"))
-    tf = (
-        tok.filter(F.col("token").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    stack = "stack({}, {}) AS (token, tf)".format(
+        len(_BM25_TERMS), ", ".join(f"'{t}', tf_{t}" for t in _BM25_TERMS)
     )
+    tf = docstats.selectExpr("doc_id", "dl", stack).filter(F.col("tf") > 0)
     dfr = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
     k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
     idf = F.round(
@@ -568,7 +586,6 @@ def q_bm25_rank(spark, sf_dir):
     )
     sc = (
         tf.join(F.broadcast(dfr), "token")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(st))
         .select("doc_id", "token", contrib.alias("contrib"))
     )
