@@ -285,19 +285,27 @@ def connected_components(
     Returns (node, component)."""
     # The edge list is scanned once per round; its lineage is typically the
     # expensive candidate-verify join (LSH band join + Jaccard over shingle
-    # arrays), so persist the bidirectional table for the loop's duration —
-    # otherwise every round re-executes the whole near-dup pipeline. At
-    # 100 TB this is a checkpointed edges table for the same reason.
-    both = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))).persist()
+    # arrays). localCheckpoint (not just persist) both materializes it AND
+    # truncates its lineage to an RDD leaf: persist alone keeps the full
+    # analyzed plan, and because each round's plan embeds the previous
+    # round's, the tree grows geometrically with rounds — by round 2-3
+    # Catalyst was spending seconds per action OPTIMIZING a multi-hundred-
+    # node plan of an already-cached frame (measured: the final survivors
+    # anti-join in curation_pipeline paid 3-5 s of pure planning on a
+    # 465 KB explain string). With leaf plans every round optimizes a
+    # constant-size tree. On a fault-tolerant cluster use checkpoint(dir)
+    # instead — localCheckpoint blocks don't survive executor loss.
+    both = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint(eager=False)
+    )
     labels = (
         both.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
     )
     global LAST_CC_ROUNDS
-    prev_persisted = None
     for rounds in range(1, max_iter + 1):
         LAST_CC_ROUNDS = rounds
         neighbor_min = (
@@ -316,15 +324,16 @@ def connected_components(
                 F.col("_old"),
             )
         )
-        # tracked so the FINAL round's labels (returned persisted, consumed
-        # by the caller's action) are released when the next query builds;
-        # intermediate rounds are still unpersisted eagerly below.
-        new_labels = tracked_persist(new_labels)
-        # One action per round: the aggregate both materializes the cache
-        # and answers convergence (min-label propagation is monotone, so
-        # counting component < _old is exact). The old two-job shape — a
-        # count to materialize plus a self-join to detect change — paid a
-        # full extra job of stage-scheduling overhead every round.
+        # Lazy localCheckpoint: the convergence aggregate below is the one
+        # action per round — it materializes the checkpoint AND answers
+        # convergence (min-label propagation is monotone, so counting
+        # component < _old is exact). After it, this round's frame is an
+        # RDD leaf: next round's plan is constant-size instead of embedding
+        # every earlier round (see the `both` comment). Superseded rounds'
+        # blocks are released by the ContextCleaner when the frame is
+        # dropped; each is a 3-column label table, the same footprint
+        # class the old explicit persist/unpersist managed.
+        new_labels = new_labels.localCheckpoint(eager=False)
         # coalesce: F.sum over an EMPTY labels frame (no edges) is NULL —
         # without it `changed == 0` never holds and the loop runs max_iter
         changed = new_labels.agg(
@@ -333,16 +342,9 @@ def connected_components(
                 F.lit(0),
             ).alias("c")
         ).collect()[0]["c"]
-        # new_labels is materialized by the aggregate above → the previous
-        # round's cache is safe to drop (bounded memory over iterations)
-        if prev_persisted is not None:
-            prev_persisted.unpersist()
-        prev_persisted = new_labels
-        # next round reads the cached frame through a 2-column projection
+        # next round reads the checkpointed frame through a 2-column
+        # projection
         labels = new_labels.select("node", "component")
         if changed == 0:
             break
-    # final labels are materialized (by the last round's aggregate), so
-    # the edge cache can be released before returning
-    both.unpersist()
     return labels.select("node", "component")

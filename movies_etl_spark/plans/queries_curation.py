@@ -497,8 +497,16 @@ def q_curation_pipeline(spark, sf_dir):
         .select("doc_id")
         .distinct()
     )
-    clean = corpus2.join(contaminated, "doc_id", "left_anti").select(
-        "doc_id", "text"
+    # the cleaned corpus feeds BOTH the LSH edge builder and the final
+    # survivors anti-join — persist it so the quality filter + n-gram
+    # decontamination (the explode-heavy stages) run once, not once per
+    # consumer. At 100 TB this persist is the stage boundary a real run
+    # would checkpoint to storage between the cheap filters and the
+    # expensive dedup.
+    from movies_etl_spark.operators import caching
+
+    clean = caching.tracked_persist(
+        corpus2.join(contaminated, "doc_id", "left_anti").select("doc_id", "text")
     )
     comp = D.connected_components(verified_edges(clean))
     dropped = comp.filter(F.col("component") != F.col("node")).select(

@@ -230,3 +230,16 @@ def test_table_fingerprint_single_shuffle_no_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "table_fingerprint")
     assert _exchanges(plan) == 1, plan
     assert _nodes(plan, "Sort") == 0, plan
+
+
+def test_connected_components_lineage_truncated(spark, sf_dir):
+    """Iterative label propagation must return a LEAF-plan frame
+    (localCheckpoint per round), not a plan that embeds every round's
+    join tree: with persist alone the analyzed plan grows geometrically
+    with rounds and Catalyst pays seconds of optimization per downstream
+    action on already-cached data (the r3 curation_pipeline finding —
+    see SCALE.md 'Cluster components')."""
+    plan = _plan(spark, sf_dir, "dedup_cluster_components")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, "rounds must not re-embed the scan"
+    assert len(plan) < 20_000, f"plan blew up to {len(plan)} chars"
