@@ -102,6 +102,12 @@ _ROUND3_PRIORITY = [
     "table_fingerprint",
     "partition_stats",
     "mad_outliers",
+    "data_profile",
+    "compact_small_files",
+    # 51st name — one past the driver's 50-row window by design: the
+    # least-critical new query overflows to round 4's window (see
+    # NOTES_r3.md rotation ledger).
+    "streaming_dedup_watermark",
 ]
 
 

@@ -90,6 +90,11 @@ HEADLINE = [
     "table_fingerprint",
     "session_paths",
     "mad_outliers",
+    # ops layer: one-pass profiler, small-file compaction (read+write,
+    # no shuffle), TTL-bounded streaming dedup
+    "data_profile",
+    "compact_small_files",
+    "streaming_dedup_watermark",
 ]
 
 

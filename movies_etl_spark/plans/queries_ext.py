@@ -1085,6 +1085,28 @@ def q_streaming_dedup(spark, sf_dir):
 
 
 @query(
+    "streaming_dedup_watermark",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(date_trunc('second', ts) AS TIMESTAMP) AS s
+    FROM events
+    """,
+)
+def q_streaming_dedup_watermark(spark, sf_dir):
+    """TTL-bounded streaming dedup: dropDuplicatesWithinWatermark keyed
+    on event_id (planted at-least-once re-deliveries of every 100th
+    event). The state-bounding production variant of streaming_dedup —
+    see streaming/ops.dedup_stream_within_watermark for why the horizon
+    bounds state at (rate x horizon) instead of stream lifetime. The
+    batch oracle is exact on bounded input: everything arrives within
+    one horizon, so the output is precisely the distinct base event
+    set."""
+    from movies_etl_spark.streaming import ops
+
+    return ops.dedup_stream_within_watermark(spark, sf_dir)
+
+
+@query(
     "streaming_stream_join",
     oracle="""
     WITH e AS (SELECT event_id, user_id, event_type,

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from movies_etl_spark.plans.registry import _t, query
+from movies_etl_spark.plans.registry import _scratch, _t, query
 
 # ===========================================================================
 # Event-sequence modeling
@@ -491,4 +491,127 @@ def q_mad_outliers(spark, sf_dir):
         F.any_value(F.col("mad")).alias("mad"),
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(out).cast("long").alias("n_outliers"),
+    )
+
+
+# ===========================================================================
+# Data profiling / lakehouse file maintenance
+# ===========================================================================
+
+_PROFILE_COLS = ["event_id", "user_id", "event_type", "value", "props", "s"]
+_PROFILE_NUMERIC = {"event_id", "user_id", "value"}
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        if c in _PROFILE_NUMERIC:
+            mn = f"round(CAST(min({c}) AS DOUBLE), 4)"
+            mx = f"round(CAST(max({c}) AS DOUBLE), 4)"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{c}' AS col_name,"
+            f" CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,"
+            f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+            f" {mn} AS min_val, {mx} AS max_val FROM e"
+        )
+    return (
+        "WITH e AS (SELECT event_id, user_id, event_type, value, props,"
+        " CAST(date_trunc('second', ts) AS TIMESTAMP) AS s FROM events)\n"
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
+@query("data_profile", oracle=_profile_oracle())
+def q_data_profile(spark, sf_dir):
+    """One-pass column profiler over events: per column, the null count,
+    exact distinct count, and (for numeric columns) min/max — the table
+    you consult before choosing join keys, salting, or bucketing (its
+    distinct counts are the input to the skew_report decision).
+
+    All 6 columns' statistics compute in a SINGLE aggregate over one
+    pruned scan: Catalyst plans the multi-distinct as one expand +
+    aggregate (each row fans out once per distinct column, partials
+    combine map-side), and the 1-row result unpivots to 6 rows with a
+    stack — the table is never re-scanned per column, which is the
+    difference between profiling a 100 TB table in one pass and in six.
+    At extreme scale swap exact distincts for approx_count_distinct
+    (the approx_stats query demonstrates the sketch path and its
+    bounds). Timestamps truncate to seconds on both engines (nanos
+    parquet); distinct counts are truncation-stable."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        F.date_trunc("second", F.col("ts")).alias("s"),
+    )
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        if c in _PROFILE_NUMERIC:
+            aggs.append(F.round(F.min(c).cast("double"), 4).alias(f"mn_{c}"))
+            aggs.append(F.round(F.max(c).cast("double"), 4).alias(f"mx_{c}"))
+    one = e.agg(*aggs)
+    rows = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, "
+        + (f"mn_{c}, mx_{c}" if c in _PROFILE_NUMERIC
+           else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)")
+        for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {rows})"
+        " AS (col_name, n_nulls, n_distinct, min_val, max_val)"
+    )
+
+
+@query(
+    "compact_small_files",
+    oracle="""
+    SELECT CAST(64 AS INT) AS n_files_before, CAST(4 AS INT) AS n_files_after,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    """,
+)
+def q_compact_small_files(spark, sf_dir):
+    """Small-file compaction — the OPTIMIZE primitive every parquet lake
+    runs nightly: a 64-file fragmented table (the natural residue of
+    streaming/chunked ingest) is rewritten into 4 right-sized files via
+    coalesce, and the result row carries before/after file counts plus a
+    DECIMAL-exact content checksum proving the rewrite lost nothing.
+
+    coalesce (not repartition) is the point: it merges input splits
+    WITHOUT a shuffle — compaction cost is one read + one write. At
+    100 TB this runs per table-partition (compact only partitions whose
+    small-file count crosses a threshold — partition_stats supplies
+    that), with `maxRecordsPerFile` as the file-size governor instead of
+    a fixed output count."""
+    import os as _os
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    path = _scratch("compact_small_files", sf_dir)
+    li.repartition(64).write.mode("overwrite").parquet(f"{path}/small")
+    small = spark.read.parquet(f"{path}/small")
+    small.coalesce(4).write.mode("overwrite").parquet(f"{path}/compacted")
+
+    def _n_parquet(p):
+        return len([f for f in _os.listdir(p) if f.endswith(".parquet")])
+
+    compacted = spark.read.parquet(f"{path}/compacted")
+    return compacted.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    ).select(
+        F.lit(_n_parquet(f"{path}/small")).alias("n_files_before"),
+        F.lit(_n_parquet(f"{path}/compacted")).alias("n_files_after"),
+        "n_rows",
+        "sum_qty",
     )

@@ -328,3 +328,35 @@ def foreach_batch_to_parquet(
     )
     q.awaitTermination()
     return len(seen)
+
+
+def dedup_stream_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest dedup with TTL-BOUNDED state: ``dropDuplicatesWithinWatermark``
+    keyed on event_id over a watermarked event stream — the production
+    variant `dedup_stream`'s docstring points at. Plain ``dropDuplicates``
+    keeps one state entry per key FOREVER; within-watermark dedup evicts
+    entries once the watermark passes them, so state is bounded by (event
+    rate x horizon) instead of stream lifetime — the difference between a
+    dedup that survives a year of 100 TB ingest and one that OOMs.
+
+    Duplicates are planted by re-emitting every event_id % 100 == 0 row
+    (same content, same key — the at-least-once-delivery shape this
+    operator exists for). On the bounded test input everything arrives
+    inside one watermark horizon, so the result is exactly the distinct
+    base set and the batch SQL oracle is exact; on an unbounded source
+    only LATE re-deliveries (beyond the horizon) would slip through —
+    that is the documented trade-off being bought."""
+    ev = events_stream(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_trunc("second", F.col("ts")).alias("s"),
+    )
+    dups = ev.filter(F.col("event_id") % 100 == 0)
+    deduped = (
+        ev.unionByName(dups)
+        .withWatermark("s", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    with _state_partitions(spark, 8):
+        return _run_to_memory(deduped, "append")
