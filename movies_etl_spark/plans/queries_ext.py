@@ -1107,6 +1107,29 @@ def q_streaming_dedup_watermark(spark, sf_dir):
 
 
 @query(
+    "streaming_foreach_batch_sink",
+    oracle="SELECT event_id, user_id, value FROM events",
+)
+def q_streaming_foreach_batch_sink(spark, sf_dir):
+    """Exactly-once-shaped custom sink: foreachBatch writes each
+    micro-batch to a batch-id-addressed parquet subdir (idempotent
+    overwrite per batch id — a retried batch lands in the same place,
+    which is the user-side half of the exactly-once contract; the
+    checkpoint supplies replay). The query round-trips the full event
+    stream through the sink and reads the batch directories back:
+    content equality with the source table IS the delivery guarantee
+    being asserted. See streaming/ops.foreach_batch_to_parquet."""
+    from movies_etl_spark.plans.registry import _scratch
+    from movies_etl_spark.streaming import ops
+
+    target = _scratch("foreach_batch_sink", sf_dir)
+    ops.foreach_batch_to_parquet(spark, sf_dir, target)
+    return spark.read.parquet(f"{target}/batch=*").select(
+        "event_id", "user_id", "value"
+    )
+
+
+@query(
     "streaming_stream_join",
     oracle="""
     WITH e AS (SELECT event_id, user_id, event_type,

@@ -142,3 +142,44 @@ def test_approx_stats_within_bounds(spark, sf_dir, duck):
     assert abs(row["approx_orders"] - exact[0]) / exact[0] < 0.05
     assert abs(row["approx_parts"] - exact[1]) / exact[1] < 0.05
     assert abs(row["approx_median_price"] - exact[2]) / exact[2] < 0.01
+
+
+def test_table_fingerprint_order_invariant(spark, sf_dir):
+    """The bit_xor fingerprint's whole claim is order-insensitivity:
+    recomputing it after an adversarial repartition+shuffle of the input
+    must produce identical fingerprints per group (parity with the
+    oracle cannot test this — DuckDB sees only one physical order)."""
+    import __spark_entry__ as m
+
+    base = {
+        r["o_orderstatus"]: (r["n_rows"], r["fingerprint"])
+        for r in m.queries()["table_fingerprint"](spark, sf_dir).collect()
+    }
+    from pyspark.sql import functions as F
+
+    from movies_etl_spark.plans.registry import _t
+
+    o = _t(spark, sf_dir, "orders").repartition(7, F.col("o_orderkey"))
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    r = o.select(
+        "o_orderstatus",
+        F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    shuffled = {
+        row["o_orderstatus"]: (row["n_rows"], row["fingerprint"])
+        for row in r.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("fingerprint"),
+        )
+        .collect()
+    }
+    assert base == shuffled
