@@ -104,11 +104,12 @@ _ROUND3_PRIORITY = [
     "mad_outliers",
     "data_profile",
     "compact_small_files",
-    # names 51-52 — past the driver's 50-row window by design: the two
+    # names 51+ — past the driver's 50-row window by design: the
     # least-critical new queries overflow to round 4's window, where
     # they lead the priority list (see NOTES_r3.md rotation ledger).
     "streaming_dedup_watermark",
     "streaming_foreach_batch_sink",
+    "weighted_sample_topk",
 ]
 
 

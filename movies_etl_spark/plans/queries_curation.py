@@ -242,6 +242,50 @@ def q_group_quota_sample(spark, sf_dir):
     )
 
 
+@query(
+    "weighted_sample_topk",
+    oracle="""
+    WITH k AS (SELECT doc_id, lang, n_chars,
+                      round(ln((CAST('0x' || substr(md5('ws:' ||
+                                CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+                                + 1) / CAST(POWER(2, 48) AS DOUBLE))
+                            / n_chars, 9) AS es_key
+               FROM documents)
+    SELECT doc_id, lang, n_chars, es_key FROM k
+    ORDER BY es_key DESC, doc_id LIMIT 100
+    """,
+)
+def q_weighted_sample_topk(spark, sf_dir):
+    """Distributed weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each doc draws a deterministic uniform u from a
+    purpose-salted 48-bit hash and ranks by ln(u)/weight (the log form
+    of u^(1/w)); the top-k by that key IS a weighted sample — here
+    weight = n_chars, the sample-proportional-to-length draw a curation
+    run uses for eval-set construction.
+
+    The scale property is the whole point of A-ES: the key is a pure
+    per-row map (no global state, no sequential scan like classic
+    reservoir sampling), so the sample is a TakeOrdered top-k — heap per
+    partition + driver merge, never a global sort, and resumable/stable
+    across retries because u is hash-derived, not rand(). ln() is
+    rounded to 9 places before ranking so both engines rank identical
+    keys (libm last-ulp); the boundary tie-break is (key, doc_id), a
+    total order."""
+    d = _t(spark, sf_dir, "documents")
+    h48 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    u = (h48 + F.lit(1)) / F.lit(float(2**48))
+    es_key = F.round(F.log(u) / F.col("n_chars"), 9)
+    return (
+        d.select("doc_id", "lang", "n_chars", es_key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(100)
+    )
+
+
 #: per-language keep-rates (basis points of 10000) for corpus mixing:
 #: downsample the head language toward a more uniform mixture.
 _MIX_RATES_BP = {"de": 10000, "en": 5000, "es": 8000, "fr": 10000, "zh": 6000}

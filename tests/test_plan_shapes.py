@@ -243,3 +243,12 @@ def test_connected_components_lineage_truncated(spark, sf_dir):
     assert "Scan ExistingRDD" in plan, plan
     assert "Scan parquet" not in plan, "rounds must not re-embed the scan"
     assert len(plan) < 20_000, f"plan blew up to {len(plan)} chars"
+
+
+def test_weighted_sample_uses_take_ordered(spark, sf_dir):
+    """A-ES weighted sampling must be a pure map + TakeOrdered top-k
+    (per-partition heap), never a global Sort — that is the property
+    that makes it a reservoir-sampling replacement at corpus scale."""
+    plan = _plan(spark, sf_dir, "weighted_sample_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert _exchanges(plan) == 0, "key assignment is map-only"
