@@ -95,6 +95,9 @@ HEADLINE = [
     "data_profile",
     "compact_small_files",
     "streaming_dedup_watermark",
+    "event_transitions",
+    "partition_stats",
+    "weighted_sample_topk",
 ]
 
 

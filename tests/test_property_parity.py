@@ -183,3 +183,21 @@ def test_table_fingerprint_order_invariant(spark, sf_dir):
         .collect()
     }
     assert base == shuffled
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    """A-ES with weight = n_chars must actually bias the sample: the
+    sampled docs' mean length exceeds the corpus mean (deterministic
+    given the hash-derived uniforms; a key formula regression — e.g.
+    dropping the 1/w exponent — flips this)."""
+    import __spark_entry__ as m
+    from pyspark.sql import functions as F
+
+    from movies_etl_spark.plans.registry import _t
+
+    sample = m.queries()["weighted_sample_topk"](spark, sf_dir)
+    mean_sample = sample.agg(F.avg("n_chars")).first()[0]
+    mean_corpus = (
+        _t(spark, sf_dir, "documents").agg(F.avg("n_chars")).first()[0]
+    )
+    assert mean_sample > mean_corpus
