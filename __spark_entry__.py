@@ -110,6 +110,8 @@ _ROUND3_PRIORITY = [
     "streaming_dedup_watermark",
     "streaming_foreach_batch_sink",
     "weighted_sample_topk",
+    "pivot_dynamic",
+    "fk_violations",
 ]
 
 

@@ -615,3 +615,96 @@ def q_compact_small_files(spark, sf_dir):
         "n_rows",
         "sum_qty",
     )
+
+
+# ===========================================================================
+# Dynamic pivot / referential integrity
+# ===========================================================================
+
+
+@query(
+    "pivot_dynamic",
+    oracle="""
+    SELECT event_type,
+           count(*) FILTER (WHERE user_id % 4 = 0) AS "0",
+           count(*) FILTER (WHERE user_id % 4 = 1) AS "1",
+           count(*) FILTER (WHERE user_id % 4 = 2) AS "2",
+           count(*) FILTER (WHERE user_id % 4 = 3) AS "3"
+    FROM events GROUP BY event_type
+    """,
+)
+def q_pivot_dynamic(spark, sf_dir):
+    """Pivot WITHOUT an explicit value list: Spark first runs a
+    distinct-values job on the pivot column, then plans the same
+    conditional aggregation `pivot_counts` writes by hand. The trade-off
+    this query exists to demonstrate: inferred pivots cost one extra
+    collect-to-driver pass over the column, and the default
+    spark.sql.pivotMaxValues=10000 cap is the guard that keeps an
+    accidental high-cardinality pivot from planning a 10k-column
+    aggregate. Use explicit values (pivot_counts) in production jobs at
+    100 TB; inference is for exploration. Pivot key = user_id % 4 —
+    closed value domain, so the oracle enumerates it."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 4).alias("bucket")
+    )
+    # fill(0): a pivot cell with no rows is NULL in Spark but 0 under the
+    # oracle's FILTER count — align the empty-cell convention
+    return e.groupBy("event_type").pivot("bucket").agg(F.count(F.lit(1))).na.fill(0)
+
+
+@query(
+    "fk_violations",
+    oracle="""
+    SELECT 'orders.o_custkey->customer' AS fk,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_orphans,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE l.l_orderkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    """,
+)
+def q_fk_violations(spark, sf_dir):
+    """Referential-integrity audit: orphan counts for the two fact-side
+    foreign keys (orders→customer, lineitem→orders) next to the table
+    row counts — the constraint check a lakehouse runs after every load,
+    since parquet enforces nothing.
+
+    Each check is one left-anti join on the key: the dimension side
+    (customer; the orders KEY column) broadcasts at these ratios, and
+    the anti-join short-circuits per probe — no row expansion, output
+    is one count per constraint. At 100 TB this is the cheapest shape
+    that proves a load didn't orphan facts; pair with table_fingerprint
+    for content drift."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+
+    def check(fact, key, dim, dim_key, label):
+        orphans = (
+            fact.filter(F.col(key).isNotNull())
+            .join(dim, F.col(key) == F.col(dim_key), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        total = fact.agg(F.count(F.lit(1)).alias("n_rows"))
+        return orphans.crossJoin(total).select(
+            F.lit(label).alias("fk"), "n_orphans", "n_rows"
+        )
+
+    return check(
+        o.select("o_custkey"), "o_custkey", c, "c_custkey",
+        "orders.o_custkey->customer",
+    ).unionAll(
+        check(
+            li, "l_orderkey", o.select("o_orderkey"), "o_orderkey",
+            "lineitem.l_orderkey->orders",
+        )
+    )
