@@ -112,6 +112,7 @@ _ROUND3_PRIORITY = [
     "weighted_sample_topk",
     "pivot_dynamic",
     "fk_violations",
+    "similarity_ann_lsh",
 ]
 
 

@@ -295,3 +295,47 @@ def topk_bruteforce_vectorized(
         local.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (cosine ANN bucketing)
+# ---------------------------------------------------------------------------
+
+#: deterministic "random" hyperplanes for sign-LSH over 64-dim embeddings:
+#: p[j][i] derives from md5 so BOTH engines (and the SQL oracle) share the
+#: exact double values via their literal decimal form — no in-engine RNG,
+#: no rand(), stable across runs/retries (the property every hash in this
+#: repo's sampling/splitting layer relies on).
+RP_N_PLANES = 8
+RP_DIM = 64
+
+
+def _rp_value(j: int, i: int) -> float:
+    import hashlib
+
+    h = int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[:6], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+RP_PLANES: list[list[float]] = [
+    [_rp_value(j, i) for i in range(RP_DIM)] for j in range(RP_N_PLANES)
+]
+
+
+def rp_bucket(vec: Column) -> Column:
+    """Sign-LSH bucket id in [0, 2^RP_N_PLANES): bit j is the sign of the
+    dot product with hyperplane j (dot rounded to 6 places before the
+    sign test so a near-zero projection cannot flip between engines).
+    Pure per-row map — the corpus is bucketed in the same scan that
+    reads it, and at scale the bucket doubles as the layout partition
+    key exactly like the IVF cell."""
+    from movies_etl_spark.operators.dedup import dot
+
+    bucket = F.lit(0)
+    for j, plane in enumerate(RP_PLANES):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(F.round(dot(vec, lit_plane), 6) >= 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+        bucket = bucket + bit
+    return bucket

@@ -487,6 +487,95 @@ def q_similarity_ann_ivf(spark, sf_dir):
     return SIM.topk_ivf(e, e.filter(F.col("vec_id") < 8), k=3)
 
 
+def _rp_bucket_sql(vec: str) -> str:
+    """DuckDB replica of operators.similarity.rp_bucket: the hyperplane
+    constants are Python-computed decimal literals shared verbatim by
+    both engines (no in-engine RNG), and each projection folds
+    left-to-right exactly like the Spark side."""
+    terms = []
+    for j, plane in enumerate(SIM.RP_PLANES):
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        dot = (
+            f"list_reduce([CAST(0 AS DOUBLE)] || "
+            f"list_transform(list_zip({vec}, {arr}), "
+            f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), "
+            f"(acc, v) -> acc + v)"
+        )
+        terms.append(f"(CASE WHEN round({dot}, 6) >= 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+_ANN_LSH_ORACLE = f"""
+    WITH b AS (SELECT vec_id, embedding,
+                      {_rp_bucket_sql("embedding")} AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket
+          FROM b WHERE vec_id < 8),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, e.bucket,
+               round({_COS_SQL.format(a="q.qvec", b="e.embedding")}, 6) AS sim
+        FROM b e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, bucket, sim, rank FROM (
+        SELECT query_id, neighbor_id, bucket, sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored)
+    WHERE rank <= 3
+    """
+
+
+@query("similarity_ann_lsh", oracle=_ANN_LSH_ORACLE)
+def q_similarity_ann_lsh(spark, sf_dir):
+    """Sign-LSH ANN — the third ANN flavor next to brute-force
+    (similarity_topk) and IVF (similarity_ann_ivf): 8 deterministic
+    random hyperplanes give every vector an 8-bit signature bucket in a
+    pure per-row map; each query exact-reranks ONLY its own bucket
+    (expected corpus/256 candidates) instead of the full corpus.
+
+    Unlike IVF, no trainer is needed (hyperplanes are data-independent),
+    which is why sign-LSH is the bootstrap ANN for a corpus whose
+    distribution is still shifting. Scale shape: corpus bucketing rides
+    the ingest scan (bucket = layout partition key, same as the IVF
+    cell), queries broadcast, candidates rerank with precomputed norms —
+    never a corpus shuffle. Recall is banding-limited (a true neighbor
+    in another bucket is missed — multi-probe or more tables raise it);
+    the top-3-within-bucket output makes that trade-off inspectable
+    against similarity_topk's exact answer."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        SIM.rp_bucket(F.col("embedding")).cast("int").alias("bucket"),
+        D.l2norm(F.col("embedding")).alias("nrm"),
+    )
+    qs = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cand = e.join(
+        F.broadcast(qs),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    sim = F.round(
+        D.dot(F.col("qvec"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "bucket",
+            sim.alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
 #: squared euclidean distance, same fold discipline as _COS_SQL
 _D2_SQL = """
     list_reduce([CAST(0 AS DOUBLE)] ||

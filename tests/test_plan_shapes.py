@@ -252,3 +252,13 @@ def test_weighted_sample_uses_take_ordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "weighted_sample_topk")
     assert "TakeOrderedAndProject" in plan, plan
     assert _exchanges(plan) == 0, "key assignment is map-only"
+
+
+def test_ann_lsh_broadcasts_queries_no_corpus_shuffle(spark, sf_dir):
+    """Sign-LSH ANN: bucketing is a per-row map on the corpus scan, the
+    query set broadcasts, and only the per-bucket candidate set (not the
+    corpus) reaches the ranking window — no sort-merge join anywhere."""
+    plan = _plan(spark, sf_dir, "similarity_ann_lsh")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("embeddings.parquet") <= 2, "corpus scanned at most twice"
