@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "similarity_topk",
+    "similarity_ann_lsh",
     "text_quality_score",
     "doc_fingerprint",
     "multimodal_extract",
