@@ -113,6 +113,7 @@ _ROUND3_PRIORITY = [
     "pivot_dynamic",
     "fk_violations",
     "similarity_ann_lsh",
+    "zorder_key",
 ]
 
 

@@ -708,3 +708,57 @@ def q_fk_violations(spark, sf_dir):
             "lineitem.l_orderkey->orders",
         )
     )
+
+
+# ===========================================================================
+# Z-order layout key
+# ===========================================================================
+
+
+@query(
+    "zorder_key",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_custkey % 65536 AS BIGINT) AS x,
+           CAST(date_diff('day', DATE '1992-01-01',
+                CAST(o_orderdate AS DATE)) % 65536 AS BIGINT) AS y,
+           CAST(list_sum(list_transform(range(0, 16),
+                k -> (((o_custkey % 65536) >> k) & 1)
+                       * CAST(POWER(2, 2 * k) AS BIGINT)
+                   + (((date_diff('day', DATE '1992-01-01',
+                        CAST(o_orderdate AS DATE)) % 65536) >> k) & 1)
+                       * CAST(POWER(2, 2 * k + 1) AS BIGINT)))
+                AS BIGINT) AS zkey
+    FROM orders
+    """,
+)
+def q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) layout key: interleave the bits of two 16-bit
+    normalized dimensions (customer, order-day) into one 32-bit curve
+    position — the multi-dimensional clustering key behind Delta/Iceberg
+    OPTIMIZE ZORDER. Sorting or range-partitioning the table by zkey
+    keeps rows close in BOTH dimensions physically close in files, so
+    min/max pruning (partition_stats) works for filters on either
+    column — a single-column sort only prunes one.
+
+    Pure per-row map (plan-asserted zero exchanges): the 16-round bit
+    interleave is a fold over a literal sequence, entirely inside
+    whole-stage codegen. The write-side companion is
+    `repartitionByRange(zkey).sortWithinPartitions(zkey)` — not part of
+    the query because range boundaries come from sampling
+    (nondeterministic); the KEY is the deterministic, oracle-checkable
+    part."""
+    o = _t(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 65536).cast("long")
+    y = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+        % 65536
+    ).cast("long")
+    zkey = F.expr(
+        "aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, k) -> acc"
+        " + ((x >> k) & 1) * shiftleft(CAST(1 AS BIGINT), 2 * k)"
+        " + ((y >> k) & 1) * shiftleft(CAST(1 AS BIGINT), 2 * k + 1))"
+    )
+    return o.select("o_orderkey", x.alias("x"), y.alias("y")).withColumn(
+        "zkey", zkey
+    )

@@ -262,3 +262,8 @@ def test_ann_lsh_broadcasts_queries_no_corpus_shuffle(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("embeddings.parquet") <= 2, "corpus scanned at most twice"
+
+
+def test_zorder_key_is_pure_map(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "zorder_key")
+    assert _exchanges(plan) == 0, "zkey assignment must be map-only"

@@ -80,3 +80,50 @@ def test_stream_source_dir_self_heals_and_keys_by_full_path(tmp_path):
     (a / "events.parquet").unlink()
     da2 = _stream_source_dir(str(a))  # must not raise despite dangling link
     assert da2 == da
+
+
+def test_checkpoint_restart_resumes_without_reprocessing(spark, sf_dir, tmp_path):
+    """The checkpoint half of the exactly-once contract (the sink half is
+    streaming_foreach_batch_sink's idempotent batch addressing): a stream
+    stopped after batch 1 and RESTARTED with the same checkpoint must
+    process only the files that arrived while it was down — source
+    offsets come from the checkpoint, so nothing is re-emitted and
+    nothing is lost."""
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    from movies_etl_spark.sources import readers
+
+    ev = readers.load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    part1 = ev.filter(F.col("event_id") % 2 == 0)
+    part2 = ev.filter(F.col("event_id") % 2 == 1)
+    part1.coalesce(1).write.mode("overwrite").parquet(str(src / "p1"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id BIGINT, user_id BIGINT")
+            .option("recursiveFileLookup", "true")
+            .format("parquet")
+            .load(str(src))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(str(sink)).count()
+    assert n1 == part1.count()
+    # files arriving while the stream is down
+    part2.coalesce(1).write.mode("overwrite").parquet(str(src / "p2"))
+    run_once()
+    out = spark.read.parquet(str(sink))
+    assert out.count() == ev.count(), "resume must add only the new files"
+    assert out.select("event_id").distinct().count() == ev.count(), (
+        "no event may be emitted twice across the restart"
+    )
