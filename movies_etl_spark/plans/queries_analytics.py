@@ -13,8 +13,9 @@ Oracle discipline (same as queries_ext): every float that crosses the
 engine boundary is rounded first; every multi-term float sum is a
 left-to-right fold over a sorted list so DuckDB replays the identical
 reduction order; timestamps that appear in output are truncated to
-seconds (events.ts is TIMESTAMP(NANOS) in parquet — see
-sources/readers.load_table).
+seconds (events.ts parquet precision has varied across testdata
+generations — ns-as-long vs µs-as-NTZ; see sources/readers.load_table
+and the _micros helper below).
 """
 
 from __future__ import annotations
@@ -23,6 +24,19 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from movies_etl_spark.plans.registry import _t, query
+
+
+def _micros(c) -> "F.Column":
+    """Epoch microseconds, tolerant of TIMESTAMP_NTZ inputs.
+
+    The driver's parquet writes `ts` without a timezone marker, which
+    Spark 4 infers as TIMESTAMP_NTZ; `unix_micros` only accepts TIMESTAMP
+    (LTZ), so cast first. The session timezone is pinned UTC
+    (session.py:48), making NTZ→LTZ value-preserving and identical to
+    DuckDB's naive `epoch_us`. On already-LTZ inputs the cast is a no-op,
+    so both encodings of the testdata work."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.unix_micros(col.cast("timestamp"))
 
 # ===========================================================================
 # Event analytics: funnel, retention, outliers, gap-fill
@@ -649,10 +663,12 @@ def q_concurrency_sweep(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
     iv = ev.select(
         "event_id",
-        F.col("ts").alias("t0"),
+        F.col("ts").cast("timestamp_ntz").alias("t0"),
         F.timestamp_micros(
-            F.unix_micros("ts") + (F.floor("value") * 1000000).cast("long")
-        ).alias("t1"),
+            _micros("ts") + (F.floor("value") * 1000000).cast("long")
+        )
+        .cast("timestamp_ntz")
+        .alias("t1"),
     )
     pts = iv.select(
         "event_id", F.col("t0").alias("t"), F.lit(1).alias("delta")
@@ -711,7 +727,7 @@ def q_time_weighted_avg(spark, sf_dir):
     needs rounding."""
     e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    dt = (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")) / 1000000.0
+    dt = (_micros(F.lead("ts").over(w)) - _micros("ts")) / 1000000.0
     seg = e.withColumn("dt", dt).filter(F.col("dt").isNotNull())
     k = seg.select(
         "user_id",
@@ -768,7 +784,7 @@ def q_rolling_range_window(spark, sf_dir):
     e = _t(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.expr("unix_micros(ts) div 1000000").alias("t_sec"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("t_sec"),
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
     )
     w = (

@@ -27,7 +27,8 @@ Oracle discipline (same as queries_ext/queries_analytics): floats are
 rounded before they cross the engine boundary; thresholds compare
 identically-rounded operands so boundary rows cannot flip between
 engines; event timestamps are truncated to seconds on both sides
-(events.ts is TIMESTAMP(NANOS) parquet — Spark reads µs, DuckDB ns);
+(events.ts parquet precision has varied by testdata generation — ns
+reads as a long, µs as TIMESTAMP_NTZ; see sources/readers.load_table);
 ordering ties under LIMIT are broken by a deterministic total order.
 """
 

@@ -11,9 +11,12 @@ Contract (driver harness, __spark_entry__.py):
   column is aliased identically on both sides;
 - float aggregates are rounded identically on both sides (summation-order
   differences between engines live far below the rounded digit);
-- ``events.ts`` is nanosecond-precision in parquet: Spark truncates to
-  microseconds, DuckDB keeps nanos — any query touching it must
-  ``date_trunc`` to second or coarser on BOTH sides.
+- ``events.ts`` has shipped as both TIMESTAMP(NANOS) (r1-r2 testdata:
+  Spark reads a nanos long, DuckDB keeps nanos) and TIMESTAMP(MICROS)
+  with no timezone marker (r3+: Spark reads TIMESTAMP_NTZ) — queries
+  ``date_trunc`` to second or coarser on BOTH sides, and anything needing
+  epoch arithmetic casts NTZ→timestamp first (UTC session, so the cast is
+  value-preserving under either encoding).
 
 Scale notes are attached per query; the design rule is: dimension sides
 broadcast, fact tables shuffle at most once, filters/projections sit

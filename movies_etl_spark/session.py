@@ -69,8 +69,9 @@ def pin_session_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    # The events test table stores TIMESTAMP(NANOS) which Spark's parquet
-    # reader rejects by default; read nanos as long and convert explicitly
-    # (sources.readers.load_table normalizes the column).
+    # Early testdata generations stored events.ts as TIMESTAMP(NANOS),
+    # which Spark's parquet reader rejects by default; read nanos as long
+    # and convert explicitly (sources.readers.load_table normalizes the
+    # column). Harmless for µs-encoded data, where the conf is a no-op.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark

@@ -56,11 +56,14 @@ def _wrap_not_found(fn, path: str):
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table as parquet (columnar scan, pushdown-capable).
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark reads only
-    as a nanos-since-epoch long (``spark.sql.legacy.parquet.nanosAsLong``,
-    set in session.pin_session_conf); normalize it to a microsecond
-    TimestampType here via integer division (a double division would lose
-    precision above 2^53 ns)."""
+    ``events.ts`` has shipped in two parquet encodings across testdata
+    generations: TIMESTAMP(NANOS), which Spark reads only as a
+    nanos-since-epoch long (``spark.sql.legacy.parquet.nanosAsLong``, set
+    in session.pin_session_conf) and is normalized here via integer
+    division (a double division would lose precision above 2^53 ns); and
+    TIMESTAMP(MICROS) with no timezone marker, which Spark 4 reads as
+    TIMESTAMP_NTZ and needs no normalization (queries that do epoch math
+    cast it to TIMESTAMP themselves — UTC session, value-preserving)."""
     path = f"{sf_dir}/{name}.parquet"
     df = _wrap_not_found(lambda: spark.read.parquet(path), path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

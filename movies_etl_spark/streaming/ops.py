@@ -25,9 +25,16 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: events parquet schema as read with nanosAsLong (ts = nanos since epoch)
-EVENTS_STREAM_SCHEMA = (
+#: events parquet schema when ts is TIMESTAMP(NANOS) read with nanosAsLong
+#: (ts = nanos since epoch); the µs encoding instead reads as TIMESTAMP_NTZ
+#: — _events_stream_schema picks per-dataset by peeking at the batch schema
+#: (file stream sources need an explicit schema, so auto-infer can't help).
+EVENTS_STREAM_SCHEMA_NANOS = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+EVENTS_STREAM_SCHEMA_MICROS = (
+    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
     "event_type STRING, value DOUBLE, props STRING"
 )
 
@@ -57,15 +64,28 @@ def _stream_source_dir(sf_dir: str) -> str:
     return stream_dir
 
 
+def _events_ts_is_nanos_long(spark: SparkSession, sf_dir: str) -> bool:
+    """True when `events.ts` is TIMESTAMP(NANOS) in parquet (which Spark
+    surfaces as a bigint under the nanosAsLong legacy conf). One footer
+    read — no data scan."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return dict(batch.dtypes).get("ts") == "bigint"
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table with the ns→µs timestamp
-    normalization applied (same contract as the batch loader)."""
+    """File-source stream over the events table, normalized to a
+    session-timezone TimestampType `ts` (same contract as the batch
+    loader) for either parquet encoding of the column."""
+    nanos = _events_ts_is_nanos_long(spark, sf_dir)
+    schema = EVENTS_STREAM_SCHEMA_NANOS if nanos else EVENTS_STREAM_SCHEMA_MICROS
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .load(_stream_source_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if nanos:
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 @contextmanager
@@ -288,13 +308,20 @@ def windowed_counts_watermarked(
     ev = events_stream(spark, sf_dir)
     if max_files_per_trigger:
         # re-read with the trigger cap (option lives on the reader)
+        nanos = _events_ts_is_nanos_long(spark, sf_dir)
+        schema = (
+            EVENTS_STREAM_SCHEMA_NANOS if nanos else EVENTS_STREAM_SCHEMA_MICROS
+        )
         raw = (
-            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", str(max_files_per_trigger))
             .format("parquet")
             .load(_stream_source_dir(sf_dir))
         )
-        ev = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if nanos:
+            ev = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        else:
+            ev = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         ev.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
