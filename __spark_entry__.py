@@ -35,6 +35,7 @@ from movies_etl_spark.plans import queries_analytics  # noqa: E402,F401
 from movies_etl_spark.plans import queries_curation  # noqa: E402,F401
 from movies_etl_spark.plans import queries_expr  # noqa: E402,F401
 from movies_etl_spark.plans import queries_ext  # noqa: E402,F401
+from movies_etl_spark.plans import queries_mlprep  # noqa: E402,F401
 from movies_etl_spark.plans import queries_scale  # noqa: E402,F401
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
@@ -114,6 +115,13 @@ _ROUND3_PRIORITY = [
     "fk_violations",
     "similarity_ann_lsh",
     "zorder_key",
+    # ML-prep suite (queries_mlprep.py, late r3) — also past the 50-row
+    # window; leads round 4 with the seven names above.
+    "rolling_distinct_users",
+    "bigram_perplexity",
+    "topic_tag_rules",
+    "cooccurrence_topk",
+    "group_rare_collapse",
 ]
 
 

@@ -1,0 +1,376 @@
+"""ML-prep query suite: the feature/statistics layer between raw corpus
+and training run — rolling engagement windows, n-gram LM quality
+scoring, rule-based labeling, co-occurrence statistics, and categorical
+cardinality capping.
+
+Contents:
+- ``rolling_distinct_users``: DAU + trailing-7-day WAU per day via
+  contribution-day expansion — the scale-correct rolling COUNT DISTINCT
+  (a distinct count has no partial state a RANGE window could slide).
+- ``bigram_perplexity``: per-document average negative log-likelihood
+  under an add-one-smoothed corpus bigram LM — the CCNet-style
+  perplexity quality filter, self-trained so the whole pipeline is one
+  job with no external model artifact.
+- ``topic_tag_rules``: keyword-rule multi-label topic tagging — the
+  deterministic labeler used to seed/stratify training mixes before a
+  learned classifier exists.
+- ``cooccurrence_topk``: distance-≤2 token co-occurrence counts — the
+  GloVe/PMI statistics primitive.
+- ``group_rare_collapse``: collapse categories below a frequency floor
+  into ``__other__`` — cardinality capping before one-hot/embedding
+  lookup, emitted as the relabel mapping you broadcast back onto the
+  fact table.
+
+Oracle discipline (same as the sibling suites): floats are rounded
+before they cross the engine boundary; multi-term float sums are folds
+over a deterministically-sorted list so DuckDB replays the identical
+reduction order; top-k ties are broken by a total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from movies_etl_spark.plans.registry import _t, query
+
+# ===========================================================================
+# Rolling engagement windows
+# ===========================================================================
+
+
+@query(
+    "rolling_distinct_users",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    contrib AS (SELECT user_id, day + CAST(k AS INTEGER) AS obs_day
+                FROM ud, unnest(range(7)) AS t(k)),
+    w AS (SELECT obs_day AS day, count(DISTINCT user_id) AS wau
+          FROM contrib JOIN days ON obs_day = days.day
+          GROUP BY obs_day),
+    d AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day)
+    SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau
+    FROM d JOIN w ON w.day = d.day
+    """,
+)
+def q_rolling_distinct_users(spark, sf_dir):
+    """DAU and trailing-7-day WAU per day — the rolling DISTINCT count.
+
+    COUNT(DISTINCT) has no subtractable partial state, so a RANGE window
+    cannot slide it and the naive formulation is a per-day self-join over
+    the trailing week (7 scans of the fact table). The scale shape used
+    here: shrink to distinct (user, day) pairs first (one
+    fact-table shuffle, the frame is bounded by users x days), then
+    expand each pair map-side into the 7 observation days it contributes
+    to, join the tiny distinct-days frame (broadcast) to clip the
+    expansion to observed days, and count distinct users per observation
+    day. Corpus-scale work is one shuffle + a 7x expansion of the already
+    -tiny distinct frame — independent of the window length's cost in the
+    self-join form."""
+    ud = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"), "day"
+    ).select("user_id", F.expr("date_add(day, k)").alias("obs_day"))
+    wau = (
+        contrib.join(
+            F.broadcast(days), contrib["obs_day"] == days["day"], "inner"
+        )
+        .groupBy("obs_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return dau.join(wau, dau["day"] == wau["obs_day"], "inner").select(
+        "day", "dau", "wau"
+    )
+
+
+# ===========================================================================
+# N-gram LM quality scoring (CCNet-style perplexity filter)
+# ===========================================================================
+
+
+@query(
+    "bigram_perplexity",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE len(string_split(text, ' ')) >= 2),
+    bg AS (SELECT doc_id, p, toks[p] AS w1,
+                  toks[p] || ' ' || toks[p + 1] AS bg
+           FROM d, unnest(range(1, len(toks))) AS t(p)),
+    v AS (SELECT count(DISTINCT tk) AS vsz
+          FROM (SELECT unnest(string_split(text, ' ')) AS tk
+                FROM documents)),
+    c2 AS (SELECT w1, bg, count(*) AS c2 FROM bg GROUP BY w1, bg),
+    lm AS (SELECT bg,
+                  round(-ln((c2 + 1.0) /
+                            (sum(c2) OVER (PARTITION BY w1) + vsz)), 6)
+                      AS nll
+           FROM c2, v),
+    scored AS (SELECT bg.doc_id, bg.p, lm.nll
+               FROM bg JOIN lm USING (bg)),
+    agg AS (SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   list_reduce([CAST(0 AS DOUBLE)]
+                       || list(nll ORDER BY p),
+                       (acc, x) -> acc + x) AS s
+            FROM scored GROUP BY doc_id)
+    SELECT doc_id, n_bigrams, round(s / n_bigrams, 4) AS avg_nll
+    FROM agg
+    """,
+)
+def q_bigram_perplexity(spark, sf_dir):
+    """Per-document perplexity under a self-trained corpus bigram LM —
+    the CCNet-style quality filter: documents whose token sequences are
+    improbable under the corpus LM (boilerplate, garbled extraction,
+    wrong language) score a high average negative log-likelihood and get
+    filtered or down-mixed. Add-one smoothing over the full vocabulary:
+    P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V).
+
+    Scale shape: the LM count table is bounded by observed-bigram
+    cardinality (vocabulary-squared worst case, far smaller in practice)
+    — it BROADCASTS to the exploded corpus, so the corpus-size work is
+    one map-side explode + one shuffle for the per-doc rollup; the
+    corpus is never joined to itself. Bit-reproducibility: each nll term
+    is rounded to 6 places before the per-doc sum, and that sum is a
+    fold over the position-sorted term list (a hash-aggregate's partial
+    order is engine-dependent), then the average rounds to 4."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "p -> named_struct("
+                "'p', p, "
+                "'w1', element_at(toks, p), "
+                "'bg', concat(element_at(toks, p), ' ', "
+                "element_at(toks, p + 1))))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.p").alias("p"), "b.w1", "b.bg")
+    vsz = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("tk"))
+        .agg(F.countDistinct("tk").alias("vsz"))
+    )
+    c2 = bg.groupBy("w1", "bg").agg(F.count(F.lit(1)).alias("c2"))
+    w1_tot = Window.partitionBy("w1")
+    lm = c2.crossJoin(F.broadcast(vsz)).select(
+        "bg",
+        F.round(
+            -F.log(
+                (F.col("c2") + 1.0) / (F.sum("c2").over(w1_tot) + F.col("vsz"))
+            ),
+            6,
+        ).alias("nll"),
+    )
+    scored = bg.select("doc_id", "p", "bg").join(F.broadcast(lm), "bg")
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("p", "nll"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["nll"],
+        ).alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("s") / F.col("n_bigrams"), 4).alias("avg_nll"),
+    )
+
+
+# ===========================================================================
+# Rule-based topic tagging
+# ===========================================================================
+
+_TOPIC_RULES = (
+    ("relational", ("join", "merge", "table")),
+    ("streaming", ("stream", "window", "batch")),
+    ("performance", ("fast", "slow", "scan")),
+    ("storage", ("row", "column", "part")),
+)
+
+
+@query(
+    "topic_tag_rules",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    m AS (SELECT doc_id,
+       CASE WHEN len(list_intersect(toks, ['join','merge','table'])) > 0
+            THEN 'relational' END AS t1,
+       CASE WHEN len(list_intersect(toks, ['stream','window','batch'])) > 0
+            THEN 'streaming' END AS t2,
+       CASE WHEN len(list_intersect(toks, ['fast','slow','scan'])) > 0
+            THEN 'performance' END AS t3,
+       CASE WHEN len(list_intersect(toks, ['row','column','part'])) > 0
+            THEN 'storage' END AS t4
+       FROM d)
+    SELECT doc_id,
+           CAST((t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT
+              + (t3 IS NOT NULL)::INT + (t4 IS NOT NULL)::INT AS BIGINT)
+               AS n_tags,
+           CASE WHEN t1 IS NULL AND t2 IS NULL AND t3 IS NULL
+                     AND t4 IS NULL
+                THEN 'untagged'
+                ELSE concat_ws(',', t1, t2, t3, t4) END AS tags
+    FROM m
+    """,
+)
+def q_topic_tag_rules(spark, sf_dir):
+    """Keyword-rule multi-label topic tagging: a document gets every
+    topic whose keyword set intersects its token set — the deterministic
+    labeler that seeds topic-stratified training mixes (domain_mix_sample
+    consumes exactly this kind of label) before any learned classifier
+    exists.
+
+    Pure map stage: token-set membership via arrays_overlap on the split
+    array — no explode, no shuffle, no regex (token-exact matching
+    sidesteps the Java-vs-RE2 dialect problem entirely). Tags render in
+    fixed rule order via concat_ws (skips nulls identically in both
+    engines); tagless docs get the explicit 'untagged' bucket so the
+    downstream mix sampler sees them as a class, not an empty string."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    tag_cols = [
+        F.when(
+            F.arrays_overlap("toks", F.array(*[F.lit(k) for k in kws])), topic
+        ).alias(f"t{i}")
+        for i, (topic, kws) in enumerate(_TOPIC_RULES, start=1)
+    ]
+    m = d.select("doc_id", *tag_cols)
+    ts = [F.col(f"t{i}") for i in range(1, len(_TOPIC_RULES) + 1)]
+    n_tags = sum(
+        (t.isNotNull().cast("int") for t in ts), F.lit(0)
+    ).cast("long")
+    all_null = ts[0].isNull()
+    for t in ts[1:]:
+        all_null = all_null & t.isNull()
+    return m.select(
+        "doc_id",
+        n_tags.alias("n_tags"),
+        F.when(all_null, "untagged")
+        .otherwise(F.concat_ws(",", *ts))
+        .alias("tags"),
+    )
+
+
+# ===========================================================================
+# Co-occurrence statistics (GloVe/PMI primitive)
+# ===========================================================================
+
+
+@query(
+    "cooccurrence_topk",
+    oracle="""
+    WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    pairs AS (
+        SELECT least(toks[p], toks[p + 1]) AS wa,
+               greatest(toks[p], toks[p + 1]) AS wb
+        FROM d, unnest(range(1, len(toks))) AS t(p)
+        UNION ALL
+        SELECT least(toks[p], toks[p + 2]) AS wa,
+               greatest(toks[p], toks[p + 2]) AS wb
+        FROM d, unnest(range(1, len(toks) - 1)) AS t(p))
+    SELECT wa, wb, CAST(count(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY wa, wb
+    ORDER BY cnt DESC, wa, wb LIMIT 50
+    """,
+)
+def q_cooccurrence_topk(spark, sf_dir):
+    """Top-50 token co-occurrence pairs within a distance-2 window —
+    the corpus statistic GloVe/PMI embeddings train on. Pairs are
+    order-normalized (least, greatest) so 'a b' and 'b a' accumulate
+    together.
+
+    Window expansion is MAP-SIDE (array zip against itself at offsets 1
+    and 2 — no explode-then-self-join, which at 100 TB would shuffle
+    token instances twice and join them); the union of the two offset
+    frames happens before aggregation, so the only shuffle carries
+    pre-combined (wa, wb) partial counts, bounded by vocabulary squared.
+    Top-50 is TakeOrdered with a (cnt DESC, wa, wb) total order."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.split(F.col("text"), " ").alias("toks")
+    )
+
+    def offset_pairs(dist: int):
+        return (
+            d.filter(F.size("toks") >= dist + 1)
+            .select(
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(toks) - {dist}), "
+                        f"p -> named_struct("
+                        f"'wa', least(element_at(toks, p), "
+                        f"element_at(toks, p + {dist})), "
+                        f"'wb', greatest(element_at(toks, p), "
+                        f"element_at(toks, p + {dist}))))"
+                    )
+                ).alias("b")
+            )
+            .select("b.wa", "b.wb")
+        )
+
+    pairs = offset_pairs(1).unionAll(offset_pairs(2))
+    return (
+        pairs.groupBy("wa", "wb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "wa", "wb")
+        .limit(50)
+    )
+
+
+# ===========================================================================
+# Categorical cardinality capping
+# ===========================================================================
+
+
+@query(
+    "group_rare_collapse",
+    oracle="""
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT sum(n) AS t FROM c)
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           CASE WHEN n * 1.0 / t < 0.045 THEN '__other__' ELSE source END
+               AS cat
+    FROM c, tot
+    """,
+)
+def q_group_rare_collapse(spark, sf_dir):
+    """Rare-category collapse mapping: every source whose corpus share
+    falls below a 4.5% floor is relabeled ``__other__`` — cardinality
+    capping before one-hot encoding / embedding-table lookup, where a
+    long tail of rare categories wastes parameters and overfits.
+
+    The output IS the relabel mapping (category, count, collapsed
+    label): at 100 TB you broadcast this |categories|-row frame back
+    onto the fact table to apply it — the fact table itself is touched
+    exactly once, by the initial map-side-combined count. The share
+    threshold compares identically-computed doubles in both engines
+    (n/t from exact integer counts)."""
+    c = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.agg(F.sum("n").alias("t"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.when(F.col("n") * 1.0 / F.col("t") < 0.045, "__other__")
+        .otherwise(F.col("source"))
+        .alias("cat"),
+    )

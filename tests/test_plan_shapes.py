@@ -267,3 +267,33 @@ def test_ann_lsh_broadcasts_queries_no_corpus_shuffle(spark, sf_dir):
 def test_zorder_key_is_pure_map(spark, sf_dir):
     plan = _plan(spark, sf_dir, "zorder_key")
     assert _exchanges(plan) == 0, "zkey assignment must be map-only"
+
+
+def test_bigram_perplexity_broadcasts_lm(spark, sf_dir):
+    """The bigram LM count table (vocabulary-squared bound) must come
+    back onto the exploded corpus as a BROADCAST — the corpus is never
+    sort-merge-joined or self-joined. The only shuffles are the LM count
+    aggregation, its w1 conditional window, and the per-doc rollup."""
+    plan = _plan(spark, sf_dir, "bigram_perplexity")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_cooccurrence_single_count_shuffle(spark, sf_dir):
+    """Co-occurrence pairs are zipped map-side at both offsets and the
+    union pre-combines before the single (wa, wb) count shuffle; top-50
+    is TakeOrdered, never a global Sort."""
+    plan = _plan(spark, sf_dir, "cooccurrence_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert _exchanges(plan) == 1, "one partial-count shuffle only"
+
+
+def test_rolling_distinct_users_broadcasts_days(spark, sf_dir):
+    """The distinct-days clip frame and the final DAU/WAU stitch are
+    broadcast joins (tiny sides); the corpus never sort-merge-joins and
+    never crosses itself per-day (the self-join formulation this query
+    exists to avoid)."""
+    plan = _plan(spark, sf_dir, "rolling_distinct_users")
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert _nodes(plan, "BroadcastHashJoin") >= 1, plan
