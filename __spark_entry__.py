@@ -122,6 +122,8 @@ _ROUND3_PRIORITY = [
     "topic_tag_rules",
     "cooccurrence_topk",
     "group_rare_collapse",
+    "scan_schema_evolution",
+    "rollup_cascade",
 ]
 
 

@@ -99,6 +99,12 @@ HEADLINE = [
     "event_transitions",
     "partition_stats",
     "weighted_sample_topk",
+    # ML-prep suite (late r3): LM-based quality scoring (explode + broadcast
+    # LM join + fold rollup), the rolling distinct-user expansion, and the
+    # offset-zip co-occurrence counts.
+    "bigram_perplexity",
+    "rolling_distinct_users",
+    "cooccurrence_topk",
 ]
 
 
@@ -115,6 +121,7 @@ def main() -> None:
     from movies_etl_spark.plans import queries_analytics  # noqa: F401
     from movies_etl_spark.plans import queries_curation  # noqa: F401
     from movies_etl_spark.plans import queries_expr, queries_ext  # noqa: F401
+    from movies_etl_spark.plans import queries_mlprep  # noqa: F401
     from movies_etl_spark.plans import queries_scale  # noqa: F401
 
     spark = get_spark(app_name="movies_etl_bench")

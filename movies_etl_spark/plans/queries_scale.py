@@ -763,3 +763,109 @@ def q_zorder_key(spark, sf_dir):
     return o.select("o_orderkey", x.alias("x"), y.alias("y")).withColumn(
         "zkey", zkey
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    WITH evolved AS (
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+                   AS o_orderpriority
+        FROM orders)
+    SELECT coalesce(o_orderpriority, '<pre-evolution>') AS priority,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(o_totalprice), 2) AS total
+    FROM evolved GROUP BY 1
+    """,
+)
+def q_scan_schema_evolution(spark, sf_dir):
+    """Schema-evolution scan: two parquet batches land in the same table
+    directory with DIFFERENT schemas (the second adds o_orderpriority —
+    the standard additive-column evolution every long-lived lake table
+    goes through), and ``mergeSchema=true`` reads them as one relation
+    with nulls for the pre-evolution rows. The rollup proves the merged
+    read: pre-evolution rows appear under an explicit bucket.
+
+    Scale note: mergeSchema reconciles FOOTERS (one small read per
+    file, driver-side union of structs) — cost scales with file count,
+    not data size, which is why production lakes cache the merged
+    schema in a table format (Delta/Iceberg) instead of re-merging per
+    query; this query is the raw-parquet form of that contract. The
+    write itself is two partitioned appends; the aggregate is one
+    map-side-combined shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    path = _scratch("schema_evolution", sf_dir)
+    old = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    old.write.mode("append").parquet(f"{path}/t")
+    new.write.mode("append").parquet(f"{path}/t")
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{path}/t")
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>")).alias(
+            "priority"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "rollup_cascade",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', CAST(date_trunc('second', ts) AS TIMESTAMP))
+                   AS h,
+               count(*) AS cnt,
+               sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY 1),
+    daily AS (
+        SELECT CAST(date_trunc('day', h) AS DATE) AS d,
+               sum(cnt) AS cnt, sum(cents) AS cents
+        FROM hourly GROUP BY 1)
+    SELECT CAST(date_trunc('month', d) AS DATE) AS month,
+           CAST(sum(cnt) AS BIGINT) AS cnt,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM daily GROUP BY 1
+    """,
+)
+def q_rollup_cascade(spark, sf_dir):
+    """Hierarchical rollup cascade (the continuous-aggregate /
+    hypertable-rollup pattern): raw events aggregate ONCE to hourly
+    partials, dailies re-aggregate the hourlies, monthlies re-aggregate
+    the dailies — each level consumes the level below, never the raw
+    table. At 100 TB the hourly materialization is what makes dashboard
+    queries cheap: the raw scan happens once per ingest window, and
+    every coarser resolution is a re-aggregation of a frame that is
+    orders of magnitude smaller (here: fact rows -> |hours| -> |days| ->
+    |months|).
+
+    Only additive partials (count, integer-cent sum) cascade — an avg
+    would be derived at read time as sum/cnt, and non-additive stats
+    (distinct, quantiles) need mergeable sketches (see approx_stats).
+    The measure is exact integer cents so re-aggregation order cannot
+    drift between engines."""
+    e = _t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.date_trunc("second", F.col("ts"))).alias("h"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    hourly = e.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("cents").alias("cents")
+    )
+    daily = (
+        hourly.groupBy(F.date_trunc("day", "h").cast("date").alias("d"))
+        .agg(F.sum("cnt").alias("cnt"), F.sum("cents").alias("cents"))
+    )
+    return daily.groupBy(
+        F.date_trunc("month", "d").cast("date").alias("month")
+    ).agg(
+        F.sum("cnt").cast("long").alias("cnt"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )

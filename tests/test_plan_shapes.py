@@ -297,3 +297,12 @@ def test_rolling_distinct_users_broadcasts_days(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert _nodes(plan, "BroadcastHashJoin") >= 1, plan
+
+
+def test_rollup_cascade_scans_raw_once(spark, sf_dir):
+    """The rollup cascade must consume each level's partials, never
+    re-scan the raw table per resolution: exactly one events scan, and
+    three aggregation exchanges (hourly, daily, monthly)."""
+    plan = _plan(spark, sf_dir, "rollup_cascade")
+    assert plan.count("events.parquet") == 1, "raw table scanned once"
+    assert _exchanges(plan) == 3, plan
