@@ -137,28 +137,37 @@ def q_bigram_perplexity(spark, sf_dir):
     cardinality (vocabulary-squared worst case, far smaller in practice)
     — it BROADCASTS to the exploded corpus, so the corpus-size work is
     one map-side explode + one shuffle for the per-doc rollup; the
-    corpus is never joined to itself. Bit-reproducibility: each nll term
+    corpus is never joined to itself. The exploded bigram frame feeds
+    BOTH the LM count aggregate and the scoring join, so it persists for
+    the query's lifetime (tracked, released before the next query) —
+    train-then-score reuses one tokenization pass instead of exploding
+    the corpus twice; the production analog is materializing the
+    tokenized corpus once per ingest. Bit-reproducibility: each nll term
     is rounded to 6 places before the per-doc sum, and that sum is a
     fold over the position-sorted term list (a hash-aggregate's partial
     order is engine-dependent), then the average rounds to 4."""
+    from movies_etl_spark.operators.caching import tracked_persist
+
     d = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
         .filter(F.size("toks") >= 2)
     )
-    bg = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks) - 1), "
-                "p -> named_struct("
-                "'p', p, "
-                "'w1', element_at(toks, p), "
-                "'bg', concat(element_at(toks, p), ' ', "
-                "element_at(toks, p + 1))))"
-            )
-        ).alias("b"),
-    ).select("doc_id", F.col("b.p").alias("p"), "b.w1", "b.bg")
+    bg = tracked_persist(
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "p -> named_struct("
+                    "'p', p, "
+                    "'w1', element_at(toks, p), "
+                    "'bg', concat(element_at(toks, p), ' ', "
+                    "element_at(toks, p + 1))))"
+                )
+            ).alias("b"),
+        ).select("doc_id", F.col("b.p").alias("p"), "b.w1", "b.bg")
+    )
     vsz = (
         _t(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.col("text"), " ")).alias("tk"))
