@@ -124,6 +124,7 @@ _ROUND3_PRIORITY = [
     "group_rare_collapse",
     "scan_schema_evolution",
     "rollup_cascade",
+    "streaming_incremental_rollup",
 ]
 
 

@@ -1219,6 +1219,35 @@ def q_streaming_foreach_batch_sink(spark, sf_dir):
 
 
 @query(
+    "streaming_incremental_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('hour',
+               CAST(date_trunc('second', ts) AS TIMESTAMP)) AS TIMESTAMP)
+               AS h,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events GROUP BY 1
+    """,
+)
+def q_streaming_incremental_rollup(spark, sf_dir):
+    """Incremental materialized-view maintenance: foreachBatch merges
+    each micro-batch's hourly partials into a batch-id-VERSIONED
+    aggregate table (4 source files, maxFilesPerTrigger=1, so the merge
+    genuinely runs across multiple batches). The final version must
+    equal the batch hourly aggregate — that equality IS the maintenance
+    invariant the oracle checks. Versioned writes are the by-hand
+    table-format transaction: retried batches are idempotent, readers
+    only see complete versions. See
+    streaming/ops.incremental_hourly_rollup."""
+    from movies_etl_spark.plans.registry import _scratch
+    from movies_etl_spark.streaming import ops
+
+    work = _scratch("inc_rollup", sf_dir)
+    return ops.incremental_hourly_rollup(spark, sf_dir, work)
+
+
+@query(
     "streaming_stream_join",
     oracle="""
     WITH e AS (SELECT event_id, user_id, event_type,

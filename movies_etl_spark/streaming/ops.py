@@ -387,3 +387,79 @@ def dedup_stream_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     with _state_partitions(spark, 8):
         return _run_to_memory(deduped, "append")
+
+
+def incremental_hourly_rollup(
+    spark: SparkSession, sf_dir: str, work_dir: str, n_source_files: int = 4
+) -> DataFrame:
+    """Incremental materialized-view maintenance: a foreachBatch sink
+    keeps an HOURLY aggregate table continuously up to date as event
+    batches arrive — the streaming complement of the batch
+    ``rollup_cascade`` (which assumes the hourly level already exists;
+    this is the operator that maintains it).
+
+    Each micro-batch aggregates to hourly partials, merges them with the
+    previous version of the aggregate table (sum of additive partials —
+    the same mergeability contract as the cascade), and writes the
+    result to a BATCH-ID-VERSIONED directory. Versioned writes are the
+    by-hand form of a table-format transaction: a retried batch
+    regenerates the same version from the same previous version
+    (idempotent), the reader only ever sees a complete version, and
+    there is no read-modify-overwrite race on a single path. State is
+    bounded by |hours|, not stream length.
+
+    The source is the events table pre-bucketed to (hour, cents) and
+    split across ``n_source_files`` files with maxFilesPerTrigger=1, so
+    the maintenance genuinely runs across multiple micro-batches on
+    bounded input. Returns the final version — exactly the batch hourly
+    aggregate, which is the oracle-checked invariant."""
+    ev = _load_events_batch(spark, sf_dir)
+    src = f"{work_dir}/src"
+    ev.select(
+        F.date_trunc("hour", F.date_trunc("second", F.col("ts")))
+        .cast("timestamp")
+        .alias("h"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    ).repartition(n_source_files).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("h TIMESTAMP, cents BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(src)
+    )
+    state: dict[str, int] = {}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("h").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        if "last" in state:
+            prev = spark.read.parquet(f"{work_dir}/agg/v={state['last']}")
+            part = (
+                prev.unionByName(part)
+                .groupBy("h")
+                .agg(
+                    F.sum("cnt").cast("long").alias("cnt"),
+                    F.sum("sum_cents").alias("sum_cents"),
+                )
+            )
+        part.write.mode("overwrite").parquet(f"{work_dir}/agg/v={batch_id}")
+        state["last"] = batch_id
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{work_dir}/_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{work_dir}/agg/v={state['last']}")
+
+
+def _load_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch events load with the same ts normalization as the stream."""
+    from movies_etl_spark.sources import readers
+
+    return readers.load_table(spark, sf_dir, "events")

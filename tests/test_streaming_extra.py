@@ -127,3 +127,36 @@ def test_checkpoint_restart_resumes_without_reprocessing(spark, sf_dir, tmp_path
     assert out.select("event_id").distinct().count() == ev.count(), (
         "no event may be emitted twice across the restart"
     )
+
+
+def test_incremental_rollup_is_actually_incremental(spark, sf_dir, tmp_path):
+    """The maintenance must run across MULTIPLE micro-batches (one per
+    source file) and leave a version per batch — otherwise the query
+    degenerates to a single batch aggregate and the merge path is
+    untested. Also: the final version equals the direct batch aggregate."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from movies_etl_spark.sources import readers
+    from movies_etl_spark.streaming import ops
+
+    work = str(tmp_path / "inc")
+    out = ops.incremental_hourly_rollup(spark, sf_dir, work, n_source_files=4)
+    versions = sorted(glob.glob(f"{work}/agg/v=*"))
+    assert len(versions) >= 2, versions
+    direct = (
+        readers.load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.date_trunc("second", F.col("ts")))
+            .cast("timestamp")
+            .alias("h")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in direct.collect()}
+    assert got == want
