@@ -463,3 +463,4 @@ def _load_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movies_etl_spark.sources import readers
 
     return readers.load_table(spark, sf_dir, "events")
+
