@@ -125,6 +125,7 @@ _ROUND3_PRIORITY = [
     "scan_schema_evolution",
     "rollup_cascade",
     "streaming_incremental_rollup",
+    "json_typed_roundtrip",
 ]
 
 

@@ -1120,6 +1120,59 @@ def q_json_extract(spark, sf_dir):
 
 
 @query(
+    "json_typed_roundtrip",
+    oracle="""
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS BIGINT) AS k_sum
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def q_json_typed_roundtrip(spark, sf_dir):
+    """The from_json/to_json typed path (the schema'd complement of
+    json_extract's per-path get_json_object): per user, the events
+    nest into a JSON array document via to_json(collect_list(struct)),
+    then parse BACK through from_json with an explicit
+    array<struct<...>> schema and explode to rows — the
+    document-assembly/shredding round-trip an event-log ingest does at
+    the boundary between a document store and columnar analytics. The
+    aggregate over the shredded rows must equal the aggregate over the
+    original table (content-preservation invariant, which is what the
+    oracle checks — including the typed k extracted inside the nested
+    struct).
+
+    Shape: one user_id shuffle to assemble, map-side parse + explode to
+    shred; collect_list order doesn't matter because the check is
+    order-insensitive aggregation. Per-user documents are bounded by
+    per-user event counts — the per-key skew bound, not corpus size."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.get_json_object("props", "$.k").try_cast("long").alias("k"),
+    )
+    docs = ev.groupBy("user_id").agg(
+        F.to_json(
+            F.collect_list(F.struct("event_type", "k"))
+        ).alias("js")
+    )
+    shredded = docs.select(
+        "user_id",
+        F.explode(
+            F.from_json(
+                "js", "array<struct<event_type:string, k:bigint>>"
+            )
+        ).alias("e"),
+    )
+    return shredded.groupBy(
+        "user_id", F.col("e.event_type").alias("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("e.k").cast("long").alias("k_sum"),
+    )
+
+
+@query(
     "partition_pruned_scan",
     oracle="""
     SELECT o_orderkey, o_totalprice, CAST(strftime(o_orderdate, '%Y') AS INTEGER) AS order_year
