@@ -105,6 +105,10 @@ HEADLINE = [
     "bigram_perplexity",
     "rolling_distinct_users",
     "cooccurrence_topk",
+    # aggregate-maintenance pair: batch cascade + streaming foreachBatch
+    # incremental merge of the same hourly rollup
+    "rollup_cascade",
+    "streaming_incremental_rollup",
 ]
 
 
