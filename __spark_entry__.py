@@ -126,6 +126,9 @@ _ROUND3_PRIORITY = [
     "rollup_cascade",
     "streaming_incremental_rollup",
     "json_typed_roundtrip",
+    "chunk_sliding_window",
+    "oov_rate",
+    "embedding_dim_stats",
 ]
 
 

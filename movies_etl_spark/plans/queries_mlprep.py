@@ -383,3 +383,190 @@ def q_group_rare_collapse(spark, sf_dir):
         .otherwise(F.col("source"))
         .alias("cat"),
     )
+
+
+# ===========================================================================
+# RAG-style document chunking
+# ===========================================================================
+
+
+@query(
+    "chunk_sliding_window",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    ch AS (SELECT doc_id,
+                  CAST((st - 1) // 40 AS BIGINT) AS chunk_idx,
+                  CAST(len(toks[st:st + 49]) AS BIGINT) AS n_tokens,
+                  md5(array_to_string(toks[st:st + 49], ' ')) AS chunk_hash
+           FROM d, unnest(range(1, len(toks) + 1, 40)) AS t(st))
+    SELECT doc_id, chunk_idx, n_tokens, chunk_hash FROM ch
+    """,
+)
+def q_chunk_sliding_window(spark, sf_dir):
+    """Sliding-window document chunking (50-token chunks, stride 40 →
+    10-token overlap) — the retrieval/RAG ingestion primitive that
+    splits long documents into overlapping embedding-sized passages so
+    no answer span is cut at a hard boundary. Emits (doc, chunk index,
+    token count, content hash); the embedding step downstream consumes
+    exactly this frame.
+
+    Pure map stage (sequence + slice + md5 on the split array — same
+    shape as span_dedup but with overlapping stride), zero shuffles:
+    chunking 100 TB is scan-bound. The ragged tail chunk clips
+    identically in both engines."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks), 40), "
+                "st -> named_struct("
+                "'chunk_idx', CAST((st - 1) div 40 AS BIGINT), "
+                "'n_tokens', CAST(size(slice(toks, st, 50)) AS BIGINT), "
+                "'chunk_hash', md5(array_join(slice(toks, st, 50), ' '))))"
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.chunk_idx", "c.n_tokens", "c.chunk_hash")
+
+
+# ===========================================================================
+# Tokenizer vocabulary coverage
+# ===========================================================================
+
+
+@query(
+    "oov_rate",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    freq AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+    vocab AS (SELECT term FROM freq
+              ORDER BY tf DESC, term LIMIT 20),
+    j AS (SELECT t.doc_id,
+                 CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+          FROM tok t LEFT JOIN vocab v USING (term))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           round(sum(oov) * 1.0 / count(*), 4) AS oov_rate
+    FROM j GROUP BY doc_id
+    """,
+)
+def q_oov_rate(spark, sf_dir):
+    """Tokenizer vocabulary coverage: per document, the fraction of
+    token instances OUTSIDE the corpus's top-20 vocabulary — the
+    out-of-vocabulary rate that sizes a tokenizer's vocab (and flags
+    documents a fixed vocab would shred into unknowns).
+
+    The vocabulary is corpus-derived in the same job (count + top-k)
+    and BROADCASTS back onto the exploded corpus — bounded by the
+    vocab-size parameter, never corpus-scale; the only corpus-scale
+    shuffle is the per-doc rollup. Top-k tie-break is (freq DESC, term)
+    — a total order, so both engines pick the identical vocabulary."""
+    tok = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), "term")
+        .limit(20)
+        .select("term")
+    )
+    j = tok.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "term", "left"
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("oov_rate"),
+    )
+
+
+# ===========================================================================
+# Embedding column statistics
+# ===========================================================================
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    WITH e AS (SELECT vec_id,
+                      CAST(i AS BIGINT) AS dim,
+                      CAST(embedding[i] AS DOUBLE) AS v
+               FROM embeddings,
+                    unnest(range(1, len(embedding) + 1)) AS t(i)),
+    a AS (SELECT dim,
+                 CAST(count(*) AS BIGINT) AS n,
+                 list_reduce([CAST(0 AS DOUBLE)]
+                     || list(v ORDER BY vec_id),
+                     (acc, x) -> acc + x) AS s,
+                 list_reduce([CAST(0 AS DOUBLE)]
+                     || list(v * v ORDER BY vec_id),
+                     (acc, x) -> acc + x) AS ss,
+                 min(v) AS mn, max(v) AS mx
+          FROM e GROUP BY dim)
+    SELECT dim, n,
+           round(s / n, 4) AS mean,
+           round(sqrt((ss - s * s / n) / (n - 1)), 4) AS std,
+           round(mn, 4) AS vmin, round(mx, 4) AS vmax
+    FROM a
+    """,
+)
+def q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension statistics of the embedding column (mean / std /
+    min / max for each of the 64 dimensions) — the feature-normalization
+    pass before whitening, product quantization, or drift monitoring of
+    an embedding space.
+
+    posexplode is map-side; the only shuffle carries (dim, value) pairs
+    combined into per-dim partials... except the float sums, which are
+    NOT hash-aggregated: mean and std derive from folds over the
+    vec_id-sorted value list (the cosine/BM25/TWAP discipline), because
+    a partial-sum tree's order is engine-dependent. min/max/count are
+    order-free and aggregate normally. 64 groups × corpus rows — at
+    100 TB the collect_list per dim bounds at corpus row count; the
+    production swap is Welford partials per partition, which trades the
+    exact oracle for O(1) state (noted, not needed at bench scale)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("i", "vf")
+    ).select(
+        "vec_id",
+        (F.col("i") + 1).cast("long").alias("dim"),
+        F.col("vf").cast("double").alias("v"),
+    )
+
+    def fold(expr_col):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("vec_id", expr_col.alias("x")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["x"],
+        )
+
+    a = e.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        fold(F.col("v")).alias("s"),
+        fold(F.col("v") * F.col("v")).alias("ss"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    return a.select(
+        "dim",
+        "n",
+        F.round(F.col("s") / F.col("n"), 4).alias("mean"),
+        F.round(
+            F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)),
+            4,
+        ).alias("std"),
+        F.round("mn", 4).alias("vmin"),
+        F.round("mx", 4).alias("vmax"),
+    )

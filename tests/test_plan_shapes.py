@@ -306,3 +306,19 @@ def test_rollup_cascade_scans_raw_once(spark, sf_dir):
     plan = _plan(spark, sf_dir, "rollup_cascade")
     assert plan.count("events.parquet") == 1, "raw table scanned once"
     assert _exchanges(plan) == 3, plan
+
+
+def test_chunk_sliding_window_is_pure_map(spark, sf_dir):
+    """Overlapping chunking must be scan-bound: sequence+slice+md5 on
+    the split array, zero shuffles."""
+    plan = _plan(spark, sf_dir, "chunk_sliding_window")
+    assert _exchanges(plan) == 0, plan
+
+
+def test_oov_rate_broadcasts_vocab(spark, sf_dir):
+    """The top-k vocabulary (bounded by the vocab-size parameter) must
+    come back onto the exploded corpus as a broadcast — never a
+    sort-merge join of corpus-scale sides."""
+    plan = _plan(spark, sf_dir, "oov_rate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
