@@ -68,8 +68,13 @@ def q_rolling_distinct_users(spark, sf_dir):
     expansion to observed days, and count distinct users per observation
     day. Corpus-scale work is one shuffle + a 7x expansion of the already
     -tiny distinct frame — independent of the window length's cost in the
-    self-join form."""
-    ud = (
+    self-join form. The distinct frame feeds three consumers (days clip,
+    WAU expansion, DAU) so it persists for the query's lifetime — one
+    fact-table scan instead of three; it is the SMALL side (users x
+    days), which is what makes persisting it 100 TB-safe."""
+    from movies_etl_spark.operators.caching import tracked_persist
+
+    ud = tracked_persist(
         _t(spark, sf_dir, "events")
         .select("user_id", F.to_date("ts").alias("day"))
         .distinct()
@@ -367,7 +372,10 @@ def q_group_rare_collapse(spark, sf_dir):
     The output IS the relabel mapping (category, count, collapsed
     label): at 100 TB you broadcast this |categories|-row frame back
     onto the fact table to apply it — the fact table itself is touched
-    exactly once, by the initial map-side-combined count. The share
+    exactly once, by the initial map-side-combined count (the corpus
+    total comes from an unpartitioned window over the already-collapsed
+    |categories|-row frame, NOT a second aggregate over the scan — a
+    crossJoin-with-agg formulation re-scans the corpus). The share
     threshold compares identically-computed doubles in both engines
     (n/t from exact integer counts)."""
     c = (
@@ -375,11 +383,11 @@ def q_group_rare_collapse(spark, sf_dir):
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    tot = c.agg(F.sum("n").alias("t"))
-    return c.crossJoin(F.broadcast(tot)).select(
+    t = F.sum("n").over(Window.partitionBy())
+    return c.select(
         "source",
         F.col("n").cast("long").alias("n_docs"),
-        F.when(F.col("n") * 1.0 / F.col("t") < 0.045, "__other__")
+        F.when(F.col("n") * 1.0 / t < 0.045, "__other__")
         .otherwise(F.col("source"))
         .alias("cat"),
     )

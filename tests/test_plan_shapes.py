@@ -322,3 +322,14 @@ def test_oov_rate_broadcasts_vocab(spark, sf_dir):
     plan = _plan(spark, sf_dir, "oov_rate")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_single_scan_for_multi_consumer_frames(spark, sf_dir):
+    """Frames consumed more than once must not re-scan the fact table:
+    group_rare_collapse derives its corpus total from a window over the
+    collapsed counts (not a second aggregate over the scan), and
+    rolling_distinct_users persists the distinct (user, day) frame for
+    its three consumers."""
+    for name in ("group_rare_collapse", "rolling_distinct_users"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count(".parquet") == 1, (name, plan)
