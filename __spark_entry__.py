@@ -129,6 +129,7 @@ _ROUND3_PRIORITY = [
     "chunk_sliding_window",
     "oov_rate",
     "embedding_dim_stats",
+    "hierarchy_recursive_cte",
 ]
 
 

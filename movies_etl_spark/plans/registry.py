@@ -1082,6 +1082,58 @@ def q_grouping_sets(spark, sf_dir):
 
 
 @query(
+    "hierarchy_recursive_cte",
+    oracle="""
+    WITH RECURSIVE tree(custkey, depth, root) AS (
+        SELECT c_custkey, 0, c_custkey FROM customer WHERE c_custkey <= 9
+        UNION ALL
+        SELECT c.c_custkey, t.depth + 1, t.root
+        FROM customer c JOIN tree t ON c.c_custkey // 10 = t.custkey
+        WHERE c.c_custkey >= 10)
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(count(DISTINCT root) AS BIGINT) AS n_roots,
+           CAST(min(custkey) AS BIGINT) AS min_key,
+           CAST(max(custkey) AS BIGINT) AS max_key
+    FROM tree GROUP BY depth
+    """,
+)
+def q_hierarchy_recursive_cte(spark, sf_dir):
+    """Hierarchy traversal via WITH RECURSIVE (new in Spark 4 — the
+    org-chart / bill-of-materials / graph-reachability SQL surface):
+    customers form a synthetic 10-ary tree (parent = custkey div 10,
+    roots = single-digit keys), and the recursion computes each node's
+    depth and owning root; output aggregates per level.
+
+    Each recursion step is one equi-join of the frontier against the
+    node table — at scale the frontier is the small side (broadcast
+    per level) and the number of iterations is the hierarchy DEPTH
+    (logarithmic here), not node count; this is the same
+    bounded-iteration shape as dedup_cluster_components, expressed
+    through the SQL surface instead of a driver loop."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    c.createOrReplaceTempView("customer_hier")
+    return spark.sql(
+        """
+        WITH RECURSIVE tree(custkey, depth, root) AS (
+            SELECT c_custkey, 0, c_custkey FROM customer_hier
+            WHERE c_custkey <= 9
+            UNION ALL
+            SELECT c.c_custkey, t.depth + 1, t.root
+            FROM customer_hier c JOIN tree t
+              ON c.c_custkey div 10 = t.custkey
+            WHERE c.c_custkey >= 10)
+        SELECT CAST(depth AS BIGINT) AS depth,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(count(DISTINCT root) AS BIGINT) AS n_roots,
+               CAST(min(custkey) AS BIGINT) AS min_key,
+               CAST(max(custkey) AS BIGINT) AS max_key
+        FROM tree GROUP BY depth
+        """
+    )
+
+
+@query(
     "explode_tokens",
     oracle="""
     SELECT token, count(*) AS cnt FROM (
