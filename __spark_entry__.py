@@ -130,6 +130,8 @@ _ROUND3_PRIORITY = [
     "oov_rate",
     "embedding_dim_stats",
     "hierarchy_recursive_cte",
+    "copurchase_pairs",
+    "conditional_agg",
 ]
 
 

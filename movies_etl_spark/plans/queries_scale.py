@@ -869,3 +869,105 @@ def q_rollup_cascade(spark, sf_dir):
         F.sum("cents").cast("long").alias("sum_cents"),
         F.count(F.lit(1)).cast("long").alias("n_days"),
     )
+
+
+@query(
+    "copurchase_pairs",
+    oracle="""
+    WITH pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+              FROM pr a JOIN pr b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey)
+    SELECT pa, pb, CAST(count(*) AS BIGINT) AS n_orders
+    FROM pairs GROUP BY pa, pb
+    ORDER BY n_orders DESC, pa, pb LIMIT 25
+    """,
+)
+def q_copurchase_pairs(spark, sf_dir):
+    """Market-basket co-purchase pairs: for every unordered pair of
+    parts, how many orders contain BOTH — the item-item co-visitation
+    matrix behind "customers also bought" recommenders and association
+    rules.
+
+    The oracle's self-join formulation is the TRAP at scale (the join
+    explodes on popular items); the engine instead collects each
+    order's distinct part list (one l_orderkey shuffle, list size
+    bounded by basket size — TPC-H baskets are ≤7 lines), expands pairs
+    MAP-SIDE inside the array (n·(n-1)/2 per basket, quadratic only in
+    the small basket size, never in item popularity), and aggregates
+    pre-combined pair counts. Top-25 is TakeOrdered with a total
+    order."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # collect_set dedups within the order DURING the basket aggregate —
+    # a separate distinct() would shuffle the fact table a second time
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), "
+                "y -> named_struct('pa', x, 'pb', y))))"
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb")
+    return (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "pa", "pb")
+        .limit(25)
+    )
+
+
+@query(
+    "conditional_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE value > 50) AS BIGINT) AS n_high,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                FILTER (WHERE value > 50) AS BIGINT) AS cents_high,
+           CAST(arg_max(event_id, CAST(floor(value * 100) AS BIGINT)
+                * 10000000 + event_id) AS BIGINT) AS id_of_max,
+           CAST(arg_min(event_id, CAST(floor(value * 100) AS BIGINT)
+                * 10000000 + event_id) AS BIGINT) AS id_of_min,
+           bool_or(value > 99) AS any_gt99,
+           bool_and(value >= 0) AS all_nonneg
+    FROM events GROUP BY event_type
+    """,
+)
+def q_conditional_agg(spark, sf_dir):
+    """Conditional/argmax aggregate battery: count_if + conditional sum
+    (SQL FILTER clause semantics), max_by/min_by (argmax — "which event
+    had the largest value", the lookup that otherwise costs a window +
+    filter or a self-join back), and bool_or/bool_and predicates — all
+    in ONE hash aggregate over one scan.
+
+    Engine note: max_by/arg_max ties are NONDETERMINISTIC in both
+    engines (sf0.1 data has real min-cents ties), so the argmax key is
+    made total: cents * 10^7 + event_id — lexicographic (cents,
+    event_id) folded into one BIGINT (event_id stays far below 10^7 at
+    any test SF), computed identically on both sides. Pure
+    single-shuffle aggregate: conditional aggregates do NOT need
+    separate filtered scans."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "value",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return e.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 50).cast("long").alias("n_high"),
+        F.sum(F.when(F.col("value") > 50, F.col("cents")))
+        .cast("long")
+        .alias("cents_high"),
+        F.max_by("event_id", F.col("cents") * 10000000 + F.col("event_id"))
+        .cast("long")
+        .alias("id_of_max"),
+        F.min_by("event_id", F.col("cents") * 10000000 + F.col("event_id"))
+        .cast("long")
+        .alias("id_of_min"),
+        F.bool_or(F.col("value") > 99).alias("any_gt99"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+    )

@@ -333,3 +333,23 @@ def test_single_scan_for_multi_consumer_frames(spark, sf_dir):
     for name in ("group_rare_collapse", "rolling_distinct_users"):
         plan = _plan(spark, sf_dir, name)
         assert plan.count(".parquet") == 1, (name, plan)
+
+
+def test_copurchase_never_self_joins(spark, sf_dir):
+    """Co-purchase pairs must come from map-side basket expansion, not
+    the item-item self-join (which explodes on popular items): no join
+    nodes at all, one basket shuffle + one pair-count shuffle, top-25
+    via TakeOrdered."""
+    plan = _plan(spark, sf_dir, "copurchase_pairs")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert _exchanges(plan) == 2, plan
+
+
+def test_conditional_agg_single_aggregate(spark, sf_dir):
+    """The conditional/argmax battery is ONE hash aggregate over one
+    scan — conditional aggregates must not add filtered re-scans."""
+    plan = _plan(spark, sf_dir, "conditional_agg")
+    assert plan.count("events.parquet") == 1, plan
+    assert _exchanges(plan) == 1, plan
