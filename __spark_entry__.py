@@ -132,6 +132,7 @@ _ROUND3_PRIORITY = [
     "hierarchy_recursive_cte",
     "copurchase_pairs",
     "conditional_agg",
+    "pagerank_parts",
 ]
 
 

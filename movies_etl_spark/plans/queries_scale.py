@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from movies_etl_spark.operators import caching
 from movies_etl_spark.plans.registry import _scratch, _t, query
 
 # ===========================================================================
@@ -970,4 +971,131 @@ def q_conditional_agg(spark, sf_dir):
         .alias("id_of_min"),
         F.bool_or(F.col("value") > 99).alias("any_gt99"),
         F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+    )
+
+
+@query(
+    "pagerank_parts",
+    oracle="""
+    WITH pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    cop AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM pr a JOIN pr b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY pa, pb),
+    edges AS (SELECT pa AS src, pb AS dst, w FROM cop
+              UNION ALL
+              SELECT pb AS src, pa AS dst, w FROM cop),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+    outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow
+             FROM edges GROUP BY src),
+    p0 AS (SELECT node, 1.0 / nn AS pr FROM nodes, n),
+    c1 AS (SELECT e.dst AS node,
+                  list_reduce([CAST(0 AS DOUBLE)]
+                      || list(round(p.pr * e.w / o.ow, 12) ORDER BY e.src),
+                      (acc, x) -> acc + x) AS s
+           FROM edges e
+           JOIN p0 p ON e.src = p.node
+           JOIN outw o ON e.src = o.src
+           GROUP BY e.dst),
+    p1 AS (SELECT c1.node, round(0.15 / nn + 0.85 * s, 10) AS pr
+           FROM c1, n),
+    c2 AS (SELECT e.dst AS node,
+                  list_reduce([CAST(0 AS DOUBLE)]
+                      || list(round(p.pr * e.w / o.ow, 12) ORDER BY e.src),
+                      (acc, x) -> acc + x) AS s
+           FROM edges e
+           JOIN p1 p ON e.src = p.node
+           JOIN outw o ON e.src = o.src
+           GROUP BY e.dst),
+    p2 AS (SELECT c2.node, round(0.15 / nn + 0.85 * s, 10) AS pr
+           FROM c2, n)
+    SELECT CAST(node AS BIGINT) AS part, round(pr * 1000000, 4) AS pr_ppm
+    FROM p2 ORDER BY pr_ppm DESC, part LIMIT 20
+    """,
+)
+def q_pagerank_parts(spark, sf_dir):
+    """PageRank power iteration (2 rounds, damping 0.85) over the
+    weighted co-purchase part graph — the graph-centrality complement to
+    dedup_cluster_components' label propagation: components finds
+    "which nodes connect", PageRank ranks "which nodes matter". Output:
+    top-20 parts by rank (scaled to parts-per-million).
+
+    Scale shape: the rank vector is |nodes|-sized and joins the edge
+    list on its key each round (co-partitioned shuffles; at test scale
+    AQE broadcasts the vector side) — per-round cost is one edge-table
+    join + one aggregate, iterations bounded by the round count, the
+    same bounded-iteration discipline as the components loop. Edge
+    weights and out-weights are exact integers; the one float reduction
+    per round (incoming contributions) is a src-sorted fold of
+    12-place-rounded terms, and each round's rank is re-rounded to 10
+    places before feeding the next round — so the SQL oracle replays
+    both iterations bit-for-bit (the kmeans_assign stored-artifact
+    rounding discipline applied to an iterative vector)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    cop = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> named_struct('pa', x, 'pb', y))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.pa", "p.pb")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = caching.tracked_persist(
+        cop.select(
+            F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
+        ).unionByName(
+            cop.select(
+                F.col("pb").alias("src"), F.col("pa").alias("dst"), "w"
+            )
+        )
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nn = float(nodes.count())  # one scalar action; N is a graph constant
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    pr = nodes.select("node", (F.lit(1.0) / F.lit(nn)).alias("pr"))
+
+    def one_round(p):
+        contrib = (
+            edges.join(p, edges["src"] == p["node"])
+            .join(outw, "src")
+            .select(
+                "dst",
+                "src",
+                F.round(F.col("pr") * F.col("w") / F.col("ow"), 12).alias("c"),
+            )
+        )
+        s = contrib.groupBy("dst").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("src", "c"))),
+                F.lit(0.0),
+                lambda acc, r: acc + r["c"],
+            ).alias("s")
+        )
+        return s.select(
+            F.col("dst").alias("node"),
+            F.round(F.lit(0.15 / nn) + F.lit(0.85) * F.col("s"), 10).alias(
+                "pr"
+            ),
+        )
+
+    for _ in range(2):
+        pr = one_round(pr)
+    return (
+        pr.select(
+            F.col("node").cast("long").alias("part"),
+            F.round(F.col("pr") * 1000000, 4).alias("pr_ppm"),
+        )
+        .orderBy(F.col("pr_ppm").desc(), "part")
+        .limit(20)
     )

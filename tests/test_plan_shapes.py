@@ -353,3 +353,15 @@ def test_conditional_agg_single_aggregate(spark, sf_dir):
     plan = _plan(spark, sf_dir, "conditional_agg")
     assert plan.count("events.parquet") == 1, plan
     assert _exchanges(plan) == 1, plan
+
+
+def test_pagerank_single_fact_scan(spark, sf_dir):
+    """The PageRank edge table is built once (persisted) from one scan
+    of the fact table; the per-round joins must consume the cached edge
+    frame, not rebuild the co-purchase graph per iteration."""
+    plan = _plan(spark, sf_dir, "pagerank_parts")
+    # every parquet mention sits inside the persisted edge relation's
+    # stored description (InMemoryRelation repeats its child plan); the
+    # live reads are all InMemoryTableScans — one per edge consumer
+    # (outw + 2 rounds x 2 sides after the union)
+    assert plan.count("InMemoryTableScan") >= 3, plan
