@@ -133,6 +133,8 @@ _ROUND3_PRIORITY = [
     "copurchase_pairs",
     "conditional_agg",
     "pagerank_parts",
+    "week_over_week",
+    "dedup_survivor_policy",
 ]
 
 

@@ -798,3 +798,47 @@ def q_rolling_range_window(spark, sf_dir):
         F.count(F.lit(1)).over(w).cast("long").alias("cnt_7d"),
         F.sum("cents").over(w).cast("long").alias("sum_cents_7d"),
     )
+
+
+@query(
+    "week_over_week",
+    oracle="""
+    WITH w AS (SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE)
+                   AS wk,
+                  CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                      AS cents
+           FROM events GROUP BY 1)
+    SELECT wk, cnt, cents,
+           round((cents - lag(cents) OVER (ORDER BY wk)) * 1.0
+                 / lag(cents) OVER (ORDER BY wk), 6) AS wow_pct
+    FROM w
+    """,
+)
+def q_week_over_week(spark, sf_dir):
+    """Week-over-week growth: weekly revenue (integer cents) with the
+    percentage change against the prior week — the period-over-period
+    report every metrics dashboard leads with.
+
+    The window runs over the ALREADY-AGGREGATED weekly frame
+    (|weeks| rows), so the single-partition ORDER BY wk window is a
+    non-issue at any scale — the anti-pattern would be lag() over the
+    raw fact table. Weeks truncate Monday-first identically in both
+    engines (the retention_cohorts discipline); the growth ratio is an
+    integer-difference / integer ratio, bit-identical before
+    rounding."""
+    e = _t(spark, sf_dir, "events").select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = e.groupBy("wk").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("cents").alias("cents")
+    )
+    win = Window.orderBy("wk")
+    prev = F.lag("cents").over(win)
+    return w.select(
+        "wk",
+        "cnt",
+        "cents",
+        F.round((F.col("cents") - prev) * 1.0 / prev, 6).alias("wow_pct"),
+    )

@@ -1270,3 +1270,56 @@ def q_streaming_stream_join(spark, sf_dir):
     from movies_etl_spark.streaming import ops
 
     return ops.stream_stream_join(spark, sf_dir)
+
+
+@query(
+    "dedup_survivor_policy",
+    oracle=f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    keyed AS (SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     md5(array_to_string(
+                         string_split(text, ' ')[1:10], ' ')) AS k
+              FROM corpus)
+    SELECT k,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(arg_max(doc_id,
+                n_chars * 10000000 + (10000000 - doc_id)) AS BIGINT)
+               AS survivor,
+           CAST(max(n_chars) AS BIGINT) AS survivor_chars
+    FROM keyed GROUP BY k HAVING count(*) >= 2
+    """,
+)
+def q_dedup_survivor_policy(spark, sf_dir):
+    """Quality-priority dedup survivor selection: where dedup_exact
+    keeps the MIN-id copy, real curation keeps the BEST copy — here
+    "longest text wins, ties to the smallest id" over near-duplicate
+    clusters keyed by a 10-token prefix fingerprint (the planted
+    truncated copies share their source's prefix but are 10 tokens
+    shorter, so the policy provably picks the fuller original, which
+    min-id would too — but the policy, not the id, is what decides).
+
+    One hash aggregate on the cluster key: the survivor is an argmax
+    INSIDE the aggregate (max_by on a composite total-order key:
+    n_chars * 10^7 + (10^7 - doc_id), lexicographic (longest, then
+    smallest id) folded into one integer — bare max_by ties are
+    nondeterministic in both engines), never a per-cluster sort or a
+    window over the corpus. Only multi-member clusters emit."""
+    corpus = _near_corpus(spark, sf_dir)
+    keyed = corpus.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5(
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 10), " ")
+        ).alias("k"),
+    )
+    key = F.col("n_chars") * 10000000 + (F.lit(10000000) - F.col("doc_id"))
+    return (
+        keyed.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max_by("doc_id", key).cast("long").alias("survivor"),
+            F.max("n_chars").alias("survivor_chars"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
