@@ -811,7 +811,7 @@ def q_rolling_range_window(spark, sf_dir):
            FROM events GROUP BY 1)
     SELECT wk, cnt, cents,
            round((cents - lag(cents) OVER (ORDER BY wk)) * 1.0
-                 / lag(cents) OVER (ORDER BY wk), 6) AS wow_pct
+                 / nullif(lag(cents) OVER (ORDER BY wk), 0), 6) AS wow_pct
     FROM w
     """,
 )
@@ -825,8 +825,11 @@ def q_week_over_week(spark, sf_dir):
     non-issue at any scale — the anti-pattern would be lag() over the
     raw fact table. Weeks truncate Monday-first identically in both
     engines (the retention_cohorts discipline); the growth ratio is an
-    integer-difference / integer ratio, bit-identical before
-    rounding."""
+    integer-difference / integer ratio, bit-identical before rounding.
+    A zero prior week yields NULL on BOTH sides (nullif in the oracle,
+    a when-guard here) — without the guard Spark's non-ANSI division
+    returns NULL while DuckDB returns inf, a data-dependent parity
+    break."""
     e = _t(spark, sf_dir, "events").select(
         F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
@@ -836,9 +839,10 @@ def q_week_over_week(spark, sf_dir):
     )
     win = Window.orderBy("wk")
     prev = F.lag("cents").over(win)
+    prev_nz = F.when(prev != 0, prev)
     return w.select(
         "wk",
         "cnt",
         "cents",
-        F.round((F.col("cents") - prev) * 1.0 / prev, 6).alias("wow_pct"),
+        F.round((F.col("cents") - prev) * 1.0 / prev_nz, 6).alias("wow_pct"),
     )

@@ -1283,9 +1283,8 @@ def q_streaming_stream_join(spark, sf_dir):
               FROM corpus)
     SELECT k,
            CAST(count(*) AS BIGINT) AS n_members,
-           CAST(arg_max(doc_id,
-                n_chars * 10000000 + (10000000 - doc_id)) AS BIGINT)
-               AS survivor,
+           CAST(first(doc_id ORDER BY n_chars DESC, doc_id ASC)
+                AS BIGINT) AS survivor,
            CAST(max(n_chars) AS BIGINT) AS survivor_chars
     FROM keyed GROUP BY k HAVING count(*) >= 2
     """,
@@ -1300,11 +1299,15 @@ def q_dedup_survivor_policy(spark, sf_dir):
     min-id would too — but the policy, not the id, is what decides).
 
     One hash aggregate on the cluster key: the survivor is an argmax
-    INSIDE the aggregate (max_by on a composite total-order key:
-    n_chars * 10^7 + (10^7 - doc_id), lexicographic (longest, then
-    smallest id) folded into one integer — bare max_by ties are
-    nondeterministic in both engines), never a per-cluster sort or a
-    window over the corpus. Only multi-member clusters emit."""
+    INSIDE the aggregate — max_by on a STRUCT total-order key
+    (n_chars, -doc_id), i.e. lexicographic "longest, then smallest id"
+    (bare max_by ties are nondeterministic in both engines; the DuckDB
+    side is the equivalent ordered aggregate first(... ORDER BY n_chars
+    DESC, doc_id ASC)). A struct comparator, unlike the previous
+    n_chars * 10^7 + (10^7 - doc_id) folded BIGINT, cannot overflow or
+    silently invert once doc_ids cross the fold constant at larger SFs.
+    Never a per-cluster sort or a window over the corpus. Only
+    multi-member clusters emit."""
     corpus = _near_corpus(spark, sf_dir)
     keyed = corpus.select(
         "doc_id",
@@ -1313,7 +1316,7 @@ def q_dedup_survivor_policy(spark, sf_dir):
             F.array_join(F.slice(F.split(F.col("text"), " "), 1, 10), " ")
         ).alias("k"),
     )
-    key = F.col("n_chars") * 10000000 + (F.lit(10000000) - F.col("doc_id"))
+    key = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
     return (
         keyed.groupBy("k")
         .agg(

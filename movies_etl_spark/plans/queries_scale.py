@@ -929,10 +929,10 @@ def q_copurchase_pairs(spark, sf_dir):
            CAST(count(*) FILTER (WHERE value > 50) AS BIGINT) AS n_high,
            CAST(sum(CAST(floor(value * 100) AS BIGINT))
                 FILTER (WHERE value > 50) AS BIGINT) AS cents_high,
-           CAST(arg_max(event_id, CAST(floor(value * 100) AS BIGINT)
-                * 10000000 + event_id) AS BIGINT) AS id_of_max,
-           CAST(arg_min(event_id, CAST(floor(value * 100) AS BIGINT)
-                * 10000000 + event_id) AS BIGINT) AS id_of_min,
+           CAST(first(event_id ORDER BY CAST(floor(value * 100) AS BIGINT)
+                DESC, event_id DESC) AS BIGINT) AS id_of_max,
+           CAST(first(event_id ORDER BY CAST(floor(value * 100) AS BIGINT)
+                ASC, event_id ASC) AS BIGINT) AS id_of_min,
            bool_or(value > 99) AS any_gt99,
            bool_and(value >= 0) AS all_nonneg
     FROM events GROUP BY event_type
@@ -947,10 +947,13 @@ def q_conditional_agg(spark, sf_dir):
 
     Engine note: max_by/arg_max ties are NONDETERMINISTIC in both
     engines (sf0.1 data has real min-cents ties), so the argmax key is
-    made total: cents * 10^7 + event_id — lexicographic (cents,
-    event_id) folded into one BIGINT (event_id stays far below 10^7 at
-    any test SF), computed identically on both sides. Pure
-    single-shuffle aggregate: conditional aggregates do NOT need
+    made total with a true lexicographic (cents, event_id) key: a
+    STRUCT comparator in Spark (max_by/min_by order structs
+    lexicographically) and an ordered-aggregate
+    first(... ORDER BY cents, event_id) in DuckDB. Unlike the previous
+    cents * 10^7 + event_id folded BIGINT, this cannot overflow or
+    silently invert once ids cross the fold constant at larger SFs.
+    Pure single-shuffle aggregate: conditional aggregates do NOT need
     separate filtered scans."""
     e = _t(spark, sf_dir, "events").select(
         "event_type",
@@ -963,10 +966,10 @@ def q_conditional_agg(spark, sf_dir):
         F.sum(F.when(F.col("value") > 50, F.col("cents")))
         .cast("long")
         .alias("cents_high"),
-        F.max_by("event_id", F.col("cents") * 10000000 + F.col("event_id"))
+        F.max_by("event_id", F.struct(F.col("cents"), F.col("event_id")))
         .cast("long")
         .alias("id_of_max"),
-        F.min_by("event_id", F.col("cents") * 10000000 + F.col("event_id"))
+        F.min_by("event_id", F.struct(F.col("cents"), F.col("event_id")))
         .cast("long")
         .alias("id_of_min"),
         F.bool_or(F.col("value") > 99).alias("any_gt99"),

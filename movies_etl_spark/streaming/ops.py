@@ -428,25 +428,13 @@ def incremental_hourly_rollup(
         .format("parquet")
         .load(src)
     )
-    state: dict[str, int] = {}
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         part = batch_df.groupBy("h").agg(
             F.count(F.lit(1)).cast("long").alias("cnt"),
             F.sum("cents").alias("sum_cents"),
         )
-        if "last" in state:
-            prev = spark.read.parquet(f"{work_dir}/agg/v={state['last']}")
-            part = (
-                prev.unionByName(part)
-                .groupBy("h")
-                .agg(
-                    F.sum("cnt").cast("long").alias("cnt"),
-                    F.sum("sum_cents").alias("sum_cents"),
-                )
-            )
-        part.write.mode("overwrite").parquet(f"{work_dir}/agg/v={batch_id}")
-        state["last"] = batch_id
+        _merge_versioned(spark, work_dir, part, batch_id)
 
     q = (
         stream.writeStream.foreachBatch(upsert)
@@ -455,7 +443,49 @@ def incremental_hourly_rollup(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(f"{work_dir}/agg/v={state['last']}")
+    last = _agg_versions(work_dir)[-1]
+    return spark.read.parquet(f"{work_dir}/agg/v={last}")
+
+
+def _agg_versions(work_dir: str, upto: int | None = None) -> list[int]:
+    """On-disk aggregate version ids (optionally strictly below ``upto``).
+
+    The on-disk listing — not an in-process dict — is the source of
+    truth for "previous version": if a micro-batch retries AFTER its
+    versioned write succeeded but BEFORE the checkpoint committed, the
+    retry must merge into the version strictly below its own batch_id,
+    or the batch's partials would be double-counted."""
+    try:
+        found = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(f"{work_dir}/agg")
+            if d.startswith("v=")
+        ]
+    except FileNotFoundError:
+        return []
+    return sorted(v for v in found if upto is None or v < upto)
+
+
+def _merge_versioned(
+    spark: SparkSession, work_dir: str, part: DataFrame, batch_id: int
+) -> None:
+    """Merge a batch's hourly partials into version ``batch_id``.
+
+    Reads the largest on-disk version STRICTLY below batch_id as the
+    previous state, so a retried batch regenerates v=batch_id from the
+    same input (idempotent) instead of folding its own output back in."""
+    prior = _agg_versions(work_dir, upto=batch_id)
+    if prior:
+        prev = spark.read.parquet(f"{work_dir}/agg/v={prior[-1]}")
+        part = (
+            prev.unionByName(part)
+            .groupBy("h")
+            .agg(
+                F.sum("cnt").cast("long").alias("cnt"),
+                F.sum("sum_cents").alias("sum_cents"),
+            )
+        )
+    part.write.mode("overwrite").parquet(f"{work_dir}/agg/v={batch_id}")
 
 
 def _load_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -160,3 +160,30 @@ def test_incremental_rollup_is_actually_incremental(spark, sf_dir, tmp_path):
     got = {tuple(r) for r in out.collect()}
     want = {tuple(r) for r in direct.collect()}
     assert got == want
+
+
+def test_incremental_rollup_retry_does_not_double_count(spark, tmp_path):
+    """A micro-batch that retries AFTER its versioned write succeeded
+    (checkpoint commit failed) must regenerate v=batch_id from the
+    version strictly below it — not merge into its own output. The
+    previous in-process-dict implementation double-counted here."""
+    from pyspark.sql import functions as F
+
+    from movies_etl_spark.streaming.ops import _merge_versioned
+
+    work = str(tmp_path / "retry")
+    part0 = spark.createDataFrame(
+        [("2026-01-01 10:00:00", 2, 100)], "h STRING, cnt LONG, sum_cents LONG"
+    ).withColumn("h", F.col("h").cast("timestamp"))
+    part1 = spark.createDataFrame(
+        [("2026-01-01 10:00:00", 3, 50)], "h STRING, cnt LONG, sum_cents LONG"
+    ).withColumn("h", F.col("h").cast("timestamp"))
+    _merge_versioned(spark, work, part0, 0)
+    _merge_versioned(spark, work, part1, 1)
+    first = spark.read.parquet(f"{work}/agg/v=1").collect()
+    # simulate the retry: same batch partials, same batch_id, with v=1
+    # already on disk from the "failed" attempt
+    _merge_versioned(spark, work, part1, 1)
+    retried = spark.read.parquet(f"{work}/agg/v=1").collect()
+    assert first == retried
+    assert retried[0]["cnt"] == 5 and retried[0]["sum_cents"] == 150
