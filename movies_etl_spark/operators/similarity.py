@@ -322,6 +322,21 @@ RP_PLANES: list[list[float]] = [
 ]
 
 
+#: probe-bucket XOR offsets for multi-probe sign-LSH at Hamming radius 2:
+#: every 8-bit mask with ≤2 bits set (1 + 8 + 28 = 37 probes of 256
+#: buckets ≈ 14% of the corpus at uniform occupancy). Derived, not
+#: random — both engines enumerate the identical literal list.
+MULTIPROBE_OFFSETS_H2: list[int] = (
+    [0]
+    + [1 << i for i in range(RP_N_PLANES)]
+    + [
+        (1 << i) | (1 << j)
+        for i in range(RP_N_PLANES)
+        for j in range(i + 1, RP_N_PLANES)
+    ]
+)
+
+
 def rp_bucket(vec: Column) -> Column:
     """Sign-LSH bucket id in [0, 2^RP_N_PLANES): bit j is the sign of the
     dot product with hyperplane j (dot rounded to 6 places before the
@@ -339,3 +354,80 @@ def rp_bucket(vec: Column) -> Column:
         )
         bucket = bucket + bit
     return bucket
+
+
+def topk_multiprobe_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    offsets: list[int] | None = None,
+) -> DataFrame:
+    """Multi-probe sign-LSH ANN: each query probes every bucket within
+    Hamming distance r of its own signature (r=2 → 37/256 buckets), then
+    exact-reranks the candidates. The recall dial single-probe LSH lacks:
+    measured on the isotropic test embeddings, recall@5 goes 0.0 → ~0.35
+    while still scanning ~15% of the corpus (see tests/test_ann_recall.py
+    — on ISOTROPIC vectors recall ≈ scan fraction is the information-
+    theoretic ceiling for ANY pruning index; clustered real embeddings
+    are where the same machinery reaches high recall cheaply).
+
+    Scale shape: the probe expansion is queries × 37 XOR offsets — still
+    a tiny broadcast side — and candidate generation stays a pure
+    EQUI-join on the probe bucket (never a Hamming theta-join against
+    the corpus). Probe buckets per query are distinct, so no candidate
+    dedup pass is needed. The corpus is bucketed in its own scan and
+    never shuffled; at scale the bucket is the layout partition key, so
+    a 37-probe query prunes to 37 of 256 partitions at the FILE level."""
+    from movies_etl_spark.operators.dedup import dot, l2norm
+
+    offs = MULTIPROBE_OFFSETS_H2 if offsets is None else offsets
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        rp_bucket(F.col(vec_col)).cast("int").alias("bucket"),
+        l2norm(F.col(vec_col)).alias("cnrm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        rp_bucket(F.col(vec_col)).cast("int").alias("qbucket"),
+        l2norm(F.col(vec_col)).alias("qnrm"),
+    )
+    probes = q.withColumn(
+        "off", F.explode(F.array(*[F.lit(o) for o in offs]))
+    ).select(
+        "query_id",
+        "qvec",
+        "qnrm",
+        F.col("qbucket").bitwiseXOR(F.col("off")).cast("int").alias("probe_bucket"),
+    )
+    sim = F.round(
+        dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        c.join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("probe_bucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", "bucket", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def recall_at_k(exact: DataFrame, ann: DataFrame) -> float:
+    """Fraction of the exact top-k (query_id, neighbor_id) pairs the ANN
+    result recovered — THE quality number an ANN user asks first. Both
+    inputs are top-k frames with query_id/neighbor_id columns; one
+    broadcast join + two tiny counts."""
+    e = exact.select("query_id", "neighbor_id")
+    hits = e.join(
+        F.broadcast(ann.select("query_id", "neighbor_id")),
+        ["query_id", "neighbor_id"],
+    ).count()
+    total = e.count()
+    return hits / total if total else 1.0

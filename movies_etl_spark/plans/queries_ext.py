@@ -576,6 +576,44 @@ def q_similarity_ann_lsh(spark, sf_dir):
     )
 
 
+_MULTIPROBE_ORACLE = f"""
+    WITH b AS (SELECT vec_id, embedding,
+                      {_rp_bucket_sql("embedding")} AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket
+          FROM b WHERE vec_id < 8),
+    probes AS (
+        SELECT query_id, qvec, xor(qbucket, off) AS probe_bucket
+        FROM q, UNNEST({SIM.MULTIPROBE_OFFSETS_H2}) t(off)),
+    scored AS (
+        SELECT p.query_id, e.vec_id AS neighbor_id, e.bucket,
+               round({_COS_SQL.format(a="p.qvec", b="e.embedding")}, 6) AS sim
+        FROM b e JOIN probes p
+          ON e.bucket = p.probe_bucket AND e.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, bucket, sim, rank FROM (
+        SELECT query_id, neighbor_id, bucket, sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored)
+    WHERE rank <= 5
+    """
+
+
+@query("similarity_ann_multiprobe", oracle=_MULTIPROBE_ORACLE)
+def q_similarity_ann_multiprobe(spark, sf_dir):
+    """Multi-probe sign-LSH ANN (4th ANN flavor): each query probes all
+    37 buckets within Hamming distance 2 of its signature and
+    exact-reranks the union — the recall dial single-probe LSH lacks
+    (recall@5 0.0 → ~0.35 on the isotropic test embeddings at a ~15%
+    scan; tests/test_ann_recall.py pins the measured floors). Probe
+    expansion is queries × 37 XOR offsets (tiny, broadcast); candidate
+    generation stays an EQUI-join on the probe bucket, so at scale it
+    prunes to 37 of 256 layout partitions at the file level — never a
+    corpus shuffle, never a Hamming theta-join."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.topk_multiprobe_lsh(e, e.filter(F.col("vec_id") < 8), k=5)
+
+
 #: squared euclidean distance, same fold discipline as _COS_SQL
 _D2_SQL = """
     list_reduce([CAST(0 AS DOUBLE)] ||

@@ -1,0 +1,104 @@
+"""Recall@k for the ANN paths, measured against the exact brute-force
+top-k (the one quality number an ANN user asks first).
+
+Context the floors encode: the synthetic embeddings are ISOTROPIC
+(near-random unit vectors; planted near-dup pairs top out around
+cosine 0.5), and on isotropic data recall ≈ fraction-of-corpus-scanned
+is the ceiling for ANY pruning index — there is no neighborhood
+structure to exploit. So the floors below are honest measurements of
+the recall/scan dial, not aspirational constants:
+
+  single-probe LSH  (1/256 buckets,  ~0.4% scan) → recall@5 ≈ 0.00
+  IVF nprobe=1      (1/10 cells,      ~10% scan) → recall@5 ≈ 0.10
+  multi-probe r=2   (37/256 buckets,  ~15% scan) → recall@5 ≈ 0.35
+
+On real clustered embeddings the same machinery reaches high recall at
+low scan; the assertions here pin (a) measured floors with margin,
+(b) the monotonicity of the dial, and (c) that the vectorized
+brute-force twin is EXACT (recall 1.0 by construction).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from movies_etl_spark.operators import similarity as SIM
+from movies_etl_spark.sources import readers
+
+#: recall floors are corpus-size-dependent; pin the sf the numbers were
+#: measured at instead of the (smaller) default test SF.
+RECALL_SF_DIR = "/root/testdata/sf0.01"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(f"{RECALL_SF_DIR}/embeddings.parquet"),
+    reason="sf0.01 testdata not present",
+)
+
+
+@pytest.fixture(scope="module")
+def recall_frames(spark):
+    e = readers.load_table(spark, RECALL_SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = SIM.topk_bruteforce(e, q, k=5).cache()
+    exact.count()
+    return e, q, exact
+
+
+def test_vectorized_bruteforce_is_exact(spark, recall_frames):
+    e, q, exact = recall_frames
+    vec = SIM.topk_bruteforce_vectorized(e, q, k=5)
+    assert SIM.recall_at_k(exact, vec) == 1.0
+
+
+def test_multiprobe_recall_floor(spark, recall_frames):
+    e, q, exact = recall_frames
+    mp = SIM.topk_multiprobe_lsh(e, q, k=5)
+    assert SIM.recall_at_k(exact, mp) >= 0.2  # measured 0.35
+
+
+def test_ivf_recall_floor(spark, recall_frames):
+    e, q, exact = recall_frames
+    ivf = SIM.topk_ivf(e, q, k=5)
+    assert SIM.recall_at_k(exact, ivf) >= 0.05  # measured 0.125
+
+
+def test_multiprobe_beats_single_probe(spark, recall_frames):
+    """The probe radius is a real recall dial: Hamming-2 multi-probe must
+    strictly dominate single-probe (offset {0}) on the same signatures."""
+    e, q, exact = recall_frames
+    single = SIM.topk_multiprobe_lsh(e, q, k=5, offsets=[0])
+    multi = SIM.topk_multiprobe_lsh(e, q, k=5)
+    assert SIM.recall_at_k(exact, multi) > SIM.recall_at_k(exact, single)
+
+
+def test_multiprobe_scan_fraction_bounded(spark, recall_frames):
+    """The recall gain must come from a BOUNDED candidate set: at uniform
+    occupancy 37/256 probes touch ~14% of the corpus; assert the actual
+    candidate count stays under 30% per query."""
+    e, q, _ = recall_frames
+    n_corpus = e.count()
+    n_queries = q.count()
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        SIM.rp_bucket(F.col("embedding")).cast("int").alias("bucket"),
+    )
+    probes = (
+        q.select(
+            F.col("vec_id").alias("query_id"),
+            SIM.rp_bucket(F.col("embedding")).cast("int").alias("qbucket"),
+        )
+        .withColumn(
+            "off", F.explode(F.array(*[F.lit(o) for o in SIM.MULTIPROBE_OFFSETS_H2]))
+        )
+        .select(
+            "query_id",
+            F.col("qbucket").bitwiseXOR(F.col("off")).cast("int").alias("probe_bucket"),
+        )
+    )
+    n_cand = c.join(
+        F.broadcast(probes), c.bucket == probes.probe_bucket
+    ).count()
+    assert n_cand / (n_corpus * n_queries) < 0.30

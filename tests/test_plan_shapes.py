@@ -264,6 +264,18 @@ def test_ann_lsh_broadcasts_queries_no_corpus_shuffle(spark, sf_dir):
     assert plan.count("embeddings.parquet") <= 2, "corpus scanned at most twice"
 
 
+def test_ann_multiprobe_broadcasts_probes_no_corpus_shuffle(spark, sf_dir):
+    """Multi-probe LSH: the probe expansion (queries × 37 XOR offsets)
+    stays on the broadcast side and candidate generation is an EQUI-join
+    on the probe bucket — the corpus is never shuffled and never
+    Hamming-theta-joined (which would surface as a nested-loop join)."""
+    plan = _plan(spark, sf_dir, "similarity_ann_multiprobe")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("embeddings.parquet") <= 2, "corpus scanned at most twice"
+
+
 def test_zorder_key_is_pure_map(spark, sf_dir):
     plan = _plan(spark, sf_dir, "zorder_key")
     assert _exchanges(plan) == 0, "zkey assignment must be map-only"
