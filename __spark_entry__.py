@@ -82,6 +82,7 @@ _ROUND4_PRIORITY = [
     "movies_etl_ratings",
     # round-4 additions land here (<=22; see NOTES_r4.md ledger)
     "similarity_ann_multiprobe",
+    "embedding_block_guard",
 ]
 
 # Round-3 priority retained for the ledger (NOTES_r3.md references it);

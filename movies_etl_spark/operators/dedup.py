@@ -225,12 +225,22 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
+#: hard cap on rows per cosine block: b=10k rows → ~5·10⁷ pair-sims and
+#: an ~800 MB float64 gram matrix per task — the largest block one
+#: executor task should ever score. Exceeding it means the BLOCKING KEY
+#: is wrong (too coarse), and the fix is upstream: sub-bucket the block
+#: (e.g. AND with similarity.rp_bucket) or use LSH banding, not a bigger
+#: executor.
+MAX_COSINE_BLOCK_ROWS = 10_000
+
+
 def cosine_pairs_vectorized(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str = "label",
     threshold: float = 0.3,
+    max_block_rows: int = MAX_COSINE_BLOCK_ROWS,
 ) -> DataFrame:
     """Numpy fast path for within-block cosine near-dup pairs: each block
     is scored with ONE BLAS gram matrix (applyInPandas per block) instead
@@ -238,11 +248,25 @@ def cosine_pairs_vectorized(
     leaves a block. Output sims are rounded to 4 places (threshold on 6),
     which absorbs the fold-vs-BLAS last-ulp difference, so the fold
     twin's oracle gates this one too; pair-set equality with the fold
-    twin is additionally asserted in tests."""
+    twin is additionally asserted in tests.
+
+    The O(b²)-per-block cost is GUARDED, not just documented: each task
+    asserts its block is under ``max_block_rows`` and fails with the
+    remediation (sub-bucket or band) in the message — executed
+    distributed, costing zero extra jobs, so an oversized block can
+    never silently absorb a cluster (the embedding_block_guard query is
+    the monitoring view of the same bound)."""
     import numpy as np
     import pandas as pd
 
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_block_rows:
+            raise ValueError(
+                f"cosine block {pdf[block_col].iloc[0]!r} has {len(pdf)} rows "
+                f"(cap {max_block_rows}): O(b^2) scoring would not fit a "
+                f"task. Sub-bucket the block key (e.g. AND with "
+                f"similarity.rp_bucket) or switch to LSH banding."
+            )
         ids = pdf[id_col].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]

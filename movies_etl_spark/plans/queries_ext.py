@@ -1038,6 +1038,38 @@ def q_dedup_embedding_cosine_vectorized(spark, sf_dir):
 
 
 @query(
+    "embedding_block_guard",
+    oracle=f"""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_pairs,
+           count(*) > {D.MAX_COSINE_BLOCK_ROWS} AS oversize,
+           round(CAST(count(*) AS DOUBLE) / {D.MAX_COSINE_BLOCK_ROWS}, 6)
+               AS cap_utilization
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_embedding_block_guard(spark, sf_dir):
+    """Monitoring view of the cosine-dedup block bound: per-block row
+    count, implied O(b²) pair count, and whether the block exceeds
+    MAX_COSINE_BLOCK_ROWS — the skew_report discipline applied to the
+    blocking key. cosine_pairs_vectorized enforces the same cap
+    in-task (a too-coarse block FAILS with remediation instead of
+    absorbing a cluster); this query is how an operator sees the breach
+    coming before the run. One hash aggregate, map-side partials."""
+    e = _t(spark, sf_dir, "embeddings")
+    n = F.count(F.lit(1))
+    return e.groupBy("label").agg(
+        n.cast("long").alias("n_rows"),
+        (n * (n - 1) / 2).cast("long").alias("n_pairs"),
+        (n > D.MAX_COSINE_BLOCK_ROWS).alias("oversize"),
+        F.round(
+            n.cast("double") / D.MAX_COSINE_BLOCK_ROWS, 6
+        ).alias("cap_utilization"),
+    )
+
+
+@query(
     "dedup_cluster_components",
     oracle=f"""
     WITH RECURSIVE shing AS ({_INT_SHINGLES_SQL.format(corpus=_NEAR_CORPUS_SQL)}),

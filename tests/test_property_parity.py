@@ -118,6 +118,26 @@ def test_vectorized_cosine_pairs_match_fold_twin(spark, sf_dir):
     assert a == b
 
 
+def test_cosine_block_guard_fires_on_oversize_block(spark):
+    """The O(b²) block cap must be EXECUTABLE: a block over max_block_rows
+    fails the task with the remediation in the message instead of
+    silently scoring a cluster-absorbing gram matrix."""
+    import pytest
+
+    from movies_etl_spark.operators.dedup import cosine_pairs_vectorized
+
+    rows = [(i, [float(i % 7), 1.0], 0) for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    guarded = cosine_pairs_vectorized(df, threshold=-1.0, max_block_rows=10)
+    with pytest.raises(Exception, match="Sub-bucket the block key"):
+        guarded.collect()
+    # under the cap the same frame scores fine
+    ok = cosine_pairs_vectorized(df, threshold=-1.0, max_block_rows=12)
+    assert ok.count() == 12 * 11 / 2
+
+
 def test_connected_components_empty_edges_exits_first_round(spark):
     """F.sum over an empty labels frame is NULL: without the coalesce the
     convergence check never fires and the loop runs all max_iter rounds.
