@@ -281,6 +281,74 @@ def apply_validation(
     return staged.select(*final_cols)
 
 
+def prune_and_validated_cast(
+    df: DataFrame,
+    specs: dict[str, tuple[Column, str]],
+    threshold: float = 0.9,
+    keep_always: Sequence[str] = (),
+) -> tuple[DataFrame, dict[str, dict[str, int]]]:
+    """P5 + §2.8 fused: ONE auxiliary aggregate computes both the
+    per-column null ratios (the 90%-null prune decision) and the parse
+    validation tallies (the column-drop-on-corruption decision), then one
+    select commits both. Separately they cost two full-input scans before
+    the final action; fused, the wiki path runs exactly two passes total
+    (aux aggregate + final action) — measured on the 1 M-row
+    reference-scale wiki bench: 17.2 → 15.2 s cold, 10.4 → 8.5 s warm
+    (NOTES_r4.md).
+
+    Semantics match prune-then-validate exactly: a spec column that fails
+    the null prune is dropped without a parse commit (its tallies are
+    computed but discarded — wasted adds in one pass beat a whole extra
+    scan), and the no-survivor edge keeps the frame unchanged like
+    null_ratio_prune."""
+    out = df
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__total__")]
+    aggs += [
+        F.sum(F.col(f"`{c}`").isNull().cast("long")).alias(f"null__{c}")
+        for c in df.columns
+    ]
+    for column, (parsed, _) in specs.items():
+        out = out.withColumn(f"__parsed__{column}", parsed)
+        aggs.append(F.count(F.col(f"`{column}`")).alias(f"in__{column}"))
+        aggs.append(F.count(F.col(f"__parsed__{column}")).alias(f"ok__{column}"))
+    row = out.agg(*aggs).collect()[0].asDict()
+    total = row.pop("__total__") or 0
+    if total == 0:
+        keep = list(df.columns)
+    else:
+        keep = [
+            c
+            for c in df.columns
+            if c in keep_always or (row[f"null__{c}"] or 0) / total < threshold
+        ]
+        if not keep:
+            keep = list(df.columns)
+    kept = set(keep)
+    all_stats: dict[str, dict[str, int]] = {}
+    final_cols: list[Column] = []
+    for c in df.columns:
+        if c not in kept:
+            continue
+        if c not in specs:
+            final_cols.append(F.col(f"`{c}`"))
+            continue
+        _, fail_when = specs[c]
+        n_input, n_parsed = row[f"in__{c}"], row[f"ok__{c}"]
+        failed = (
+            (n_parsed < n_input)
+            if fail_when == "any"
+            else (n_parsed == 0 and n_input > 0)
+        )
+        all_stats[c] = {
+            "n_input": n_input,
+            "n_parsed": n_parsed,
+            "dropped": int(failed),
+        }
+        if not failed:
+            final_cols.append(F.col(f"`__parsed__{c}`").alias(c))
+    return out.select(*final_cols), all_stats
+
+
 def validated_cast_many(
     df: DataFrame, specs: dict[str, tuple[Column, str]]
 ) -> tuple[DataFrame, dict[str, dict[str, int]]]:

@@ -94,11 +94,13 @@ def clean_wiki(wiki_raw: DataFrame) -> DataFrame:
     df = df.withColumn("imdb_id", E.extract_imdb_id(F.col("imdb_link")))
     df = REL.dedup_first_wins(df, ["imdb_id"], ["__file_order__"])
 
-    # P5 (challenge.py:95-97): data-dependent projection, 90% null rule.
-    df = N.null_ratio_prune(df, threshold=0.9)
-
-    # The four guarded parse blocks (challenge.py:129-174): normalize mixed
-    # cells, then parse; one validation pass drops corrupted columns.
+    # P5 + the four guarded parse blocks (challenge.py:95-97 + 129-174),
+    # FUSED: one auxiliary aggregate carries both the 90%-null prune
+    # decision and the parse validation tallies, so the whole wiki path
+    # scans its input exactly twice (aux pass + final action) instead of
+    # three times. Specs are built pre-prune (guarded by column
+    # presence); a spec column the prune drops is simply never
+    # committed, which is what prune-then-validate produced too.
     specs = {}
     if "Box office" in df.columns:
         cell = N.normalize_mixed_cell(F.col("`Box office`"))
@@ -112,7 +114,7 @@ def clean_wiki(wiki_raw: DataFrame) -> DataFrame:
     if "Running time" in df.columns:
         cell = N.normalize_mixed_cell(F.col("`Running time`"))
         specs["Running time"] = (E.parse_running_time(cell), "all")
-    df, _stats = N.validated_cast_many(df, specs)
+    df, _stats = N.prune_and_validated_cast(df, specs, threshold=0.9)
     renames = {
         "Box office": "box_office",
         "Budget": "budget",
