@@ -83,6 +83,16 @@ _ROUND4_PRIORITY = [
     # round-4 additions land here (<=22; see NOTES_r4.md ledger)
     "similarity_ann_multiprobe",
     "embedding_block_guard",
+    "triangle_count",
+    "degree_distribution",
+    "hopping_window_agg",
+    "entropy_profile",
+    "winsorize_robust_scale",
+    "similarity_ivf_nprobe",
+    "minhash_jaccard_estimate",
+    "dedup_exact_normalized",
+    "gopher_quality_flags",
+    "stratified_kfold_assign",
 ]
 
 # Round-3 priority retained for the ledger (NOTES_r3.md references it);

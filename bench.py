@@ -46,7 +46,9 @@ HEADLINE = [
     "similarity_topk",
     "similarity_ann_lsh",
     "similarity_ann_multiprobe",
+    "similarity_ivf_nprobe",
     "text_quality_score",
+    "gopher_quality_flags",
     "doc_fingerprint",
     "multimodal_extract",
     # end-to-end curation chain: the operators a real 100 TB training-data
@@ -54,6 +56,8 @@ HEADLINE = [
     # filter -> decontamination -> PII redaction -> split) — the full
     # story next to training_data_filter, per the r2 judge's #6.
     "dedup_cluster_components",
+    "dedup_exact_normalized",
+    "minhash_jaccard_estimate",
     "dedup_survivors",
     "curation_pipeline",
     "training_data_filter",
@@ -110,6 +114,13 @@ HEADLINE = [
     # incremental merge of the same hourly rollup
     "rollup_cascade",
     "streaming_incremental_rollup",
+    # graph suite (r4): degree-oriented triangle join + degree histogram
+    "triangle_count",
+    "degree_distribution",
+    # r4 analytics/scale additions
+    "hopping_window_agg",
+    "entropy_profile",
+    "winsorize_robust_scale",
 ]
 
 

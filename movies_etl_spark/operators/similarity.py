@@ -94,15 +94,19 @@ def topk_ivf(
     vec_col: str = "embedding",
     label_col: str = "label",
     k: int = 3,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-style ANN: route each query to its nearest partition centroid,
-    then exact-search only within that partition. Returns
+    """IVF-style ANN: route each query to its ``nprobe`` nearest
+    partition centroids, then exact-search only those partitions —
+    nprobe is IVF's recall/scan dial exactly as the probe radius is
+    multi-probe LSH's (nprobe/n_cells of the corpus scanned; recall
+    floors measured in tests/test_ann_recall.py). Returns
     (query_id, probe_label, neighbor_id, sim, rank)."""
     cents = label_centroids(corpus, vec_col, label_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    # route: argmax centroid cosine per query (n_queries × n_labels rows)
+    # route: top-nprobe centroid cosine per query (n_queries × n_labels)
     routed = q.crossJoin(F.broadcast(cents)).select(
         "query_id",
         "qvec",
@@ -112,7 +116,7 @@ def topk_ivf(
     wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("probe_label"))
     best = (
         routed.withColumn("r", F.row_number().over(wq))
-        .filter(F.col("r") == 1)
+        .filter(F.col("r") <= nprobe)
         .select("query_id", "qvec", "probe_label")
     )
     # search only the probed partition (partition-pruned scan at scale)

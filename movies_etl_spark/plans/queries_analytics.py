@@ -846,3 +846,182 @@ def q_week_over_week(spark, sf_dir):
         "cents",
         F.round((F.col("cents") - prev) * 1.0 / prev_nz, 6).alias("wow_pct"),
     )
+
+
+# ===========================================================================
+# Round-4 additions: hopping windows, entropy profiling, robust scaling
+# ===========================================================================
+
+
+@query(
+    "hopping_window_agg",
+    oracle="""
+    WITH e AS (SELECT CAST(epoch_us(CAST(date_trunc('second', ts) AS TIMESTAMP))
+                      // 1000000 AS BIGINT) AS sec,
+                      CAST(floor(value * 100) AS BIGINT) AS cents
+               FROM events),
+    hop AS (SELECT (sec // 1800 - o) * 1800 AS ws, cents
+            FROM e, UNNEST([0, 1]) t(o))
+    SELECT ws, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM hop GROUP BY ws
+    """,
+)
+def q_hopping_window_agg(spark, sf_dir):
+    """Hopping (sliding) window aggregate: 1-hour windows every 30
+    minutes, so each event contributes to exactly TWO windows — the
+    batch form of the streaming slide that smooths tumbling-window
+    boundary artifacts in rate dashboards.
+
+    Spark side uses the native F.window(slide) generator (each row
+    expands to its two windows MAP-side); output keys on the window
+    start's epoch seconds so both engines compare integers, not
+    timestamp encodings (events.ts has shipped as both ns and µs-NTZ).
+    One shuffle: the window-keyed aggregate, map-side partials. At
+    scale a hop ratio of w/h multiplies shuffle input by w/h — keep the
+    expansion before the PARTIAL aggregate (as here), never after."""
+    e = _t(spark, sf_dir, "events").select(
+        F.date_trunc("second", F.col("ts")).cast("timestamp").alias("s"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    win = F.window("s", "1 hour", "30 minutes")
+    return (
+        e.select(win.alias("w"), "cents")
+        .groupBy((F.unix_micros(F.col("w.start")) / 1_000_000).cast("long").alias("ws"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+
+
+@query(
+    "entropy_profile",
+    oracle="""
+    WITH et AS (SELECT event_type AS k, count(*) AS c FROM events GROUP BY 1),
+    et_h AS (SELECT 'event_type' AS column_name,
+                    CAST(count(*) AS BIGINT) AS n_distinct,
+                    round(sum(-1.0 * c / t * log2(c * 1.0 / t)), 6) AS entropy_bits
+             FROM et, (SELECT sum(c) AS t FROM et)),
+    u AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+    u_h AS (SELECT 'user_id' AS column_name,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   round(sum(-1.0 * c / t * log2(c * 1.0 / t)), 6) AS entropy_bits
+            FROM u, (SELECT sum(c) AS t FROM u)),
+    d AS (SELECT CAST(ts AS DATE) AS k, count(*) AS c FROM events GROUP BY 1),
+    d_h AS (SELECT 'event_date' AS column_name,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   round(sum(-1.0 * c / t * log2(c * 1.0 / t)), 6) AS entropy_bits
+            FROM d, (SELECT sum(c) AS t FROM d))
+    SELECT column_name, n_distinct, entropy_bits,
+           round(entropy_bits / log2(n_distinct), 6) AS norm_entropy
+    FROM (SELECT * FROM et_h UNION ALL SELECT * FROM u_h
+          UNION ALL SELECT * FROM d_h)
+    """,
+)
+def q_entropy_profile(spark, sf_dir):
+    """Shannon entropy per column (event_type, user_id, event_date):
+    the information-content profile behind feature selection, anomaly
+    baselines ("did today's traffic mix shift?"), and dedup-key choice
+    — a near-zero-entropy key can't block anything.
+
+    Each column costs one per-key count aggregate that collapses to
+    |keys| rows, then the entropy fold runs on that tiny frame (the
+    total arrives via a 1-row cross join, not a driver collect).
+    Normalized entropy divides by log2(n_distinct) — 1.0 means uniform.
+    Float discipline: p·log2 p sums over ≤20k terms accumulate ~1e-13
+    of order noise, absorbed by round-to-6 on both engines."""
+    ev = _t(spark, sf_dir, "events")
+
+    def col_entropy(keyed, name):
+        c = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+        t = c.agg(F.sum("c").alias("t"))
+        return (
+            c.crossJoin(t)
+            .agg(
+                F.lit(name).alias("column_name"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                F.round(
+                    F.sum(
+                        -F.col("c")
+                        / F.col("t")
+                        * F.log2(F.col("c") * 1.0 / F.col("t"))
+                    ),
+                    6,
+                ).alias("entropy_bits"),
+            )
+        )
+
+    parts = [
+        col_entropy(ev.select(F.col("event_type").alias("k")), "event_type"),
+        col_entropy(ev.select(F.col("user_id").alias("k")), "user_id"),
+        col_entropy(
+            ev.select(F.col("ts").cast("date").alias("k")), "event_date"
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "column_name",
+        "n_distinct",
+        "entropy_bits",
+        F.round(F.col("entropy_bits") / F.log2(F.col("n_distinct")), 6).alias(
+            "norm_entropy"
+        ),
+    )
+
+
+@query(
+    "winsorize_robust_scale",
+    oracle="""
+    WITH s AS (SELECT event_type,
+                      round(quantile_cont(value, 0.05), 6) AS p05,
+                      round(quantile_cont(value, 0.50), 6) AS p50,
+                      round(quantile_cont(value, 0.95), 6) AS p95,
+                      round(quantile_cont(value, 0.75)
+                            - quantile_cont(value, 0.25), 6) AS iqr
+               FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           round(CASE WHEN e.value < s.p05 THEN s.p05
+                      WHEN e.value > s.p95 THEN s.p95
+                      ELSE e.value END, 6) AS value_wins,
+           round((e.value - s.p50) / nullif(s.iqr, 0), 6) AS robust_z
+    FROM events e JOIN s USING (event_type)
+    """,
+)
+def q_winsorize_robust_scale(spark, sf_dir):
+    """Winsorization + robust scaling per group: clamp values to the
+    group's [p05, p95] and standardize as (x − median)/IQR — the
+    outlier-proof normalization ML feature pipelines use where
+    mean/stddev z-scores break on heavy tails (complements mad_outliers
+    and zscore_outliers).
+
+    The per-group stats frame is |event_types| rows → comes back onto
+    the fact table as a BROADCAST join; the facts are scanned once and
+    never shuffled. Exact percentiles keep oracle parity (both engines
+    interpolate linearly); at 100 TB swap approx_percentile into the
+    same shape (the describe_stats trade). Zero-IQR groups yield NULL
+    robust_z on both sides (nullif / when-guard)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    s = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 6).alias("p05"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(
+            F.expr("percentile(value, 0.75) - percentile(value, 0.25)"), 6
+        ).alias("iqr"),
+    )
+    j = ev.join(F.broadcast(s), "event_type")
+    clamped = (
+        F.when(F.col("value") < F.col("p05"), F.col("p05"))
+        .when(F.col("value") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("value"))
+    )
+    iqr_nz = F.when(F.col("iqr") != 0, F.col("iqr"))
+    return j.select(
+        "event_id",
+        "event_type",
+        F.round(clamped, 6).alias("value_wins"),
+        F.round((F.col("value") - F.col("p50")) / iqr_nz, 6).alias("robust_z"),
+    )

@@ -688,3 +688,86 @@ def q_bucketed_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
     )
+
+
+@query(
+    "gopher_quality_flags",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               round(CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                     AS DOUBLE) / len(string_split(text, ' ')), 4)
+                   AS mean_word_len,
+               round((length(text) - length(replace(text, '#', ''))
+                      + (length(text) - length(replace(text, '...', ''))) / 3)
+                     * 1.0 / len(string_split(text, ' ')), 4) AS symbol_ratio,
+               round(CAST(len(list_filter(string_split(text, ' '),
+                          t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 4) AS alpha_frac,
+               CAST(len(list_intersect(string_split(text, ' '),
+                    ['the', 'a', 'of', 'and', 'to'])) AS BIGINT) AS stop_hits
+        FROM documents)
+    SELECT *,
+           (n_words BETWEEN 50 AND 100000) AND
+           (mean_word_len BETWEEN 3 AND 10) AND
+           (symbol_ratio < 0.1) AND (alpha_frac > 0.8) AND
+           (stop_hits >= 2) AS passes
+    FROM m
+    """,
+)
+def q_gopher_quality_flags(spark, sf_dir):
+    """Gopher-style rule battery (Rae et al. 2021, public heuristics):
+    word-count bounds, mean word length 3-10, symbol-to-word ratio
+    (#/ellipsis) < 0.1, >80% of words containing a letter, and ≥2 common
+    stopwords present — the standard pre-filter stack before model-based
+    quality scoring (text_quality_score is the continuous cousin; this
+    is the hard gate). Pure codegen column arithmetic, zero shuffles,
+    zero UDFs; every metric is rounded before its threshold so the
+    pass/fail decision is identical in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    mean_wl = F.round(
+        (F.length("text") - (n_words - 1)).cast("double") / n_words, 4
+    )
+    sym = F.round(
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+            + (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+            )
+            / 3
+        )
+        * 1.0
+        / n_words,
+        4,
+    )
+    alpha = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double")
+        / n_words,
+        4,
+    )
+    stops = F.size(
+        F.array_intersect(
+            toks, F.array(*[F.lit(s) for s in ["the", "a", "of", "and", "to"]])
+        )
+    ).cast("long")
+    m = d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym.alias("symbol_ratio"),
+        alpha.alias("alpha_frac"),
+        stops.alias("stop_hits"),
+    )
+    return m.withColumn(
+        "passes",
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("alpha_frac") > 0.8)
+        & (F.col("stop_hits") >= 2),
+    )

@@ -1396,3 +1396,185 @@ def q_dedup_survivor_policy(spark, sf_dir):
         )
         .filter(F.col("n_members") >= 2)
     )
+
+
+# ===========================================================================
+# Round-4 additions: ANN nprobe dial, MinHash quality, normalized dedup
+# ===========================================================================
+
+
+@query(
+    "similarity_ivf_nprobe",
+    oracle=f"""
+    WITH cent0 AS (
+        SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+        FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+    cent AS (SELECT label, list(m ORDER BY i) AS centroid FROM cent0 GROUP BY label),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec
+          FROM embeddings WHERE vec_id < 8),
+    routed AS (
+        SELECT q.query_id, q.qvec, c.label AS probe_label,
+               round({_COS_SQL.format(a="q.qvec", b="c.centroid")}, 6) AS csim
+        FROM q, cent c),
+    best AS (
+        SELECT query_id, qvec, probe_label FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY csim DESC, probe_label) AS r
+            FROM routed) WHERE r <= 3),
+    scored AS (
+        SELECT b.query_id, b.probe_label, e.vec_id AS neighbor_id,
+               round({_COS_SQL.format(a="b.qvec", b="e.embedding")}, 6) AS sim
+        FROM embeddings e JOIN best b ON e.label = b.probe_label
+        WHERE e.vec_id <> b.query_id)
+    SELECT query_id, probe_label, neighbor_id, sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_similarity_ivf_nprobe(spark, sf_dir):
+    """IVF ANN with nprobe=3 — the recall/scan dial on the IVF side,
+    paired with similarity_ann_multiprobe on the LSH side: each query
+    exact-searches its 3 nearest cells (3/10 of the corpus) instead of
+    1, lifting recall@5 from ~0.1 to ~0.4 on the isotropic test
+    embeddings (tests/test_ann_recall.py pins the floor). Plan shape is
+    identical to nprobe=1: centroids broadcast, probed cells read via
+    partition pruning at scale, candidates never shuffle the corpus."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.topk_ivf(e, e.filter(F.col("vec_id") < 8), k=5, nprobe=3)
+
+
+_MINHASH_EST_SQL = " + ".join(
+    f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(D.N_MINHASH)
+)
+
+@query(
+    "minhash_jaccard_estimate",
+    oracle=f"""
+    WITH shing AS ({_INT_SHINGLES_SQL.format(corpus=_NEAR_CORPUS_SQL)}),
+    sig0 AS (SELECT doc_id, shingles, {_SIG_COLS_SQL} FROM shing),
+    sig AS (SELECT *, {_BAND_COLS_SQL} FROM sig0),
+    cand AS ({_CAND_UNION_SQL})
+    SELECT c.id_a, c.id_b,
+           round(({_MINHASH_EST_SQL}) / {D.N_MINHASH}.0, 4) AS est_jac,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE),
+                 4) AS exact_jac,
+           round(abs(({_MINHASH_EST_SQL}) / {D.N_MINHASH}.0
+                 - CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                   / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE)),
+                 4) AS abs_err
+    FROM cand c
+    JOIN sig a ON a.doc_id = c.id_a
+    JOIN sig b ON b.doc_id = c.id_b
+    WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+    """,
+)
+def q_minhash_jaccard_estimate(spark, sf_dir):
+    """MinHash estimator quality: for every LSH candidate pair, the
+    8-permutation MinHash Jaccard ESTIMATE (fraction of agreeing
+    signature slots) next to the exact shingle Jaccard and their
+    absolute error — the sketch-accuracy audit that says whether 8
+    permutations are enough before trusting banding at corpus scale
+    (the MinHash analogue of the ANN recall@k numbers; E[est] = true J,
+    σ = sqrt(J(1-J)/8) ≈ 0.18 at J=0.5, so single-pair estimates are
+    coarse and THRESHOLD decisions must verify exactly, as
+    dedup_minhash_lsh does).
+
+    Costs nothing new at scale: signatures and shingles are already
+    computed for banding; the estimate is 8 integer equality checks per
+    candidate pair riding the existing verify join."""
+    corpus = _near_corpus(spark, sf_dir)
+    sh_all = caching.tracked_persist(D.shingled(corpus, "text", "doc_id"))
+    pairs = D.candidate_pairs_minhash(sh_all, "doc_id")
+    sh = sh_all.filter(F.size("shingles") > 0)
+    sig = D.minhash_signature(F.col("shingles"))
+    a = sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        *[s.alias(f"ma{i}") for i, s in enumerate(sig)],
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        *[s.alias(f"mb{i}") for i, s in enumerate(sig)],
+    )
+    agree = sum(
+        F.when(F.col(f"ma{i}") == F.col(f"mb{i}"), 1).otherwise(0)
+        for i in range(D.N_MINHASH)
+    )
+    est = agree / float(D.N_MINHASH)
+    exact = D.jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(est, 4).alias("est_jac"),
+            F.round(exact, 4).alias("exact_jac"),
+            F.round(F.abs(est - exact), 4).alias("abs_err"),
+        )
+    )
+
+
+#: corpus with planted FORMATTING variants: doc_id % 40 == 0 re-appears
+#: uppercased with doctored punctuation/whitespace — byte-level exact
+#: dedup misses them; normalization-then-hash catches them.
+_NORM_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000, upper(text) || '  !!'
+    FROM documents WHERE doc_id % 40 = 0
+"""
+
+_NORM_KEY_SQL = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))"
+)
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle=f"""
+    WITH corpus AS ({_NORM_CORPUS_SQL}),
+    keyed AS (SELECT doc_id, {_NORM_KEY_SQL} AS k FROM corpus)
+    SELECT k, CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS keep_id
+    FROM keyed GROUP BY k HAVING count(*) >= 2
+    """,
+)
+def q_dedup_exact_normalized(spark, sf_dir):
+    """Normalized exact dedup — the cheap first stage every corpus
+    pipeline runs BEFORE near-dedup: lowercase, strip punctuation,
+    collapse whitespace, then hash-group. Catches the mass of trivial
+    re-crawls (case/punctuation/whitespace variants) for one map + one
+    hash shuffle, leaving only genuinely-reworded copies to the ~10×
+    costlier MinHash pass. Planted uppercase+punctuation variants here
+    are invisible to byte-exact dedup (doc_fingerprint) by construction.
+    Keep-policy: min id (dedup_survivor_policy shows the quality-priority
+    alternative)."""
+    corpus = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = corpus.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("  !!")).alias("text"),
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    keyed = corpus.unionByName(variants).select(
+        "doc_id", F.md5(norm).alias("k")
+    )
+    return (
+        keyed.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("doc_id").cast("long").alias("keep_id"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )

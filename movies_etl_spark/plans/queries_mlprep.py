@@ -578,3 +578,36 @@ def q_embedding_dim_stats(spark, sf_dir):
         F.round("mn", 4).alias("vmin"),
         F.round("mx", 4).alias("vmax"),
     )
+
+
+@query(
+    "stratified_kfold_assign",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST((row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % 5
+                AS BIGINT) AS fold
+    FROM documents
+    """,
+)
+def q_stratified_kfold_assign(spark, sf_dir):
+    """Stratified 5-fold assignment: within each language stratum, docs
+    are dealt round-robin in deterministic hash order, so every fold
+    holds exactly ⌈n/5⌉ or ⌊n/5⌋ docs PER LANGUAGE — the exact-balance
+    guarantee cross-validation needs that train_test_split's plain hash
+    bucketing (binomially balanced only) cannot give.
+
+    One shuffle on the stratum key; the hash order makes assignment
+    reproducible across engines and runs. At 100 TB strata are large:
+    the same exact balance comes from the two-stage form (per-partition
+    row_number + partition-offset add — the sequence_pack prefix-sum
+    shape) instead of one window per giant stratum."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        ((F.row_number().over(w) - 1) % 5).cast("long").alias("fold"),
+    )

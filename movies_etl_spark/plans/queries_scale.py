@@ -1102,3 +1102,160 @@ def q_pagerank_parts(spark, sf_dir):
         .orderBy(F.col("pr_ppm").desc(), "part")
         .limit(20)
     )
+
+
+# ===========================================================================
+# Graph analytics: triangles + degree distribution over the co-purchase graph
+# ===========================================================================
+
+#: distinct co-purchase edges (pa < pb), the graph copurchase_pairs /
+#: pagerank_parts also build — shared here as an oracle CTE fragment.
+_COPURCHASE_EDGES_SQL = """
+    pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM pr a JOIN pr b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+"""
+
+
+@query(
+    "triangle_count",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_SQL},
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+            GROUP BY node),
+    ranked AS (SELECT e.pa, e.pb, da.d AS da, db.d AS db
+               FROM e JOIN deg da ON da.node = e.pa
+                      JOIN deg db ON db.node = e.pb),
+    oriented AS (
+        SELECT CASE WHEN (da, pa) < (db, pb) THEN pa ELSE pb END AS u,
+               CASE WHEN (da, pa) < (db, pb) THEN pb ELSE pa END AS v
+        FROM ranked),
+    wedges AS (SELECT w1.u AS a, w1.v AS b, w2.v AS c
+               FROM oriented w1 JOIN oriented w2
+                 ON w1.u = w2.u AND w1.v < w2.v)
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges
+    FROM wedges JOIN oriented o ON o.u = wedges.b AND o.v = wedges.c
+    """,
+)
+def q_triangle_count(spark, sf_dir):
+    """Global triangle count over the co-purchase graph — the clustering
+    backbone metric (community density, spam/bot ring detection).
+
+    Scale-canonical DEGREE-ORDERED orientation: every edge points from
+    its lower-(degree, id) endpoint to the higher one, so each wedge is
+    generated exactly once at its lowest-degree apex — the standard fix
+    that caps per-node wedge fan-out at O(d_min²) and tames hub nodes
+    (an unoriented wedge join explodes quadratically on the hottest
+    hub). Three shuffles total: degree agg, wedge self-join on the apex,
+    closing-edge join. The closing join's build side is the edge list
+    itself — at 100 TB both sides hash-partition on (b, c); nothing is
+    ever broadcast-sized by assumption."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> named_struct('pa', x, 'pb', y))))"
+                )
+            ).alias("p")
+        )
+        .select("p.pa", "p.pb")
+        .distinct()
+    )
+    edges = caching.tracked_persist(edges)
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranked = (
+        edges.join(deg.withColumnRenamed("node", "pa"), "pa")
+        .withColumnRenamed("d", "da")
+        .join(
+            deg.select(F.col("node").alias("pb"), F.col("d").alias("db")),
+            "pb",
+        )
+    )
+    lower = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = ranked.select(
+        F.when(lower, F.col("pa")).otherwise(F.col("pb")).alias("u"),
+        F.when(lower, F.col("pb")).otherwise(F.col("pa")).alias("v"),
+    )
+    oriented = caching.tracked_persist(oriented)
+    w1 = oriented.select(F.col("u"), F.col("v").alias("b"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("c"))
+    wedges = w1.join(w2, "u").filter(F.col("b") < F.col("c"))
+    closed = wedges.join(
+        oriented.select(F.col("u").alias("b"), F.col("v").alias("c")),
+        ["b", "c"],
+    )
+    n_edges = edges.count()
+    return closed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+    )
+
+
+@query(
+    "degree_distribution",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_SQL},
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+            GROUP BY node)
+    SELECT CAST(d // 20 * 20 AS BIGINT) AS deg_bucket,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(d) AS BIGINT) AS min_deg,
+           CAST(max(d) AS BIGINT) AS max_deg
+    FROM deg GROUP BY deg_bucket
+    """,
+)
+def q_degree_distribution(spark, sf_dir):
+    """Degree histogram of the co-purchase graph (bucket width 20) — the
+    first thing to read before ANY graph job: a heavy-tailed degree
+    distribution is what makes unoriented wedge joins and hub-keyed
+    shuffles explode (it feeds the triangle_count orientation and the
+    skew_report salting decision). Two aggregates, map-side partials;
+    the edge expansion is the same basket-local map as
+    copurchase_pairs — the fact table shuffles once on l_orderkey."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> named_struct('pa', x, 'pb', y))))"
+                )
+            ).alias("p")
+        )
+        .select("p.pa", "p.pb")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return deg.groupBy(
+        (F.floor(F.col("d") / 20) * 20).cast("long").alias("deg_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("d").cast("long").alias("min_deg"),
+        F.max("d").cast("long").alias("max_deg"),
+    )

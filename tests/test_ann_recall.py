@@ -65,6 +65,16 @@ def test_ivf_recall_floor(spark, recall_frames):
     assert SIM.recall_at_k(exact, ivf) >= 0.05  # measured 0.125
 
 
+def test_ivf_nprobe_dial(spark, recall_frames):
+    """nprobe is IVF's recall dial: probing 3 cells must strictly beat
+    probing 1 and clear an absolute floor (measured 0.425 at sf0.01)."""
+    e, q, exact = recall_frames
+    r1 = SIM.recall_at_k(exact, SIM.topk_ivf(e, q, k=5, nprobe=1))
+    r3 = SIM.recall_at_k(exact, SIM.topk_ivf(e, q, k=5, nprobe=3))
+    assert r3 > r1
+    assert r3 >= 0.2
+
+
 def test_multiprobe_beats_single_probe(spark, recall_frames):
     """The probe radius is a real recall dial: Hamming-2 multi-probe must
     strictly dominate single-probe (offset {0}) on the same signatures."""
