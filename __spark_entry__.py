@@ -93,6 +93,8 @@ _ROUND4_PRIORITY = [
     "dedup_exact_normalized",
     "gopher_quality_flags",
     "stratified_kfold_assign",
+    "streaming_hopping_window",
+    "lang_id_confusion",
 ]
 
 # Round-3 priority retained for the ledger (NOTES_r3.md references it);

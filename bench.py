@@ -78,6 +78,7 @@ HEADLINE = [
     "streaming_session_window",
     "streaming_dedup",
     "streaming_stream_join",
+    "streaming_hopping_window",
     # analytics/retrieval suite (r3): the event-analytics shuffle shapes
     # (multi-stage funnel joins, distinct-count retention, densify +
     # window gap-fill) and the two text-retrieval paths (token-shuffle

@@ -1578,3 +1578,73 @@ def q_dedup_exact_normalized(spark, sf_dir):
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+@query(
+    "streaming_hopping_window",
+    oracle="""
+    WITH e AS (SELECT CAST(epoch_us(CAST(date_trunc('second', ts) AS TIMESTAMP))
+                      // 1000000 AS BIGINT) AS sec,
+                      event_type,
+                      CAST(floor(value * 100) AS BIGINT) AS cents
+               FROM events),
+    hop AS (SELECT (sec // 1800 - o) * 1800 AS ws, event_type, cents
+            FROM e, UNNEST([0, 1]) t(o))
+    SELECT ws, event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM hop GROUP BY ws, event_type
+    """,
+)
+def q_streaming_hopping_window(spark, sf_dir):
+    """Streaming sliding-window aggregate (1 h window / 30 min hop ×
+    event_type) — the hopping_window_agg batch query re-expressed over
+    readStream with the identical F.window(slide) generator, completing
+    the tumbling/session/sliding window triple in the streaming suite.
+    The batch oracle is exact on bounded input (availableNow drains
+    everything; complete mode emits final counts). Window membership is
+    second-truncation-invariant because all window boundaries are whole
+    multiples of 1800 s."""
+    from movies_etl_spark.streaming import ops
+
+    return ops.hopping_counts(spark, sf_dir)
+
+
+_LANG_CONFUSION_ORACLE = (
+    "WITH pred AS ("
+    + _LANG_ID_ORACLE
+    + ") SELECT lang AS lang_true, lang_pred, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY lang), 4) "
+    "AS row_share FROM pred GROUP BY lang, lang_pred"
+)
+
+
+@query("lang_id_confusion", oracle=_LANG_CONFUSION_ORACLE)
+def q_lang_id_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: predicted vs stored language with
+    per-true-language shares — the classifier-quality audit completing
+    the engine's eval trio (ANN recall@k, MinHash estimator error, and
+    now heuristic-classifier accuracy): a curation pipeline that routes
+    by lang_id needs THIS table before trusting the routing.
+
+    One scan + one aggregate collapsing to ≤|langs|² rows; the share
+    window runs on that tiny frame. The stopword-argmax predictor is
+    the deterministic CASE chain text_lang_id pins against the same
+    oracle."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.select(
+        F.col("lang").alias("lang_true"),
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+    )
+    counts = c.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("lang_true")
+    return counts.select(
+        "lang_true",
+        "lang_pred",
+        "n_docs",
+        F.round(F.col("n_docs") * 1.0 / F.sum("n_docs").over(w), 4).alias(
+            "row_share"
+        ),
+    )

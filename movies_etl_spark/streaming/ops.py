@@ -146,6 +146,37 @@ def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows on a stream: 1-hour windows every 30
+    minutes × event_type — each event feeds exactly two open windows.
+    The streaming twin of the batch hopping_window_agg: identical
+    F.window(slide) generator, so the migration between the two is the
+    source swap alone.
+
+    Unbounded variant: add ``withWatermark("ts", ...)`` so closed
+    windows evict from state; with the slide, peak state is
+    (window/hop)× the tumbling equivalent — the cost knob the hop ratio
+    controls. Window starts are emitted as epoch seconds so results
+    compare as integers under either parquet ts encoding."""
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(
+        F.window("ts", "1 hour", "30 minutes").alias("w"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        (F.unix_micros(F.col("w.start").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("ws"),
+        "event_type",
+        "n_events",
+        "cents",
+    )
+
+
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: per-user session windows with a 30-minute
     inactivity gap, via ``applyInPandasWithState``.
