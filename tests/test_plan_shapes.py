@@ -377,3 +377,46 @@ def test_pagerank_single_fact_scan(spark, sf_dir):
     # live reads are all InMemoryTableScans — one per edge consumer
     # (outw + 2 rounds x 2 sides after the union)
     assert plan.count("InMemoryTableScan") >= 3, plan
+
+
+def test_gopher_flags_map_only(spark, sf_dir):
+    """The Gopher rule battery is a pure per-row expression stack: zero
+    exchanges, zero Python workers — nothing may sneak a shuffle or UDF
+    into the hot filter path."""
+    plan = _plan(spark, sf_dir, "gopher_quality_flags")
+    assert _exchanges(plan) == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hopping_window_single_shuffle(spark, sf_dir):
+    """The 2× hopping expansion must happen MAP-side before the partial
+    aggregate: exactly one exchange (the window-keyed final agg), never
+    an expansion after the shuffle."""
+    plan = _plan(spark, sf_dir, "hopping_window_agg")
+    assert _exchanges(plan) == 1, plan
+
+
+def test_winsorize_broadcasts_group_stats(spark, sf_dir):
+    """Per-group percentile stats (|event_types| rows) come back onto the
+    fact table as a broadcast — the facts are never sort-merge-shuffled
+    for a 5-row join side."""
+    plan = _plan(spark, sf_dir, "winsorize_robust_scale")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("events.parquet") == 2, "facts + stats scan only"
+
+
+def test_dedup_exact_normalized_single_shuffle(spark, sf_dir):
+    """Normalize-then-hash dedup is one map + one hash aggregate: a
+    single exchange on the content key."""
+    plan = _plan(spark, sf_dir, "dedup_exact_normalized")
+    assert _exchanges(plan) == 1, plan
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    """Degree-ordered triangle counting must stay equi-join-only — a
+    Hamming/theta formulation would surface as a nested-loop or
+    cartesian node."""
+    plan = _plan(spark, sf_dir, "triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
