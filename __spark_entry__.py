@@ -95,6 +95,8 @@ _ROUND4_PRIORITY = [
     "stratified_kfold_assign",
     "streaming_hopping_window",
     "lang_id_confusion",
+    "ann_recall_eval",
+    "dedup_containment",
 ]
 
 # Round-3 priority retained for the ledger (NOTES_r3.md references it);

@@ -58,6 +58,7 @@ HEADLINE = [
     "dedup_cluster_components",
     "dedup_exact_normalized",
     "minhash_jaccard_estimate",
+    "dedup_containment",
     "dedup_survivors",
     "curation_pipeline",
     "training_data_filter",

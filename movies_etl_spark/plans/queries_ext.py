@@ -1648,3 +1648,112 @@ def q_lang_id_confusion(spark, sf_dir):
             "row_share"
         ),
     )
+
+
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH exact AS ({_TOPK_ORACLE}),
+    ann AS ({_MULTIPROBE_ORACLE})
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           round(count(a.neighbor_id) * 1.0 / count(*), 4) AS recall
+    FROM exact e
+    LEFT JOIN ann a ON a.query_id = e.query_id
+                   AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def q_ann_recall_eval(spark, sf_dir):
+    """Per-query recall@5 of multi-probe LSH against the exact
+    brute-force top-k, AS A QUERY — the index-quality audit runs under
+    the same oracle gate as the index itself, so a probe-table change
+    that silently craters recall fails CORRECTNESS, not just a pytest
+    floor (tests/test_ann_recall.py keeps the aggregate floors; bench
+    reports the fleet-level numbers).
+
+    Plan: both sides reuse their own scale shapes (broadcast queries ×
+    one corpus scan; bucketed probe equi-join), and the recall join runs
+    on two k·|queries|-row frames — negligible next to either input."""
+    e = _t(spark, sf_dir, "embeddings")
+    qset = e.filter(F.col("vec_id") < 8)
+    exact = SIM.topk_bruteforce(e, qset, k=5).select("query_id", "neighbor_id")
+    ann = SIM.topk_multiprobe_lsh(e, qset, k=5).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    j = exact.join(
+        ann,
+        (F.col("query_id") == F.col("aq"))
+        & (F.col("neighbor_id") == F.col("an")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.count("an").cast("long").alias("n_hit"),
+        F.round(F.count("an") * 1.0 / F.count(F.lit(1)), 4).alias("recall"),
+    )
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH shing AS ({_INT_SHINGLES_SQL.format(corpus=_NEAR_CORPUS_SQL)}),
+    sig0 AS (SELECT doc_id, shingles, {_SIG_COLS_SQL} FROM shing),
+    sig AS (SELECT *, {_BAND_COLS_SQL} FROM sig0),
+    cand AS ({_CAND_UNION_SQL})
+    SELECT c.id_a, c.id_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / least(CAST(len(list_distinct(a.shingles)) AS DOUBLE),
+                         CAST(len(list_distinct(b.shingles)) AS DOUBLE)), 4)
+               AS containment,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE),
+                 4) AS jac
+    FROM cand c
+    JOIN sig a ON a.doc_id = c.id_a
+    JOIN sig b ON b.doc_id = c.id_b
+    WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+      AND round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / least(CAST(len(list_distinct(a.shingles)) AS DOUBLE),
+                    CAST(len(list_distinct(b.shingles)) AS DOUBLE)), 4) >= 0.9
+    """,
+)
+def q_dedup_containment(spark, sf_dir):
+    """Containment-based near-dedup: |A∩B| / min(|A|,|B|) over the same
+    LSH candidate pairs — the ASYMMETRIC duplicate detector. A truncated
+    copy (the planted first-(n−10)-tokens variants) has containment
+    ≈ 1.0 but Jaccard well below it, so a Jaccard-0.9 threshold misses
+    exactly the sub-document copies a containment-0.9 threshold keeps —
+    why suffix/prefix scrapes and quote-heavy pages need containment
+    next to Jaccard (both emitted here for the comparison).
+
+    Same scale shape as dedup_minhash_lsh: banded candidate generation,
+    set arithmetic only on candidate pairs; distinct shingle counts are
+    per-side (no cross-pair state)."""
+    corpus = _near_corpus(spark, sf_dir)
+    sh_all = caching.tracked_persist(D.shingled(corpus, "text", "doc_id"))
+    pairs = D.candidate_pairs_minhash(sh_all, "doc_id")
+    sh = sh_all.filter(F.size("shingles") > 0)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    containment = F.round(
+        inter.cast("double")
+        / F.least(
+            F.size(F.array_distinct(F.col("sh_a"))).cast("double"),
+            F.size(F.array_distinct(F.col("sh_b"))).cast("double"),
+        ),
+        4,
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            containment.alias("containment"),
+            F.round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jac"),
+        )
+        .filter(F.col("containment") >= 0.9)
+    )
