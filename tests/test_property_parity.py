@@ -303,3 +303,68 @@ def test_oov_rate_extremes(spark, sf_dir):
     rates = {r["doc_id"]: r["oov_rate"] for r in j.collect()}
     assert rates[900001] == 0.0
     assert rates[900002] == 1.0
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """For every candidate pair, containment ≥ Jaccard by definition
+    (min(|A|,|B|) ≤ |A∪B|), and the planted truncated copies must be
+    exactly the case containment catches: near-1.0 containment with
+    lower Jaccard."""
+    import __spark_entry__ as m
+
+    out = m.queries()["dedup_containment"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out.containment >= out.jac - 1e-9).all()
+    planted = out[(out.id_b - out.id_a) == 1000000]
+    assert len(planted) > 0, "planted truncations must surface"
+    assert (planted.containment >= 0.98).all()
+    assert (planted.jac < planted.containment).all()
+
+
+def test_entropy_profile_bounds(spark, sf_dir):
+    """0 ≤ H ≤ log2(k) and the normalized entropy is in (0, 1]."""
+    import math
+
+    import __spark_entry__ as m
+
+    out = m.queries()["entropy_profile"](spark, sf_dir).toPandas()
+    assert len(out) == 3
+    for _, r in out.iterrows():
+        assert 0.0 <= r.entropy_bits <= math.log2(r.n_distinct) + 1e-6, r
+        assert 0.0 < r.norm_entropy <= 1.0 + 1e-9, r
+
+
+def test_winsorize_clamps_within_percentiles(spark, sf_dir):
+    """Winsorized values must lie inside each group's [p05, p95] band
+    (the band recomputed here from the same exact-percentile agg)."""
+    import __spark_entry__ as m
+    from pyspark.sql import functions as F
+
+    from movies_etl_spark.sources import readers
+
+    out = m.queries()["winsorize_robust_scale"](spark, sf_dir)
+    ev = readers.load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 6).alias("p05"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+    bad = (
+        out.join(s, "event_type")
+        .filter(
+            (F.col("value_wins") < F.col("p05") - 1e-9)
+            | (F.col("value_wins") > F.col("p95") + 1e-9)
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_kfold_exact_balance_per_stratum(spark, sf_dir):
+    """Within every language stratum the fold sizes differ by at most 1
+    — the exact-balance property plain hash bucketing cannot give."""
+    import __spark_entry__ as m
+
+    out = m.queries()["stratified_kfold_assign"](spark, sf_dir).toPandas()
+    sizes = out.groupby(["lang", "fold"]).size()
+    for lang, grp in sizes.groupby(level=0):
+        assert grp.max() - grp.min() <= 1, (lang, dict(grp))
