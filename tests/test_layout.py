@@ -53,3 +53,34 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     assert n == a.join(b, a["o_orderkey"] == b["l_orderkey"]).count()
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_events_nanos_encoding_tolerated(spark, sf_dir, tmp_path):
+    """The driver has regenerated events.parquet in BOTH encodings across
+    rounds (TIMESTAMP(NANOS) → Spark reads a bigint under nanosAsLong;
+    TIMESTAMP(MICROS)-no-tz → TIMESTAMP_NTZ). Re-encode the current
+    events table as NANOS and assert ts-heavy queries return identical
+    results — so the next regeneration cannot break 25 queries again
+    (NOTES_r3 round-start incident)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as m
+
+    ns_dir = tmp_path / "sf_ns"
+    ns_dir.mkdir()
+    src = pq.read_table(f"{sf_dir}/events.parquet")
+    idx = src.schema.get_field_index("ts")
+    ns = src.set_column(idx, "ts", src["ts"].cast(pa.timestamp("ns")))
+    pq.write_table(ns, str(ns_dir / "events.parquet"), version="2.6")
+
+    qs = m.queries()
+    for name in ["hopping_window_agg", "week_over_week", "event_transitions"]:
+        base = qs[name](spark, sf_dir).toPandas()
+        got = qs[name](spark, str(ns_dir)).toPandas()
+        cols = sorted(base.columns)
+        b = base[cols].sort_values(cols).reset_index(drop=True)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        assert b.shape == g.shape, name
+        for c in cols:
+            assert b[c].astype(str).equals(g[c].astype(str)), (name, c)
