@@ -1200,11 +1200,12 @@ def q_triangle_count(spark, sf_dir):
         oriented.select(F.col("u").alias("b"), F.col("v").alias("c")),
         ["b", "c"],
     )
-    n_edges = edges.count()
-    return closed.agg(
-        F.count(F.lit(1)).cast("long").alias("n_triangles"),
-        F.lit(n_edges).cast("long").alias("n_edges"),
-    )
+    # n_edges rides as a lazy 1-row cross join (not a builder-side
+    # .count() action, which would materialize the edge pipeline in a
+    # separate job before the query's own action even starts)
+    tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    ne = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return tri.crossJoin(ne)
 
 
 @query(
