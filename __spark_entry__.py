@@ -97,6 +97,7 @@ _ROUND4_PRIORITY = [
     "lang_id_confusion",
     "ann_recall_eval",
     "dedup_containment",
+    "sink_jdbc_roundtrip",
 ]
 
 # Round-3 priority retained for the ledger (NOTES_r3.md references it);
