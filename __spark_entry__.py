@@ -98,6 +98,7 @@ _ROUND4_PRIORITY = [
     "ann_recall_eval",
     "dedup_containment",
     "sink_jdbc_roundtrip",
+    "scan_error_checked",
 ]
 
 # Round-3 priority retained for the ledger (NOTES_r3.md references it);

@@ -1890,6 +1890,44 @@ def q_sink_jdbc_roundtrip(spark, sf_dir):
 
 
 @query(
+    "scan_error_checked",
+    oracle="""
+    SELECT 'SourceNotFoundError' AS error_type,
+           true AS path_in_message,
+           true AS is_file_not_found,
+           CAST(count(*) AS BIGINT) AS fallback_rows
+    FROM region
+    """,
+)
+def q_scan_error_checked(spark, sf_dir):
+    """S7 error-checked open (challenge.py:23-30), under the driver's
+    oracle gate: scanning a missing path must raise the TYPED
+    SourceNotFoundError (a FileNotFoundError subclass, like the
+    reference's wrapper) with the offending path in the message — and
+    the caller's catch-and-fallback then proceeds normally. The query
+    EXERCISES the error path (catches the expected error, records its
+    contract as data) and returns the fallback scan's row count, so a
+    regression in the wrapper — wrong type, swallowed error, lost path —
+    flips a CORRECTNESS row, not just a unit test."""
+    from movies_etl_spark.sources import readers
+
+    missing = f"{sf_dir}/__definitely_missing__.parquet"
+    try:
+        readers.load_table(spark, sf_dir, "__definitely_missing__")
+        error_type, path_ok, is_fnf = "none", False, False
+    except readers.SourceNotFoundError as exc:
+        error_type = type(exc).__name__
+        path_ok = missing in str(exc)
+        is_fnf = isinstance(exc, FileNotFoundError)
+    fallback = readers.load_table(spark, sf_dir, "region").count()
+    return spark.createDataFrame(
+        [(error_type, path_ok, is_fnf, fallback)],
+        "error_type STRING, path_in_message BOOLEAN, "
+        "is_file_not_found BOOLEAN, fallback_rows LONG",
+    )
+
+
+@query(
     "upsert_merge",
     oracle="""
     WITH base AS (
