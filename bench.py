@@ -239,6 +239,10 @@ def main() -> None:
             "ivf_nprobe1": round(
                 SIM.recall_at_k(exact, SIM.topk_ivf(emb, qset, k=5)), 3
             ),
+            "ivf_nprobe3": round(
+                SIM.recall_at_k(exact, SIM.topk_ivf(emb, qset, k=5, nprobe=3)),
+                3,
+            ),
         }
         exact.unpersist()
     except Exception:
