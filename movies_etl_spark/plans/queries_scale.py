@@ -1196,8 +1196,18 @@ def q_triangle_count(spark, sf_dir):
     w1 = oriented.select(F.col("u"), F.col("v").alias("b"))
     w2 = oriented.select(F.col("u"), F.col("v").alias("c"))
     wedges = w1.join(w2, "u").filter(F.col("b") < F.col("c"))
+    # Closing join: the probe side is the WEDGE set (~34× the edge count
+    # here — 41M wedges vs 1.2M edges at sf0.1), so a sort-merge join
+    # pays an O(wedges log wedges) sort for rows that immediately
+    # collapse into a count. shuffle_hash builds on the EDGE side
+    # (small per partition) and streams the wedges unsorted — measured
+    # 7.3 → 5.7 s on the closing stage. Scale bound: the build side per
+    # partition is |edges|/shuffle.partitions; size partitions so that
+    # fits executor memory, else drop the hint and take the SMJ.
     closed = wedges.join(
-        oriented.select(F.col("u").alias("b"), F.col("v").alias("c")),
+        oriented.select(F.col("u").alias("b"), F.col("v").alias("c")).hint(
+            "shuffle_hash"
+        ),
         ["b", "c"],
     )
     # n_edges rides as a lazy 1-row cross join (not a builder-side
