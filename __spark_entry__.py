@@ -99,6 +99,15 @@ _ROUND4_PRIORITY = [
     "dedup_containment",
     "sink_jdbc_roundtrip",
     "scan_error_checked",
+    # slots 47-50: re-validation filler — queries already green in
+    # r1-r3 whose UNDERLYING OPERATORS were modified this round
+    # (cosine_pairs_vectorized gained the block guard; topk_ivf gained
+    # the nprobe parameter), so their fresh rows prove the refactors
+    # changed nothing.
+    "dedup_embedding_cosine_vectorized",
+    "dedup_embedding_cosine",
+    "similarity_ann_ivf",
+    "similarity_topk",
 ]
 
 # Round-3 priority retained for the ledger (NOTES_r3.md references it);
