@@ -914,7 +914,8 @@ def q_hopping_window_agg(spark, sf_dir):
                    round(sum(-1.0 * c / t * log2(c * 1.0 / t)), 6) AS entropy_bits
             FROM d, (SELECT sum(c) AS t FROM d))
     SELECT column_name, n_distinct, entropy_bits,
-           round(entropy_bits / log2(n_distinct), 6) AS norm_entropy
+           round(entropy_bits / nullif(log2(n_distinct), 0), 6)
+               AS norm_entropy
     FROM (SELECT * FROM et_h UNION ALL SELECT * FROM u_h
           UNION ALL SELECT * FROM d_h)
     """,
@@ -962,13 +963,15 @@ def q_entropy_profile(spark, sf_dir):
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    # single-valued column: entropy 0 / log2(1)=0 — both engines must
+    # yield NULL, not Spark-NULL-vs-DuckDB-NaN (the week_over_week
+    # zero-divide discipline)
+    denom = F.when(F.col("n_distinct") > 1, F.log2(F.col("n_distinct")))
     return out.select(
         "column_name",
         "n_distinct",
         "entropy_bits",
-        F.round(F.col("entropy_bits") / F.log2(F.col("n_distinct")), 6).alias(
-            "norm_entropy"
-        ),
+        F.round(F.col("entropy_bits") / denom, 6).alias("norm_entropy"),
     )
 
 

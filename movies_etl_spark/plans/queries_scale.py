@@ -872,6 +872,33 @@ def q_rollup_cascade(spark, sf_dir):
     )
 
 
+
+def _basket_pairs(spark, sf_dir):
+    """Per-order co-purchase pair expansion shared by the graph queries
+    (copurchase_pairs / pagerank_parts / triangle_count /
+    degree_distribution): one l_orderkey shuffle collects each order's
+    distinct sorted part list (collect_set dedups DURING the aggregate —
+    a separate distinct() would shuffle the fact table twice), then
+    pairs expand MAP-side inside the array — n·(n−1)/2 per basket,
+    quadratic only in basket size (TPC-H ≤7 lines), never in item
+    popularity. Mirrors the oracle-side _COPURCHASE_EDGES_SQL fragment;
+    one definition so edge semantics cannot silently diverge per query.
+    Returns (pa, pb) with pa < pb, one row per (order, pair)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    return baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), "
+                "y -> named_struct('pa', x, 'pb', y))))"
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb")
+
+
 @query(
     "copurchase_pairs",
     oracle="""
@@ -899,21 +926,7 @@ def q_copurchase_pairs(spark, sf_dir):
     the small basket size, never in item popularity), and aggregates
     pre-combined pair counts. Top-25 is TakeOrdered with a total
     order."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # collect_set dedups within the order DURING the basket aggregate —
-    # a separate distinct() would shuffle the fact table a second time
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
-    )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(parts, (x, i) -> "
-                "transform(slice(parts, i + 2, size(parts)), "
-                "y -> named_struct('pa', x, 'pb', y))))"
-            )
-        ).alias("p")
-    ).select("p.pa", "p.pb")
+    pairs = _basket_pairs(spark, sf_dir)
     return (
         pairs.groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n_orders"))
@@ -1037,21 +1050,9 @@ def q_pagerank_parts(spark, sf_dir):
     places before feeding the next round — so the SQL oracle replays
     both iterations bit-for-bit (the kmeans_assign stored-artifact
     rounding discipline applied to an iterative vector)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
-    )
     cop = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, (x, i) -> "
-                    "transform(slice(parts, i + 2, size(parts)), "
-                    "y -> named_struct('pa', x, 'pb', y))))"
-                )
-            ).alias("p")
-        )
-        .groupBy("p.pa", "p.pb")
+        _basket_pairs(spark, sf_dir)
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("w"))
     )
     edges = caching.tracked_persist(
@@ -1130,11 +1131,12 @@ _COPURCHASE_EDGES_SQL = """
                       JOIN deg db ON db.node = e.pb),
     oriented AS (
         SELECT CASE WHEN (da, pa) < (db, pb) THEN pa ELSE pb END AS u,
-               CASE WHEN (da, pa) < (db, pb) THEN pb ELSE pa END AS v
+               CASE WHEN (da, pa) < (db, pb) THEN pb ELSE pa END AS v,
+               CASE WHEN (da, pa) < (db, pb) THEN db ELSE da END AS dv
         FROM ranked),
-    wedges AS (SELECT w1.u AS a, w1.v AS b, w2.v AS c
+    wedges AS (SELECT w1.v AS b, w2.v AS c
                FROM oriented w1 JOIN oriented w2
-                 ON w1.u = w2.u AND w1.v < w2.v)
+                 ON w1.u = w2.u AND (w1.dv, w1.v) < (w2.dv, w2.v))
     SELECT CAST(count(*) AS BIGINT) AS n_triangles,
            CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges
     FROM wedges JOIN oriented o ON o.u = wedges.b AND o.v = wedges.c
@@ -1153,23 +1155,7 @@ def q_triangle_count(spark, sf_dir):
     closing-edge join. The closing join's build side is the edge list
     itself — at 100 TB both sides hash-partition on (b, c); nothing is
     ever broadcast-sized by assumption."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
-    )
-    edges = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, (x, i) -> "
-                    "transform(slice(parts, i + 2, size(parts)), "
-                    "y -> named_struct('pa', x, 'pb', y))))"
-                )
-            ).alias("p")
-        )
-        .select("p.pa", "p.pb")
-        .distinct()
-    )
+    edges = _basket_pairs(spark, sf_dir).distinct()
     edges = caching.tracked_persist(edges)
     deg = (
         edges.select(F.col("pa").alias("node"))
@@ -1188,14 +1174,29 @@ def q_triangle_count(spark, sf_dir):
     lower = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
     )
+    # Each oriented edge carries its HEAD's degree: the wedge pair below
+    # must be ordered by the same (degree, id) rank the orientation
+    # uses. Ordering wedge endpoints by raw id instead silently drops
+    # every triangle whose two non-apex vertices have id order opposite
+    # their degree order — the closing edge is stored the other way
+    # round and the equi-join misses it (caught by the ground-truth
+    # test: 207,786 vs the true 413,718 at sf0.01 before the fix).
     oriented = ranked.select(
         F.when(lower, F.col("pa")).otherwise(F.col("pb")).alias("u"),
         F.when(lower, F.col("pb")).otherwise(F.col("pa")).alias("v"),
+        F.when(lower, F.col("db")).otherwise(F.col("da")).alias("dv"),
     )
     oriented = caching.tracked_persist(oriented)
-    w1 = oriented.select(F.col("u"), F.col("v").alias("b"))
-    w2 = oriented.select(F.col("u"), F.col("v").alias("c"))
-    wedges = w1.join(w2, "u").filter(F.col("b") < F.col("c"))
+    w1 = oriented.select(F.col("u"), F.col("v").alias("b"), F.col("dv").alias("rb"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("c"), F.col("dv").alias("rc"))
+    wedges = (
+        w1.join(w2, "u")
+        .filter(
+            (F.col("rb") < F.col("rc"))
+            | ((F.col("rb") == F.col("rc")) & (F.col("b") < F.col("c")))
+        )
+        .select("b", "c")
+    )
     # Closing join: the probe side is the WEDGE set (~34× the edge count
     # here — 41M wedges vs 1.2M edges at sf0.1), so a sort-merge join
     # pays an O(wedges log wedges) sort for rows that immediately
@@ -1240,23 +1241,7 @@ def q_degree_distribution(spark, sf_dir):
     skew_report salting decision). Two aggregates, map-side partials;
     the edge expansion is the same basket-local map as
     copurchase_pairs — the fact table shuffles once on l_orderkey."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
-    )
-    edges = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, (x, i) -> "
-                    "transform(slice(parts, i + 2, size(parts)), "
-                    "y -> named_struct('pa', x, 'pb', y))))"
-                )
-            ).alias("p")
-        )
-        .select("p.pa", "p.pb")
-        .distinct()
-    )
+    edges = _basket_pairs(spark, sf_dir).distinct()
     deg = (
         edges.select(F.col("pa").alias("node"))
         .unionAll(edges.select(F.col("pb").alias("node")))

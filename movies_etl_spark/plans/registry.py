@@ -1865,9 +1865,13 @@ def q_sink_jdbc_roundtrip(spark, sf_dir):
 
     from movies_etl_spark.sources import sinks
 
-    spark._jvm.java.lang.System.setProperty(
-        "derby.system.home", "/tmp/movies_etl_derby"
-    )
+    # derby.system.home only takes effect before Derby first boots in
+    # this JVM and is process-global: set it once if unset (keeps
+    # derby.log out of cwd) and never clobber a value something else in
+    # the session (e.g. a Hive metastore) already chose.
+    jsys = spark._jvm.java.lang.System
+    if jsys.getProperty("derby.system.home") is None:
+        jsys.setProperty("derby.system.home", "/tmp/movies_etl_derby")
     db = f"{_scratch('jdbc_roundtrip', sf_dir)}/db-{uuid.uuid4().hex[:8]}"
     url = f"jdbc:derby:{db};create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}

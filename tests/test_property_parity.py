@@ -368,3 +368,45 @@ def test_kfold_exact_balance_per_stratum(spark, sf_dir):
     sizes = out.groupby(["lang", "fold"]).size()
     for lang, grp in sizes.groupby(level=0):
         assert grp.max() - grp.min() <= 1, (lang, dict(grp))
+
+
+def test_triangle_count_matches_orientation_free_ground_truth(spark, sf_dir):
+    """The degree-oriented count must equal the orientation-FREE 3-way
+    edge join (every triangle a<b<c by raw id). Guards the wedge-order
+    bug class: ordering wedge endpoints by raw id while closing edges
+    are oriented by (degree, id) silently dropped ~50% of triangles —
+    and the oracle shared the formulation, so only a ground-truth
+    comparison can catch it."""
+    import __spark_entry__ as m
+    from pyspark.sql import functions as F
+
+    from movies_etl_spark.sources import readers
+
+    got = m.queries()["triangle_count"](spark, sf_dir).collect()[0]
+
+    li = readers.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    e = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> named_struct('pa', x, 'pb', y))))"
+                )
+            ).alias("p")
+        )
+        .select("p.pa", "p.pb")
+        .distinct()
+        .cache()
+    )
+    e1 = e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = e.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    e3 = e.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    truth = e1.join(e2, "b").join(e3, ["a", "c"]).count()
+    e.unpersist()
+    assert got["n_triangles"] == truth
