@@ -188,3 +188,78 @@ def test_bm25_matches_independent_python_scoring(spark, sf_dir):
     assert got_ids == [d for d, _ in want]
     for r, (_, sc) in zip(got, want):
         assert abs(r["score"] - sc) < 1e-3, (r["doc_id"], r["score"], sc)
+
+
+def test_sequence_pack_matches_pandas_cumsum(spark, sf_dir):
+    """The two-phase distributed prefix sum recomputed as ONE serial
+    pandas cumsum over the identical (shard, hash, doc_id) order — every
+    doc's (seq_first, seq_last, bin_offset) must match."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs["n"] = docs.text.str.split(" ").str.len()
+    docs["h"] = docs.doc_id.map(lambda d: hashlib.md5(str(d).encode()).hexdigest())
+    docs["shard"] = docs.doc_id.map(
+        lambda d: int(hashlib.md5(str(d).encode()).hexdigest()[:12], 16) % 8
+    )
+    docs = docs.sort_values(["shard", "h", "doc_id"]).reset_index(drop=True)
+    docs["cum_before"] = docs.n.cumsum().shift(fill_value=0)
+    budget = 512
+    want = {
+        int(r.doc_id): (
+            int(r.cum_before // budget),
+            int((r.cum_before + r.n - 1) // budget),
+            int(r.cum_before % budget),
+        )
+        for r in docs.itertuples()
+    }
+    got = {
+        r["doc_id"]: (r["seq_first"], r["seq_last"], r["bin_offset"])
+        for r in QUERIES["sequence_pack"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_minhash_verified_pairs_have_true_jaccard(spark, sf_dir):
+    """Every pair dedup_minhash_lsh emits must truly have shingle-set
+    Jaccard ≥ 0.5, recomputed with plain python sets over an
+    independently tokenized corpus (banding recall is probabilistic by
+    design; the VERIFY step is exact and must never pass a false
+    positive)."""
+    import hashlib
+
+    import pandas as pd
+
+    from movies_etl_spark.operators.dedup import (
+        MINHASH_P,
+        SHINGLE_C1,
+        SHINGLE_C2,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    corpus = {int(r.doc_id): r.text for r in docs.itertuples()}
+    for r in docs.itertuples():
+        toks = r.text.split(" ")
+        if int(r.doc_id) % 50 == 0 and len(toks) >= 20:
+            corpus[int(r.doc_id) + 1000000] = " ".join(toks[: len(toks) - 10])
+
+    def shingles(text):
+        th = [
+            int(hashlib.md5(t.encode()).hexdigest()[:12], 16) % MINHASH_P
+            for t in text.split(" ")
+        ]
+        return {
+            (th[i] * SHINGLE_C1 + th[i + 1] * SHINGLE_C2 + th[i + 2]) % MINHASH_P
+            for i in range(len(th) - 2)
+        } if len(th) >= 3 else set()
+
+    sh = {d: shingles(t) for d, t in corpus.items()}
+    pairs = QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        a, b = sh[r["id_a"]], sh[r["id_b"]]
+        true_j = len(a & b) / len(a | b)
+        assert round(true_j, 4) >= 0.5, (r["id_a"], r["id_b"], true_j)
+        assert abs(round(true_j, 4) - r["jac"]) < 1e-9
