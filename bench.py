@@ -151,6 +151,38 @@ def _calibration_sec(spark) -> float:
     return round(sorted(runs)[1], 3)
 
 
+def _calibration_stream_sec(spark) -> float:
+    """Streaming-floor probe: a fixed 4-row rate-less micro-batch stream
+    (availableNow over a tiny generated parquet) through one count into
+    a memory sink. Pure-CPU codegen (the main calibration) under-detects
+    I/O and scheduler contention, which is exactly what inflates the
+    streaming entries (micro-batch scheduling + checkpoint fsyncs) —
+    this probe carries that floor so a contended run is self-evident in
+    the JSON instead of masquerading as a streaming regression."""
+    import uuid
+
+    base = f"/tmp/movies_etl_bench_streamcal/{os.getpid()}"
+    src = f"{base}/src-{uuid.uuid4().hex[:8]}"
+    spark.range(0, 4, 1, 2).write.mode("overwrite").parquet(src)
+    t0 = time.perf_counter()
+    name = f"streamcal_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.schema("id LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .groupBy()
+        .count()
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{base}/ckpt-{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return round(time.perf_counter() - t0, 3)
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(os.path.normpath(sf_dir))
     try:
@@ -176,6 +208,7 @@ def main() -> None:
     ).save()
 
     calibration = _calibration_sec(spark)
+    calibration_stream = _calibration_stream_sec(spark)
 
     timings: dict[str, float] = {}
     rows_total = 0
@@ -264,6 +297,7 @@ def main() -> None:
                 "approx_rows_per_sec": round(rows_total / total) if total else None,
                 "cluster_propagation_rounds": dedup.LAST_CC_ROUNDS or None,
                 "calibration_sec": calibration,
+                "calibration_stream_sec": calibration_stream,
                 "ann_recall_at_5": ann_recall or None,
             }
         )

@@ -263,3 +263,79 @@ def test_minhash_verified_pairs_have_true_jaccard(spark, sf_dir):
         true_j = len(a & b) / len(a | b)
         assert round(true_j, 4) >= 0.5, (r["id_a"], r["id_b"], true_j)
         assert abs(round(true_j, 4) - r["jac"]) < 1e-9
+
+
+def test_hash_fingerprints_match_python_witnesses(spark, sf_dir):
+    """SimHash, the Karp-Rabin rolling hash, and the sign-LSH bucket are
+    all replay-oracled (md5-derived arithmetic mirrored in SQL); this
+    recomputes each in plain python/numpy for every document/vector and
+    requires bit-identical agreement."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from movies_etl_spark.operators.similarity import RP_PLANES
+
+    # --- simhash16 + rolling hash over documents
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def tok_hash(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:12], 16)
+
+    def simhash16(text):
+        hs = [tok_hash(t) for t in text.split(" ")]
+        out = 0
+        for j in range(16):
+            s = sum(((h >> j) & 1) * 2 - 1 for h in hs)
+            if s > 0:
+                out += 1 << j
+        return out
+
+    def rolling(text):
+        acc = 0
+        for t in text.split(" "):
+            acc = (acc * 31 + tok_hash(t)) % 1000000007
+        return acc
+
+    want_sim = {int(r.doc_id): simhash16(r.text) for r in docs.itertuples()}
+    got_sim = {
+        r["doc_id"]: r["simhash"]
+        for r in QUERIES["dedup_simhash"](spark, sf_dir).collect()
+    }
+    assert got_sim == want_sim
+
+    got_fp = {
+        r["doc_id"]: r["rolling"]
+        for r in QUERIES["doc_fingerprint"](spark, sf_dir).collect()
+    }
+    want_fp = {int(r.doc_id): rolling(r.text) for r in docs.itertuples()}
+    assert got_fp == want_fp
+
+    # --- rp_bucket over embeddings (left-to-right fold, rounded sign)
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    P = np.array(RP_PLANES)
+
+    def bucket(vec):
+        out = 0
+        for j, plane in enumerate(P):
+            acc = 0.0
+            for x, p in zip(vec, plane):
+                acc += float(x) * float(p)
+            if round(acc, 6) >= 0:
+                out += 1 << j
+        return out
+
+    want_b = {int(r.vec_id): bucket(r.embedding) for r in emb.itertuples()}
+    from movies_etl_spark.operators import similarity as SIM
+    from movies_etl_spark.sources import readers
+    from pyspark.sql import functions as F2
+
+    e = readers.load_table(spark, sf_dir, "embeddings")
+    got_b = {
+        r["vec_id"]: r["bucket"]
+        for r in e.select(
+            "vec_id", SIM.rp_bucket(F2.col("embedding")).cast("int").alias("bucket")
+        ).collect()
+    }
+    assert got_b == want_b
