@@ -339,3 +339,120 @@ def test_hash_fingerprints_match_python_witnesses(spark, sf_dir):
         ).collect()
     }
     assert got_b == want_b
+
+
+def test_curation_pipeline_matches_python_reimplementation(spark, sf_dir):
+    """THE end-to-end composite, recomputed in plain python: near-corpus
+    construction, quality gates, 5-gram decontamination, MinHash-LSH
+    banding, Jaccard-verified edges, union-find survivor selection, and
+    split assignment — every surviving (doc_id, text_hash, split) row
+    must match exactly. The composite's oracle replays the same chain in
+    SQL; this witness is the non-replay check of the whole chain."""
+    import hashlib
+    import itertools
+
+    import pandas as pd
+
+    from movies_etl_spark.operators.dedup import (
+        MINHASH_P,
+        MINHASH_SEEDS,
+        N_BANDS,
+        N_MINHASH,
+        SHINGLE_C1,
+        SHINGLE_C2,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    corpus = {int(r.doc_id): r.text for r in docs.itertuples()}
+    for r in docs.itertuples():
+        toks = r.text.split(" ")
+        if int(r.doc_id) % 50 == 0 and len(toks) >= 20:
+            corpus[int(r.doc_id) + 1000000] = " ".join(toks[: len(toks) - 10])
+
+    # quality gates: >=10 tokens, duplicate fraction (4-rounded) <= 0.5
+    def dup_frac(toks):
+        return round(1.0 - len(set(toks)) / len(toks), 4) if toks else 0.0
+
+    qual = {
+        d: t
+        for d, t in corpus.items()
+        if len(t.split(" ")) >= 10 and dup_frac(t.split(" ")) <= 0.5
+    }
+
+    # decontamination: eval docs are doc_id % 97 == 0 (from the FULL
+    # corpus); drop any remaining doc sharing a word 5-gram
+    def grams5(text):
+        toks = text.split(" ")
+        return {
+            " ".join(toks[i : i + 5]) for i in range(len(toks) - 4)
+        } if len(toks) >= 5 else set()
+
+    ev = set().union(*(grams5(t) for d, t in corpus.items() if d % 97 == 0))
+    clean = {
+        d: t
+        for d, t in qual.items()
+        if d % 97 != 0 and not (grams5(t) & ev)
+    }
+
+    # MinHash-LSH banded candidates + Jaccard-verified edges
+    def shingles(text):
+        th = [
+            int(hashlib.md5(t.encode()).hexdigest()[:12], 16) % MINHASH_P
+            for t in text.split(" ")
+        ]
+        return [
+            (th[i] * SHINGLE_C1 + th[i + 1] * SHINGLE_C2 + th[i + 2]) % MINHASH_P
+            for i in range(len(th) - 2)
+        ] if len(th) >= 3 else []
+
+    sh = {d: shingles(t) for d, t in clean.items()}
+    bands: dict[tuple[int, str], list[int]] = {}
+    for d, s in sh.items():
+        if not s:
+            continue
+        sig = [min((a * h + b) % MINHASH_P for h in s) for a, b in MINHASH_SEEDS[:N_MINHASH]]
+        for bi in range(N_BANDS):
+            key = f"{sig[2 * bi]}|{sig[2 * bi + 1]}"
+            bands.setdefault((bi, key), []).append(d)
+    cand = set()
+    for members in bands.values():
+        for a, b in itertools.combinations(sorted(members), 2):
+            cand.add((a, b))
+    edges = []
+    for a, b in cand:
+        sa, sb = set(sh[a]), set(sh[b])
+        if sa and sb and round(len(sa & sb) / len(sa | sb), 4) >= 0.5:
+            edges.append((a, b))
+
+    # union-find: survivors keep component == self
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    dropped = {n for n in parent if find(n) != n}
+
+    def bucket(d):
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:12], 16) % 100
+
+    want = {
+        d: (
+            hashlib.md5(t.encode()).hexdigest(),
+            "train" if bucket(d) < 80 else ("valid" if bucket(d) < 90 else "test"),
+        )
+        for d, t in clean.items()
+        if d not in dropped
+    }
+
+    got = {
+        r["doc_id"]: (r["text_hash"], r["split"])
+        for r in QUERIES["curation_pipeline"](spark, sf_dir).collect()
+    }
+    assert got == want
