@@ -456,3 +456,103 @@ def test_curation_pipeline_matches_python_reimplementation(spark, sf_dir):
         for r in QUERIES["curation_pipeline"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_zorder_key_matches_python_bit_interleave(spark, sf_dir):
+    """The Morton interleave recomputed with plain python bit ops —
+    every order's zkey must be bit-identical."""
+    import datetime
+
+    import pandas as pd
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    epoch = datetime.date(1992, 1, 1)
+
+    def z(x, y):
+        out = 0
+        for k in range(16):
+            out |= ((x >> k) & 1) << (2 * k)
+            out |= ((y >> k) & 1) << (2 * k + 1)
+        return out
+
+    want = {}
+    for r in o.itertuples():
+        x = int(r.o_custkey) % 65536
+        d = r.o_orderdate
+        d = d.date() if hasattr(d, "date") else d
+        y = (d - epoch).days % 65536
+        want[int(r.o_orderkey)] = z(x, y)
+
+    got = {
+        r["o_orderkey"]: r["zkey"]
+        for r in QUERIES["zorder_key"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_weighted_sample_matches_python_aes(spark, sf_dir):
+    """Efraimidis-Spirakis top-k recomputed with python's md5/log —
+    identical doc set in identical rank order."""
+    import hashlib
+
+    import pandas as pd
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+    rows = []
+    for r in d.itertuples():
+        h48 = int(hashlib.md5(f"ws:{r.doc_id}".encode()).hexdigest()[:12], 16)
+        u = (h48 + 1) / float(2**48)
+        rows.append((round(math.log(u) / r.n_chars, 9), int(r.doc_id)))
+    got = QUERIES["weighted_sample_topk"](spark, sf_dir).collect()
+    k = len(got)
+    # A-ES keeps the LARGEST keys (u^(1/w) max ≡ ln(u)/w closest to 0)
+    want = sorted(rows, key=lambda t: (-t[0], t[1]))[:k]
+    assert [(r["es_key"], r["doc_id"]) for r in got] == want
+
+
+def test_time_weighted_avg_matches_pandas(spark, sf_dir):
+    """TWAP recomputed with a pandas sort + shift per user — twap agrees
+    to the query's own rounding (segment sums are folds; pandas sums in
+    the same sorted order here, so differences are float-roundoff)."""
+    import pandas as pd
+
+    e = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"])
+    e = e.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    want = {}
+    for uid, grp in e.groupby("user_id"):
+        ts = grp.ts.astype("int64").to_numpy() / 1e6
+        dt = ts[1:] - ts[:-1]
+        if len(dt) == 0:
+            continue
+        vdt = [round(v * d, 6) for v, d in zip(grp.value.to_numpy()[:-1], dt)]
+        s, dsum = sum(vdt), sum(dt)
+        want[int(uid)] = (len(dt), round(s / dsum, 6))
+    got = {
+        r["user_id"]: (r["n_segments"], r["twap"])
+        for r in QUERIES["time_weighted_avg"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for uid, (n, tw) in got.items():
+        assert n == want[uid][0], uid
+        assert abs(tw - want[uid][1]) < 1e-4, (uid, tw, want[uid][1])
+
+
+def test_sessionize_batch_matches_pandas_gaps_and_islands(spark, sf_dir):
+    """The 30-minute-gap sessionizer recomputed with a pandas
+    sort+cumsum — identical session count, bounds, and event counts."""
+    import pandas as pd
+
+    e = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    e["s"] = e.ts.dt.floor("s")
+    e = e.sort_values(["user_id", "s", "event_id"]).reset_index(drop=True)
+    want = set()
+    for uid, grp in e.groupby("user_id"):
+        gap = grp.s.diff().dt.total_seconds().fillna(1e12) > 1800
+        sid = gap.cumsum()
+        for _, sess in grp.groupby(sid):
+            want.add((int(uid), sess.s.iloc[0], sess.s.iloc[-1], len(sess)))
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in QUERIES["sessionize_batch"](spark, sf_dir).collect()
+    }
+    assert got == want
