@@ -556,3 +556,70 @@ def test_sessionize_batch_matches_pandas_gaps_and_islands(spark, sf_dir):
         for r in QUERIES["sessionize_batch"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_bigram_perplexity_matches_python_lm(spark, sf_dir):
+    """The self-trained add-one bigram LM recomputed with python dicts —
+    per-doc bigram counts match exactly and avg_nll agrees to the
+    query's rounding ladder."""
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    toks = {int(r.doc_id): r.text.split(" ") for r in docs.itertuples()}
+    vocab = set(t for tk in toks.values() for t in tk)
+    V = len(vocab)
+    c2: dict[tuple[str, str], int] = {}
+    c1: dict[str, int] = {}
+    for tk in toks.values():
+        if len(tk) < 2:
+            continue
+        for a, b in zip(tk, tk[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    want = {}
+    for d, tk in toks.items():
+        if len(tk) < 2:
+            continue
+        terms = [
+            round(-math.log((c2[(a, b)] + 1.0) / (c1[a] + V)), 6)
+            for a, b in zip(tk, tk[1:])
+        ]
+        want[d] = (len(terms), round(sum(terms) / len(terms), 4))
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+        for r in QUERIES["bigram_perplexity"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for d, (n, nll) in got.items():
+        assert n == want[d][0], d
+        assert abs(nll - want[d][1]) < 2e-4, (d, nll, want[d][1])
+
+
+def test_span_dedup_matches_python_chunk_hashing(spark, sf_dir):
+    """20-token chunk duplicate-span fractions recomputed with python
+    md5 over the same chunk boundaries — exact match per document."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    chunks: dict[int, list[str]] = {}
+    owners: dict[str, set[int]] = {}
+    for r in docs.itertuples():
+        tk = r.text.split(" ")
+        hs = [
+            hashlib.md5(" ".join(tk[i : i + 20]).encode()).hexdigest()
+            for i in range(0, len(tk), 20)
+        ]
+        chunks[int(r.doc_id)] = hs
+        for h in hs:
+            owners.setdefault(h, set()).add(int(r.doc_id))
+    want = {}
+    for d, hs in chunks.items():
+        dup = sum(1 for h in hs if len(owners[h]) >= 2)
+        want[d] = (len(hs), dup, round(dup / len(hs), 4))
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_frac"])
+        for r in QUERIES["span_dedup"](spark, sf_dir).collect()
+    }
+    assert got == want
