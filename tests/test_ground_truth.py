@@ -623,3 +623,76 @@ def test_span_dedup_matches_python_chunk_hashing(spark, sf_dir):
         for r in QUERIES["span_dedup"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_dedup_survivors_matches_python_pipeline(spark, sf_dir):
+    """The standalone dedup composite (LSH → verify → components →
+    anti-join, over the near corpus WITHOUT the curation filters)
+    recomputed in plain python — exact survivor row-set match."""
+    import hashlib
+    import itertools
+
+    import pandas as pd
+
+    from movies_etl_spark.operators.dedup import (
+        MINHASH_P,
+        MINHASH_SEEDS,
+        N_BANDS,
+        N_MINHASH,
+        SHINGLE_C1,
+        SHINGLE_C2,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    corpus = {int(r.doc_id): r.text for r in docs.itertuples()}
+    for r in docs.itertuples():
+        toks = r.text.split(" ")
+        if int(r.doc_id) % 50 == 0 and len(toks) >= 20:
+            corpus[int(r.doc_id) + 1000000] = " ".join(toks[: len(toks) - 10])
+
+    def shingles(text):
+        th = [
+            int(hashlib.md5(t.encode()).hexdigest()[:12], 16) % MINHASH_P
+            for t in text.split(" ")
+        ]
+        return [
+            (th[i] * SHINGLE_C1 + th[i + 1] * SHINGLE_C2 + th[i + 2]) % MINHASH_P
+            for i in range(len(th) - 2)
+        ] if len(th) >= 3 else []
+
+    sh = {d: shingles(t) for d, t in corpus.items()}
+    bands: dict[tuple[int, str], list[int]] = {}
+    for d, s in sh.items():
+        if not s:
+            continue
+        sig = [min((a * h + b) % MINHASH_P for h in s) for a, b in MINHASH_SEEDS[:N_MINHASH]]
+        for bi in range(N_BANDS):
+            bands.setdefault((bi, f"{sig[2 * bi]}|{sig[2 * bi + 1]}"), []).append(d)
+    cand = set()
+    for members in bands.values():
+        cand.update(itertools.combinations(sorted(members), 2))
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in cand:
+        sa, sb = set(sh[a]), set(sh[b])
+        if sa and sb and round(len(sa & sb) / len(sa | sb), 4) >= 0.5:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    dropped = {n for n in parent if find(n) != n}
+    want = {
+        d: hashlib.md5(t.encode()).hexdigest()
+        for d, t in corpus.items()
+        if d not in dropped
+    }
+    got = {
+        r["doc_id"]: r["text_hash"]
+        for r in QUERIES["dedup_survivors"](spark, sf_dir).collect()
+    }
+    assert got == want
