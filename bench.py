@@ -159,28 +159,35 @@ def _calibration_stream_sec(spark) -> float:
     streaming entries (micro-batch scheduling + checkpoint fsyncs) —
     this probe carries that floor so a contended run is self-evident in
     the JSON instead of masquerading as a streaming regression."""
+    import shutil
     import uuid
 
     base = f"/tmp/movies_etl_bench_streamcal/{os.getpid()}"
-    src = f"{base}/src-{uuid.uuid4().hex[:8]}"
-    spark.range(0, 4, 1, 2).write.mode("overwrite").parquet(src)
-    t0 = time.perf_counter()
-    name = f"streamcal_{uuid.uuid4().hex[:8]}"
-    q = (
-        spark.readStream.schema("id LONG")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-        .groupBy()
-        .count()
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", f"{base}/ckpt-{name}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return round(time.perf_counter() - t0, 3)
+    # pid reuse can leave a stale same-pid tree; start from scratch and
+    # clean up after — repeated bench runs must not accumulate litter
+    shutil.rmtree(base, ignore_errors=True)
+    try:
+        src = f"{base}/src-{uuid.uuid4().hex[:8]}"
+        spark.range(0, 4, 1, 2).write.mode("overwrite").parquet(src)
+        t0 = time.perf_counter()
+        name = f"streamcal_{uuid.uuid4().hex[:8]}"
+        q = (
+            spark.readStream.schema("id LONG")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .groupBy()
+            .count()
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{base}/ckpt-{name}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def _sf_from_dir(sf_dir: str) -> float:

@@ -223,6 +223,56 @@ def validated_cast(
     )
 
 
+def _attach_parsed(
+    df: DataFrame, specs: dict[str, tuple[Column, str]]
+) -> tuple[DataFrame, list[Column]]:
+    """Shared front half of every batched validation: attach the
+    ``__parsed__<col>`` columns and build the in/ok tally aggregates."""
+    out = df
+    aggs: list[Column] = []
+    for column, (parsed, _) in specs.items():
+        out = out.withColumn(f"__parsed__{column}", parsed)
+        aggs.append(F.count(F.col(f"`{column}`")).alias(f"in__{column}"))
+        aggs.append(F.count(F.col(f"__parsed__{column}")).alias(f"ok__{column}"))
+    return out, aggs
+
+
+def _commit_validated(
+    columns: Sequence[str],
+    kept: set,
+    specs: dict[str, tuple[Column, str]],
+    tallies: dict,
+) -> tuple[list[Column], dict[str, dict[str, int]]]:
+    """Shared back half: apply each spec's ``fail_when`` rule to the
+    ``in__``/``ok__`` tallies and build the survivor projection over the
+    ``kept`` columns. The single source of truth for the failure rule —
+    validated_cast_many, prune_and_validated_cast, and apply_validation
+    all commit through here."""
+    all_stats: dict[str, dict[str, int]] = {}
+    final_cols: list[Column] = []
+    for c in columns:
+        if c not in kept:
+            continue
+        if c not in specs:
+            final_cols.append(F.col(f"`{c}`"))
+            continue
+        _, fail_when = specs[c]
+        n_input, n_parsed = tallies[f"in__{c}"], tallies[f"ok__{c}"]
+        failed = (
+            (n_parsed < n_input)
+            if fail_when == "any"
+            else (n_parsed == 0 and n_input > 0)
+        )
+        all_stats[c] = {
+            "n_input": n_input,
+            "n_parsed": n_parsed,
+            "dropped": int(failed),
+        }
+        if not failed:
+            final_cols.append(F.col(f"`__parsed__{c}`").alias(c))
+    return final_cols, all_stats
+
+
 def validated_cast_staged(
     df: DataFrame, specs: dict[str, tuple[Column, str]]
 ):
@@ -246,12 +296,7 @@ def validated_cast_staged(
     from pyspark.sql import Observation
 
     obs = Observation("validated_cast")
-    out = df
-    metrics: list[Column] = []
-    for column, (parsed, _) in specs.items():
-        out = out.withColumn(f"__parsed__{column}", parsed)
-        metrics.append(F.count(F.col(f"`{column}`")).alias(f"in__{column}"))
-        metrics.append(F.count(F.col(f"__parsed__{column}")).alias(f"ok__{column}"))
+    out, metrics = _attach_parsed(df, specs)
     out = out.observe(obs, metrics[0], *metrics[1:])
     return out, obs
 
@@ -262,22 +307,8 @@ def apply_validation(
     """Second half of the staged validation: given the observed metric
     dict, project survivors (parsed value under the original name) and
     drop columns whose failure condition matched (see validated_cast)."""
-    final_cols: list[Column] = []
-    for c in staged.columns:
-        if c.startswith("__parsed__"):
-            continue
-        if c not in specs:
-            final_cols.append(F.col(f"`{c}`"))
-            continue
-        _, fail_when = specs[c]
-        n_input, n_parsed = metrics[f"in__{c}"], metrics[f"ok__{c}"]
-        failed = (
-            (n_parsed < n_input)
-            if fail_when == "any"
-            else (n_parsed == 0 and n_input > 0)
-        )
-        if not failed:
-            final_cols.append(F.col(f"`__parsed__{c}`").alias(c))
+    columns = [c for c in staged.columns if not c.startswith("__parsed__")]
+    final_cols, _ = _commit_validated(columns, set(columns), specs, metrics)
     return staged.select(*final_cols)
 
 
@@ -301,16 +332,15 @@ def prune_and_validated_cast(
     computed but discarded — wasted adds in one pass beat a whole extra
     scan), and the no-survivor edge keeps the frame unchanged like
     null_ratio_prune."""
-    out = df
-    aggs: list[Column] = [F.count(F.lit(1)).alias("__total__")]
-    aggs += [
-        F.sum(F.col(f"`{c}`").isNull().cast("long")).alias(f"null__{c}")
-        for c in df.columns
+    out, aggs = _attach_parsed(df, specs)
+    aggs = [
+        F.count(F.lit(1)).alias("__total__"),
+        *[
+            F.sum(F.col(f"`{c}`").isNull().cast("long")).alias(f"null__{c}")
+            for c in df.columns
+        ],
+        *aggs,
     ]
-    for column, (parsed, _) in specs.items():
-        out = out.withColumn(f"__parsed__{column}", parsed)
-        aggs.append(F.count(F.col(f"`{column}`")).alias(f"in__{column}"))
-        aggs.append(F.count(F.col(f"__parsed__{column}")).alias(f"ok__{column}"))
     row = out.agg(*aggs).collect()[0].asDict()
     total = row.pop("__total__") or 0
     if total == 0:
@@ -323,29 +353,7 @@ def prune_and_validated_cast(
         ]
         if not keep:
             keep = list(df.columns)
-    kept = set(keep)
-    all_stats: dict[str, dict[str, int]] = {}
-    final_cols: list[Column] = []
-    for c in df.columns:
-        if c not in kept:
-            continue
-        if c not in specs:
-            final_cols.append(F.col(f"`{c}`"))
-            continue
-        _, fail_when = specs[c]
-        n_input, n_parsed = row[f"in__{c}"], row[f"ok__{c}"]
-        failed = (
-            (n_parsed < n_input)
-            if fail_when == "any"
-            else (n_parsed == 0 and n_input > 0)
-        )
-        all_stats[c] = {
-            "n_input": n_input,
-            "n_parsed": n_parsed,
-            "dropped": int(failed),
-        }
-        if not failed:
-            final_cols.append(F.col(f"`__parsed__{c}`").alias(c))
+    final_cols, all_stats = _commit_validated(df.columns, set(keep), specs, row)
     return out.select(*final_cols), all_stats
 
 
@@ -355,27 +363,9 @@ def validated_cast_many(
     """Batch form of :func:`validated_cast`: one aggregate pass validates
     every column, then one select commits the survivors. At 100 TB this is
     the difference between 1 and N validation scans."""
-    out = df
-    aggs = []
-    for column, (parsed, _) in specs.items():
-        out = out.withColumn(f"__parsed__{column}", parsed)
-        aggs.append(F.count(F.col(f"`{column}`")).alias(f"in__{column}"))
-        aggs.append(F.count(F.col(f"__parsed__{column}")).alias(f"ok__{column}"))
+    out, aggs = _attach_parsed(df, specs)
     row = out.agg(*aggs).collect()[0].asDict()
-    all_stats: dict[str, dict[str, int]] = {}
-    final_cols: list[Column] = []
-    for c in df.columns:
-        if c not in specs:
-            final_cols.append(F.col(f"`{c}`"))
-            continue
-        _, fail_when = specs[c]
-        n_input, n_parsed = row[f"in__{c}"], row[f"ok__{c}"]
-        failed = (
-            (n_parsed < n_input)
-            if fail_when == "any"
-            else (n_parsed == 0 and n_input > 0)
-        )
-        all_stats[c] = {"n_input": n_input, "n_parsed": n_parsed, "dropped": int(failed)}
-        if not failed:
-            final_cols.append(F.col(f"__parsed__{c}").alias(c))
+    final_cols, all_stats = _commit_validated(
+        df.columns, set(df.columns), specs, row
+    )
     return out.select(*final_cols), all_stats

@@ -434,4 +434,6 @@ def recall_at_k(exact: DataFrame, ann: DataFrame) -> float:
         ["query_id", "neighbor_id"],
     ).count()
     total = e.count()
-    return hits / total if total else 1.0
+    # empty exact frame means NO data reached the evaluator — report the
+    # failure (0.0), never a vacuous perfect score
+    return hits / total if total else 0.0

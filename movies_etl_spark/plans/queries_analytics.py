@@ -926,43 +926,44 @@ def q_entropy_profile(spark, sf_dir):
     baselines ("did today's traffic mix shift?"), and dedup-key choice
     — a near-zero-entropy key can't block anything.
 
-    Each column costs one per-key count aggregate that collapses to
-    |keys| rows, then the entropy fold runs on that tiny frame (the
-    total arrives via a 1-row cross join, not a driver collect).
-    Normalized entropy divides by log2(n_distinct) — 1.0 means uniform.
-    Float discipline: p·log2 p sums over ≤20k terms accumulate ~1e-13
-    of order noise, absorbed by round-to-6 on both engines."""
+    ONE fact scan profiles all three columns: GROUPING SETS expands each
+    row map-side into its three key projections, and a single partial-agg
+    shuffle collapses to the ~|keys| per-(column, key) counts — the same
+    counts three per-column aggregates would compute with 3× the scan
+    I/O. The entropy fold then runs on that tiny frame (per-column totals
+    via a window over ≤20k rows, never a driver collect). Normalized
+    entropy divides by log2(n_distinct) — 1.0 means uniform. Float
+    discipline: p·log2 p sums over ≤20k terms accumulate ~1e-13 of order
+    noise, absorbed by round-to-6 on both engines."""
     ev = _t(spark, sf_dir, "events")
-
-    def col_entropy(keyed, name):
-        c = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
-        t = c.agg(F.sum("c").alias("t"))
-        return (
-            c.crossJoin(t)
-            .agg(
-                F.lit(name).alias("column_name"),
-                F.count(F.lit(1)).cast("long").alias("n_distinct"),
-                F.round(
-                    F.sum(
-                        -F.col("c")
-                        / F.col("t")
-                        * F.log2(F.col("c") * 1.0 / F.col("t"))
-                    ),
-                    6,
-                ).alias("entropy_bits"),
-            )
-        )
-
-    parts = [
-        col_entropy(ev.select(F.col("event_type").alias("k")), "event_type"),
-        col_entropy(ev.select(F.col("user_id").alias("k")), "user_id"),
-        col_entropy(
-            ev.select(F.col("ts").cast("date").alias("k")), "event_date"
-        ),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    keyed = ev.select(
+        "event_type", "user_id", F.col("ts").cast("date").alias("event_date")
+    )
+    counts = keyed.groupingSets(
+        [["event_type"], ["user_id"], ["event_date"]],
+        "event_type",
+        "user_id",
+        "event_date",
+    ).agg(F.count(F.lit(1)).alias("c"), F.grouping_id().alias("gid"))
+    # grouping_id bit = 1 when the column is NOT in the grouping set
+    # (column order event_type,user_id,event_date): 3=0b011 → event_type
+    name = (
+        F.when(F.col("gid") == 3, F.lit("event_type"))
+        .when(F.col("gid") == 5, F.lit("user_id"))
+        .otherwise(F.lit("event_date"))
+    )
+    per = counts.select(name.alias("column_name"), "c").withColumn(
+        "t", F.sum("c").over(Window.partitionBy("column_name"))
+    )
+    out = per.groupBy("column_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(
+            F.sum(
+                -F.col("c") / F.col("t") * F.log2(F.col("c") * 1.0 / F.col("t"))
+            ),
+            6,
+        ).alias("entropy_bits"),
+    )
     # single-valued column: entropy 0 / log2(1)=0 — both engines must
     # yield NULL, not Spark-NULL-vs-DuckDB-NaN (the week_over_week
     # zero-divide discipline)

@@ -422,3 +422,12 @@ def test_triangle_count_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "triangle_count")
     assert "CartesianProduct" not in plan
     assert _nodes(plan, "BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_entropy_profile_single_fact_scan(spark, sf_dir):
+    """All three column profiles come from ONE events scan: GROUPING SETS
+    expands rows map-side instead of re-reading the fact table per
+    column (the 100 TB profile must not cost 3 scans)."""
+    plan = _plan(spark, sf_dir, "entropy_profile")
+    assert plan.count("events.parquet") == 1, "fact table must scan once"
+    assert _nodes(plan, "Expand") == 1, plan
