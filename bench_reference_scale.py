@@ -181,7 +181,7 @@ def bench_wiki_parse(spark, n_rows: int = 1_000_000) -> tuple[int, float]:
 
     t0 = time.perf_counter()
     raw = read_json_records(spark, src, multiline=False)
-    cleaned = clean_wiki(raw)
+    cleaned = clean_wiki(raw, stage_dir=f"{OUT}/wiki_stage")
     cleaned.write.mode("overwrite").parquet(f"{OUT}/wiki_clean")
     elapsed = time.perf_counter() - t0
     return spark.read.parquet(f"{OUT}/wiki_clean").count(), elapsed

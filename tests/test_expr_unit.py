@@ -215,3 +215,39 @@ def test_null_ratio_prune_keeps_frame_when_all_pruned(spark):
     out = null_ratio_prune(df, threshold=0.5)
     assert out.columns == ["a", "b"]
     assert out.count() == 2
+
+
+def test_staged_prune_validate_matches_in_memory(spark, tmp_path):
+    """The disk-staged twin commits the exact same survivors, rows, and
+    stats as the in-memory fused prune+validate — staging must change
+    the execution shape, never the semantics. Covers all three column
+    fates: committed parse, validation drop, null-ratio prune."""
+    from movies_etl_spark.operators.normalize import (
+        prune_and_validated_cast,
+        prune_and_validated_cast_staged,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("1", "x", None, "a"),
+            ("2", "3", None, "b"),
+            ("4", "5", "rare", "c"),
+            ("6", "7", None, "d"),
+        ],
+        "good string, bad string, sparse string, keep string",
+    )
+    specs = {
+        "good": (F.col("good").try_cast("long"), "any"),
+        "bad": (F.col("bad").try_cast("long"), "any"),
+    }
+    mem, mem_stats = prune_and_validated_cast(df, specs, threshold=0.7)
+    staged, st_stats = prune_and_validated_cast_staged(
+        df, specs, str(tmp_path / "stage"), threshold=0.7
+    )
+    assert staged.columns == mem.columns
+    assert "sparse" not in staged.columns  # 75% null ≥ 0.7 → pruned
+    assert "bad" not in staged.columns  # one unparseable value → dropped
+    assert st_stats == mem_stats
+    assert sorted(map(tuple, staged.collect())) == sorted(map(tuple, mem.collect()))
+    # the staged plan must read the staging parquet, not the source
+    assert "stage" in staged._jdf.queryExecution().executedPlan().toString()
