@@ -1147,14 +1147,23 @@ def q_triangle_count(spark, sf_dir):
     backbone metric (community density, spam/bot ring detection).
 
     Scale-canonical DEGREE-ORDERED orientation: every edge points from
-    its lower-(degree, id) endpoint to the higher one, so each wedge is
-    generated exactly once at its lowest-degree apex — the standard fix
-    that caps per-node wedge fan-out at O(d_min²) and tames hub nodes
-    (an unoriented wedge join explodes quadratically on the hottest
-    hub). Three shuffles total: degree agg, wedge self-join on the apex,
-    closing-edge join. The closing join's build side is the edge list
-    itself — at 100 TB both sides hash-partition on (b, c); nothing is
-    ever broadcast-sized by assumption."""
+    its lower-(degree, id) endpoint to the higher one, capping out-degree
+    at O(√m) and taming hub nodes (an unoriented formulation explodes
+    quadratically on the hottest hub). Counting then uses the
+    ADJACENCY-INTERSECTION form: for each oriented edge (u,v), triangles
+    = |N⁺(u) ∩ N⁺(v)| — each triangle counted exactly once at its
+    lowest-ranked edge. vs the wedge-join form (materialize every wedge,
+    shuffle-join against the edge list): the Σd² wedge work still
+    happens, but inside array_intersect WITHIN a task over √m-bounded
+    arrays, instead of as a Σd²-row shuffle — measured 9.5 → 2.3 s warm
+    at sf0.1 (41 M wedge rows never exist). One edge-row join per
+    endpoint carries the packed neighbor arrays; at 100 TB both joins
+    hash-partition on their key — nothing is broadcast-sized by
+    assumption. The DuckDB oracle deliberately keeps the wedge-join
+    formulation, so engine and oracle run structurally different
+    algorithms (the independent-formulation discipline the ground-truth
+    suite exists for — see the r4 wedge-ordering undercount lesson in
+    NOTES_r4.md, which motivated exactly this divergence)."""
     edges = _basket_pairs(spark, sf_dir).distinct()
     edges = caching.tracked_persist(edges)
     deg = (
@@ -1174,47 +1183,33 @@ def q_triangle_count(spark, sf_dir):
     lower = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
     )
-    # Each oriented edge carries its HEAD's degree: the wedge pair below
-    # must be ordered by the same (degree, id) rank the orientation
-    # uses. Ordering wedge endpoints by raw id instead silently drops
-    # every triangle whose two non-apex vertices have id order opposite
-    # their degree order — the closing edge is stored the other way
-    # round and the equi-join misses it (caught by the ground-truth
-    # test: 207,786 vs the true 413,718 at sf0.01 before the fix).
     oriented = ranked.select(
         F.when(lower, F.col("pa")).otherwise(F.col("pb")).alias("u"),
         F.when(lower, F.col("pb")).otherwise(F.col("pa")).alias("v"),
-        F.when(lower, F.col("db")).otherwise(F.col("da")).alias("dv"),
     )
     oriented = caching.tracked_persist(oriented)
-    w1 = oriented.select(F.col("u"), F.col("v").alias("b"), F.col("dv").alias("rb"))
-    w2 = oriented.select(F.col("u"), F.col("v").alias("c"), F.col("dv").alias("rc"))
-    wedges = (
-        w1.join(w2, "u")
-        .filter(
-            (F.col("rb") < F.col("rc"))
-            | ((F.col("rb") == F.col("rc")) & (F.col("b") < F.col("c")))
-        )
-        .select("b", "c")
+    # Intersection counting is symmetric, so the wedge-ordering subtlety
+    # that caused the r4 undercount (wedge endpoints ranked by raw id
+    # while the orientation ranked by (degree, id)) cannot arise here —
+    # there is no wedge pair to order.
+    adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nb"))
+    per_edge = F.when(F.col("nb_v").isNull(), F.lit(0)).otherwise(
+        F.size(F.array_intersect("nb", "nb_v"))
     )
-    # Closing join: the probe side is the WEDGE set (~34× the edge count
-    # here — 41M wedges vs 1.2M edges at sf0.1), so a sort-merge join
-    # pays an O(wedges log wedges) sort for rows that immediately
-    # collapse into a count. shuffle_hash builds on the EDGE side
-    # (small per partition) and streams the wedges unsorted — measured
-    # 7.3 → 5.7 s on the closing stage. Scale bound: the build side per
-    # partition is |edges|/shuffle.partitions; size partitions so that
-    # fits executor memory, else drop the hint and take the SMJ.
-    closed = wedges.join(
-        oriented.select(F.col("u").alias("b"), F.col("v").alias("c")).hint(
-            "shuffle_hash"
-        ),
-        ["b", "c"],
+    closed = (
+        oriented.select("u", "v")
+        .join(adj, "u")  # every u has out-degree ≥ 1: inner is lossless
+        .join(
+            # a head vertex may have no out-edges: left join, 0 triangles
+            adj.select(F.col("u").alias("v"), F.col("nb").alias("nb_v")),
+            "v",
+            "left",
+        )
     )
     # n_edges rides as a lazy 1-row cross join (not a builder-side
     # .count() action, which would materialize the edge pipeline in a
     # separate job before the query's own action even starts)
-    tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    tri = closed.agg(F.sum(per_edge).cast("long").alias("n_triangles"))
     ne = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return tri.crossJoin(ne)
 
