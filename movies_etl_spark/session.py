@@ -69,6 +69,14 @@ def pin_session_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # Perf, not correctness — but runtime-settable and cheap: an
+    # externally built session carries Spark's 200-partition default,
+    # which at test SF means hundreds of near-empty tasks per shuffle
+    # (AQE coalesces the partitions but the initial plan still schedules
+    # them). Size to cores like get_spark does.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
+    )
     # Early testdata generations stored events.ts as TIMESTAMP(NANOS),
     # which Spark's parquet reader rejects by default; read nanos as long
     # and convert explicitly (sources.readers.load_table normalizes the
