@@ -700,3 +700,99 @@ def test_dedup_survivors_matches_python_pipeline(spark, sf_dir):
         for r in QUERIES["dedup_survivors"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_concurrency_sweep_matches_serial_sweep(spark, sf_dir):
+    """The distributed two-phase prefix sum (day-sharded cumulative sums
+    + broadcast day-prefix restore, midnight-spanning intervals carried
+    by the prefix) must equal the textbook SINGLE-THREADED sweep: sort
+    every ±1 point globally, run one python loop, track per-day max."""
+    import pandas as pd
+
+    e = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "value"]
+    )
+    pts = []
+    for r in e.itertuples():
+        t0 = pd.Timestamp(r.ts)
+        t1 = t0 + pd.Timedelta(seconds=int(math.floor(r.value)))
+        pts.append((t0, 1, int(r.event_id)))
+        pts.append((t1, -1, int(r.event_id)))
+    # ends sort before starts at the same instant: half-open intervals
+    pts.sort(key=lambda p: (p[0], p[1], p[2]))
+    conc, want = 0, {}
+    for t, delta, _ in pts:
+        conc += delta
+        day = t.date()
+        mx, n = want.get(day, (conc, 0))
+        want[day] = (max(mx, conc), n + 1)
+
+    got = {
+        r["day"]: (r["max_concurrent"], r["n_points"])
+        for r in QUERIES["concurrency_sweep"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_gapfill_daily_matches_pandas_reindex(spark, sf_dir):
+    """The sequence()+explode densify with gaps-and-islands forward-fill
+    must equal a pandas reindex + ffill per user — the one-liner the
+    windowed-island formulation replaces at scale."""
+    import pandas as pd
+
+    e = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    e["day"] = pd.to_datetime(e.ts).dt.normalize()
+    d = (
+        e.groupby(["user_id", "day"])
+        .agg(n_events=("value", "size"), day_value=("value", "sum"))
+        .reset_index()
+    )
+    d["day_value"] = d.day_value.round(4)
+    want = {}
+    for uid, grp in d.groupby("user_id"):
+        grp = grp.set_index("day").reindex(
+            pd.date_range(grp.day.min(), grp.day.max(), freq="D")
+        )
+        grp["n_events"] = grp.n_events.fillna(0).astype(int)
+        grp["day_value"] = grp.day_value.ffill()
+        for day, r in grp.iterrows():
+            want[(int(uid), day.date())] = (
+                int(r.n_events),
+                None if pd.isna(r.day_value) else float(r.day_value),
+            )
+
+    rows = QUERIES["gapfill_daily"](spark, sf_dir).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        wn, wv = want[(r["user_id"], r["day"])]
+        assert r["n_events"] == wn, (r, wn)
+        if wv is None:
+            assert r["value_ffill"] is None, r
+        else:
+            # day sums fold in different orders; round-4 absorbs ~1e-12
+            assert r["value_ffill"] == pytest.approx(wv, abs=1e-6), (r, wv)
+
+
+def test_rolling_distinct_users_matches_set_union(spark, sf_dir):
+    """DAU/WAU via contribution-day expansion must equal literal set
+    arithmetic: for each observed day, the union of that day's and the
+    prior six observed days' user sets."""
+    import datetime
+
+    import pandas as pd
+
+    e = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    e["day"] = pd.to_datetime(e.ts).dt.date
+    by_day = {day: set(grp.user_id) for day, grp in e.groupby("day")}
+    want = {}
+    for day, users in by_day.items():
+        win = set()
+        for k in range(7):
+            win |= by_day.get(day - datetime.timedelta(days=k), set())
+        want[day] = (len(users), len(win))
+
+    got = {
+        r["day"]: (r["dau"], r["wau"])
+        for r in QUERIES["rolling_distinct_users"](spark, sf_dir).collect()
+    }
+    assert got == want
