@@ -796,3 +796,102 @@ def test_rolling_distinct_users_matches_set_union(spark, sf_dir):
         for r in QUERIES["rolling_distinct_users"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_retention_cohorts_matches_pandas(spark, sf_dir):
+    """Cohort matrix recomputed with pandas weekday arithmetic (no
+    date_trunc, no SQL): cohort = Monday of first-event week, offset =
+    whole weeks between event-week Monday and cohort Monday."""
+    import datetime
+
+    import pandas as pd
+
+    e = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ts = pd.to_datetime(e.ts)
+    monday = (ts - pd.to_timedelta(ts.dt.weekday, unit="D")).dt.date
+    f = pd.DataFrame({"user_id": e.user_id, "week": monday})
+    cohort = f.groupby("user_id").week.min()
+    want: dict[tuple[datetime.date, int], set] = {}
+    for uid, wk in zip(f.user_id, f.week):
+        c = cohort[uid]
+        key = (c, (wk - c).days // 7)
+        want.setdefault(key, set()).add(uid)
+    want_counts = {k: len(v) for k, v in want.items()}
+
+    got = {
+        (r["cohort"], r["week_offset"]): r["users"]
+        for r in QUERIES["retention_cohorts"](spark, sf_dir).collect()
+    }
+    assert got == want_counts
+
+
+def test_scd2_intervals_matches_python_collapse(spark, sf_dir):
+    """SCD-2 validity intervals recomputed with a per-user python loop:
+    sort by (second-truncated ts, event_id), keep state changes, pair
+    each change with the next change's timestamp."""
+    import pandas as pd
+
+    e = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    e["s"] = pd.to_datetime(e.ts).dt.floor("s")
+    want = set()
+    for uid, grp in e.groupby("user_id"):
+        grp = grp.sort_values(["s", "event_id"])
+        changes = []
+        prev = None
+        for r in grp.itertuples():
+            if prev is None or r.event_type != prev:
+                changes.append((r.s, r.event_type))
+            prev = r.event_type
+        for i, (s, et) in enumerate(changes):
+            nxt = changes[i + 1][0] if i + 1 < len(changes) else None
+            want.add((int(uid), et, s, nxt, nxt is None))
+
+    got = {
+        (
+            r["user_id"],
+            r["event_type"],
+            pd.Timestamp(r["valid_from"]),
+            pd.Timestamp(r["valid_to"]) if r["valid_to"] is not None else None,
+            r["is_current"],
+        )
+        for r in QUERIES["scd2_intervals"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_hierarchy_recursive_cte_matches_python_bfs(spark, sf_dir):
+    """The WITH RECURSIVE traversal recomputed as a python BFS over
+    parent = key // 10 — a child is reachable only through parents that
+    EXIST in the table, which is the semantic a closed-form digit-count
+    shortcut would silently get wrong on sparse key sets."""
+    import pandas as pd
+
+    keys = set(
+        pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+        .c_custkey.astype(int)
+    )
+    depth_root: dict[int, tuple[int, int]] = {
+        k: (0, k) for k in keys if k <= 9
+    }
+    frontier = dict(depth_root)
+    while frontier:
+        nxt = {}
+        for k in keys:
+            if k >= 10 and k not in depth_root and (k // 10) in frontier:
+                d, r = frontier[k // 10]
+                nxt[k] = (d + 1, r)
+        depth_root.update(nxt)
+        frontier = nxt
+    agg: dict[int, list] = {}
+    for k, (d, r) in depth_root.items():
+        n, roots, mn, mx = agg.get(d, (0, set(), k, k))
+        agg[d] = (n + 1, roots | {r}, min(mn, k), max(mx, k))
+    want = {d: (n, len(roots), mn, mx) for d, (n, roots, mn, mx) in agg.items()}
+
+    got = {
+        r["depth"]: (r["n_nodes"], r["n_roots"], r["min_key"], r["max_key"])
+        for r in QUERIES["hierarchy_recursive_cte"](spark, sf_dir).collect()
+    }
+    assert got == want
