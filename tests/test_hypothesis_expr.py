@@ -1,0 +1,169 @@
+"""Hypothesis differential tests for the expression parsers.
+
+The money/date/running-time parsers are regex batteries whose oracle
+parity runs on FIXED corpora (testdata + the unit-test corpus). These
+tests generate adversarial strings from a fragment grammar (partial
+units, mixed separators, dashes, citations, stray digits) and compare
+the Spark expressions against an INDEPENDENT python/re reference that
+mirrors the reference pipeline's semantics (challenge.py:102-174) —
+a third formulation, so a shared-regex-quirk bug class that both the
+engine and its DuckDB oracle could replay gets an external check.
+
+Batch pattern: each hypothesis example is a LIST of strings evaluated
+in ONE Spark job (a per-string job would make shrinking unusable).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from datetime import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from movies_etl_spark.functions import expr as E
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# ---------------------------------------------------------------------------
+# independent python references (re module, not Spark, not DuckDB)
+# ---------------------------------------------------------------------------
+
+_RANGE_PY = re.compile(r"\$.*[-—–](?![a-z])")
+_MONEY_PY = re.compile(
+    r"\$\s*(\d+\.?\d*)\s*([mb])illi?on"
+    r"|\$\s*(\d{1,3}(?:[,\.]\d{3})+)(?!\s[mb]illion)",
+    re.I,
+)
+
+
+def _ref_money(s):
+    if s is None:
+        return None
+    s = _RANGE_PY.sub("$", s)
+    m = _MONEY_PY.search(s)
+    if not m:
+        return None
+    if m.group(2):
+        try:
+            v = float(m.group(1))
+        except ValueError:
+            return None
+        return v * (1e6 if m.group(2).lower() == "m" else 1e9)
+    try:
+        return float(m.group(3).replace(",", ""))
+    except ValueError:
+        return None
+
+
+_DATE_PY = re.compile(
+    f"({E.DATE_FORM_ONE})|({E.DATE_FORM_TWO})"
+    f"|({E.DATE_FORM_THREE})|({E.DATE_FORM_FOUR})"
+)
+_DATE_FORMATS = ["%B %d, %Y", "%Y-%m-%d", "%B %Y", "%Y"]
+
+
+def _ref_date(s):
+    if s is None:
+        return None
+    m = _DATE_PY.search(s)
+    if not m:
+        return None
+    for gi, fmt in enumerate(_DATE_FORMATS, start=1):
+        g = m.group(gi)
+        if g:
+            try:
+                return datetime.strptime(g, fmt).date()
+            except ValueError:
+                return None
+    return None
+
+
+_RT_PY = re.compile(E.RUNNING_TIME_PATTERN)
+
+
+def _ref_running_time(s):
+    if s is None:
+        return None
+    m = _RT_PY.search(s)
+    g1 = g2 = g3 = 0.0
+    if m:
+        g1 = float(m.group(1)) if m.group(1) else 0.0
+        g2 = float(m.group(2)) if m.group(2) else 0.0
+        g3 = float(m.group(3)) if m.group(3) else 0.0
+    return g3 if g3 != 0 else g1 * 60 + g2
+
+
+# ---------------------------------------------------------------------------
+# fragment grammars
+# ---------------------------------------------------------------------------
+
+
+def _frag_strings(fragments):
+    return st.one_of(
+        st.none(),
+        st.lists(st.sampled_from(fragments), min_size=0, max_size=8).map(
+            "".join
+        ),
+    )
+
+
+_MONEY_FRAGS = [
+    "$", " ", "1", "12", "123", "1234", ".5", ".", ",000", ",00", ".000",
+    "million", "billion", "milion", "Million", "BILLION", "illion", "m",
+    "b", "–", "-", "—", "-word", "[3]", "est.", "USD", " to ", "4,383",
+]
+_DATE_FRAGS = [
+    "July", "March", "December", "Smarch", " ", ",", "11", "39", "07",
+    "1990", "2024", "-", ".", "x", "0", "3", "31, ", "1, ", "word",
+]
+_RT_FRAGS = [
+    "1", "02", "120", " ", "hour", "hours", "hr", "h", "ho",
+    "minutes", "min", "m", ".", "approx", "x",
+]
+
+
+def _run_spark(spark, strings, expr_col):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "i long, s string"
+    )
+    rows = df.select("i", expr_col(F.col("s")).alias("v")).collect()
+    return [r["v"] for r in sorted(rows, key=lambda r: r["i"])]
+
+
+@settings(**_SETTINGS)
+@given(batch=st.lists(_frag_strings(_MONEY_FRAGS), min_size=1, max_size=40))
+def test_parse_money_matches_python_re(spark, batch):
+    got = _run_spark(spark, batch, E.parse_money_column)
+    for s, g in zip(batch, got):
+        w = _ref_money(s)
+        if w is None:
+            assert g is None, (s, g)
+        else:
+            assert g is not None and math.isclose(g, w, rel_tol=1e-12), (s, g, w)
+
+
+@settings(**_SETTINGS)
+@given(batch=st.lists(_frag_strings(_DATE_FRAGS), min_size=1, max_size=40))
+def test_parse_date_matches_python_strptime(spark, batch):
+    got = _run_spark(spark, batch, E.parse_date_column)
+    for s, g in zip(batch, got):
+        assert g == _ref_date(s), (s, g, _ref_date(s))
+
+
+@settings(**_SETTINGS)
+@given(batch=st.lists(_frag_strings(_RT_FRAGS), min_size=1, max_size=40))
+def test_parse_running_time_matches_python_re(spark, batch):
+    got = _run_spark(spark, batch, E.parse_running_time)
+    for s, g in zip(batch, got):
+        w = _ref_running_time(s)
+        if w is None:
+            assert g is None, (s, g)
+        else:
+            assert g is not None and math.isclose(g, w, rel_tol=1e-12), (s, g, w)
