@@ -350,9 +350,13 @@ def prune_and_validated_cast(
     (measured: 22.6 → 16.9 s cold on the same bench)."""
     out, aggs = _attach_parsed(df, specs)
     if persist:
-        from pyspark import StorageLevel
+        # tracked: the registry releases it when the NEXT query builds,
+        # so cached parse frames can't accumulate over a 100+-query
+        # driver session (DataFrame.persist() default level already
+        # spills to disk)
+        from movies_etl_spark.operators.caching import tracked_persist
 
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out = tracked_persist(out)
     aggs = [
         F.count(F.lit(1)).alias("__total__"),
         *[
