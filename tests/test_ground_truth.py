@@ -895,3 +895,150 @@ def test_hierarchy_recursive_cte_matches_python_bfs(spark, sf_dir):
         for r in QUERIES["hierarchy_recursive_cte"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_decontaminate_ngram_matches_python_sets(spark, sf_dir):
+    """5-gram decontamination recomputed with python set arithmetic:
+    eval grams from doc_id%97==0 docs, a training doc survives iff it
+    shares NO gram with that set."""
+    import pandas as pd
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+
+    def grams(text):
+        tk = text.split(" ")
+        return {" ".join(tk[i : i + 5]) for i in range(len(tk) - 4)}
+
+    ev = set()
+    for r in d[d.doc_id % 97 == 0].itertuples():
+        ev |= grams(r.text)
+    want = {
+        (int(r.doc_id), r.lang)
+        for r in d[d.doc_id % 97 != 0].itertuples()
+        if not (grams(r.text) & ev)
+    }
+    got = {
+        (r["doc_id"], r["lang"])
+        for r in QUERIES["decontaminate_ngram"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_funnel_analysis_matches_python_scan(spark, sf_dir):
+    """Ordered funnel recomputed per user with a python loop over raw
+    timestamps: first view, first strictly-later click, first
+    strictly-later purchase."""
+    import pandas as pd
+
+    e = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"])
+    counts = {"1_view": 0, "2_click": 0, "3_purchase": 0}
+    for uid, grp in e.groupby("user_id"):
+        views = grp[grp.event_type == "view"].ts
+        if views.empty:
+            continue
+        counts["1_view"] += 1
+        t_view = views.min()
+        clicks = grp[(grp.event_type == "click") & (grp.ts > t_view)].ts
+        if clicks.empty:
+            continue
+        counts["2_click"] += 1
+        t_click = clicks.min()
+        buys = grp[(grp.event_type == "purchase") & (grp.ts > t_click)].ts
+        if not buys.empty:
+            counts["3_purchase"] += 1
+
+    got = {
+        r["stage"]: r["users"]
+        for r in QUERIES["funnel_analysis"](spark, sf_dir).collect()
+    }
+    assert got == counts
+
+
+def test_event_transitions_matches_python_pairs(spark, sf_dir):
+    """Markov matrix recomputed with per-user sorted python pair
+    iteration over (second-truncated ts, event_id) order."""
+    import pandas as pd
+
+    e = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "event_type", "ts"]
+    )
+    e["s"] = pd.to_datetime(e.ts).dt.floor("s")
+    cnt: dict[tuple[str, str], int] = {}
+    for _, grp in e.groupby("user_id"):
+        seq = grp.sort_values(["s", "event_id"]).event_type.tolist()
+        for a, b in zip(seq, seq[1:]):
+            cnt[(a, b)] = cnt.get((a, b), 0) + 1
+    tot: dict[str, int] = {}
+    for (a, _), c in cnt.items():
+        tot[a] = tot.get(a, 0) + c
+    # HALF_UP like the engines (python's round is half-even)
+    want = {k: (c, _round_half_up(c / tot[k[0]], 6)) for k, c in cnt.items()}
+
+    got = {
+        (r["prev_type"], r["next_type"]): (r["cnt"], r["prob"])
+        for r in QUERIES["event_transitions"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k, (c, p) in got.items():
+        assert c == want[k][0], (k, c)
+        assert abs(p - want[k][1]) < 1e-9, (k, p, want[k][1])
+
+
+def test_cooccurrence_topk_matches_python_counter(spark, sf_dir):
+    """Distance-≤2 co-occurrence top-50 recomputed with a python Counter
+    over adjacent and skip-one token pairs, same total order."""
+    from collections import Counter
+
+    import pandas as pd
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    c: Counter = Counter()
+    for text in d.text:
+        tk = text.split(" ")
+        for dist in (1, 2):
+            for i in range(len(tk) - dist):
+                a, b = tk[i], tk[i + dist]
+                c[(min(a, b), max(a, b))] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    want = [(wa, wb, n) for (wa, wb), n in want]
+
+    got = [
+        (r["wa"], r["wb"], r["cnt"])
+        for r in QUERIES["cooccurrence_topk"](spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def _round_half_up(x: float, places: int) -> float:
+    """Spark's F.round and DuckDB's round are HALF_UP; python's built-in
+    round is half-even — witnesses must match the engines' convention
+    (caught live: round(5/32, 4) differs at the 0.15625 halfway point)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-places)
+    return float(Decimal(str(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def test_oov_rate_matches_python_counter(spark, sf_dir):
+    """OOV rate recomputed with a python Counter vocabulary (top-20 by
+    (freq DESC, term)) and per-doc membership counting."""
+    from collections import Counter
+
+    import pandas as pd
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    freq: Counter = Counter()
+    for text in d.text:
+        freq.update(text.split(" "))
+    vocab = {t for t, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:20]}
+    want = {}
+    for r in d.itertuples():
+        tk = r.text.split(" ")
+        oov = sum(1 for t in tk if t not in vocab)
+        want[int(r.doc_id)] = (len(tk), oov, _round_half_up(oov / len(tk), 4))
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in QUERIES["oov_rate"](spark, sf_dir).collect()
+    }
+    assert got == want
