@@ -1042,3 +1042,110 @@ def test_oov_rate_matches_python_counter(spark, sf_dir):
         for r in QUERIES["oov_rate"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_topic_tag_rules_matches_python_sets(spark, sf_dir):
+    """Rule tagging recomputed with python set intersections in fixed
+    rule order."""
+    import pandas as pd
+
+    rules = [
+        ("relational", {"join", "merge", "table"}),
+        ("streaming", {"stream", "window", "batch"}),
+        ("performance", {"fast", "slow", "scan"}),
+        ("storage", {"row", "column", "part"}),
+    ]
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    want = {}
+    for r in d.itertuples():
+        toks = set(r.text.split(" "))
+        tags = [name for name, kws in rules if toks & kws]
+        want[int(r.doc_id)] = (len(tags), ",".join(tags) if tags else "untagged")
+
+    got = {
+        r["doc_id"]: (r["n_tags"], r["tags"])
+        for r in QUERIES["topic_tag_rules"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_group_rare_collapse_matches_python_counter(spark, sf_dir):
+    """The relabel mapping recomputed with a Counter and a plain share
+    comparison against the 4.5% floor."""
+    from collections import Counter
+
+    import pandas as pd
+
+    src = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"]).source
+    c = Counter(src)
+    t = sum(c.values())
+    want = {
+        s: (n, "__other__" if n / t < 0.045 else s) for s, n in c.items()
+    }
+    got = {
+        r["source"]: (r["n_docs"], r["cat"])
+        for r in QUERIES["group_rare_collapse"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_week_over_week_matches_python_lag(spark, sf_dir):
+    """WoW growth recomputed with python Monday-week bucketing, integer
+    cents, and an explicit prior-week walk (zero prior -> None)."""
+    import datetime
+
+    import pandas as pd
+
+    e = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    ts = pd.to_datetime(e.ts)
+    wk = (ts - pd.to_timedelta(ts.dt.weekday, unit="D")).dt.date
+    cents = (e.value * 100).apply(math.floor).astype(int)
+    agg: dict[datetime.date, list] = {}
+    for w, c in zip(wk, cents):
+        cur = agg.get(w, [0, 0])
+        agg[w] = [cur[0] + 1, cur[1] + c]
+    weeks = sorted(agg)
+    want = {}
+    for i, w in enumerate(weeks):
+        cnt, cts = agg[w]
+        if i == 0 or agg[weeks[i - 1]][1] == 0:
+            pct = None
+        else:
+            prev = agg[weeks[i - 1]][1]
+            pct = _round_half_up((cts - prev) / prev, 6)
+        want[w] = (cnt, cts, pct)
+
+    got = {
+        r["wk"]: (r["cnt"], r["cents"], r["wow_pct"])
+        for r in QUERIES["week_over_week"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for w, (cnt, cts, pct) in got.items():
+        assert (cnt, cts) == want[w][:2], (w, cnt, cts, want[w])
+        if want[w][2] is None:
+            assert pct is None, (w, pct)
+        else:
+            assert pct == pytest.approx(want[w][2], abs=2e-6), (w, pct, want[w][2])
+
+
+def test_vocab_topk_matches_python_counter(spark, sf_dir):
+    """Corpus vocabulary top-100 recomputed with python Counters under
+    the query's (doc_freq DESC, term_freq DESC, term) total order."""
+    from collections import Counter
+
+    import pandas as pd
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tf: Counter = Counter()
+    df: Counter = Counter()
+    for r in d.itertuples():
+        toks = [t for t in r.text.split(" ") if t != ""]
+        tf.update(toks)
+        df.update(set(toks))
+    want = sorted(
+        ((t, df[t], tf[t]) for t in tf),
+        key=lambda x: (-x[1], -x[2], x[0]),
+    )[:100]
+    rows = QUERIES["vocab_topk"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert [(r["term"], r["doc_freq"], r["term_freq"]) for r in rows] == want
