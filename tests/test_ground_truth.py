@@ -1149,3 +1149,97 @@ def test_vocab_topk_matches_python_counter(spark, sf_dir):
     rows = QUERIES["vocab_topk"](spark, sf_dir).collect()
     assert len(rows) > 0
     assert [(r["term"], r["doc_freq"], r["term_freq"]) for r in rows] == want
+
+
+_EN_STOP = {"the", "a", "of", "and", "to"}
+
+
+def test_text_quality_score_matches_python(spark, sf_dir):
+    """The composite quality score recomputed row-wise in python with
+    the same arithmetic order and HALF_UP rounding — a differential
+    check of the whole codegen expression battery."""
+    import pandas as pd
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    want = {}
+    for r in d.itertuples():
+        toks = r.text.split(" ")
+        n_chars, n_toks = len(r.text), len(toks)
+        hits = sum(1 for t in toks if t in _EN_STOP)
+        atl = _round_half_up((n_chars - (n_toks - 1)) / n_toks, 4)
+        score = (
+            min(n_toks / 100.0, 1.0) * 0.5
+            + (hits / n_toks) * 0.3
+            + (1.0 / atl) * 0.2
+        )
+        want[int(r.doc_id)] = (
+            n_chars,
+            n_toks,
+            atl,
+            _round_half_up(hits / n_toks, 4),
+            _round_half_up(score, 4),
+        )
+
+    got = {
+        r["doc_id"]: (
+            r["n_chars"],
+            r["n_tokens"],
+            r["avg_tok_len"],
+            r["stop_ratio"],
+            r["score"],
+        )
+        for r in QUERIES["text_quality_score"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_text_lang_id_matches_python(spark, sf_dir):
+    """Stopword-hit language ID recomputed with python dicts: per-lang
+    frequency hits, argmax with alphabetical tie-break."""
+    import pandas as pd
+
+    from movies_etl_spark.operators.text import LANG_STOPWORDS
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    langs = sorted(LANG_STOPWORDS)
+    want = {}
+    for r in d.itertuples():
+        toks = r.text.split(" ")
+        hits = {
+            lg: sum(1 for t in toks if t in set(LANG_STOPWORDS[lg]))
+            for lg in langs
+        }
+        m = max(hits.values())
+        pred = next(lg for lg in langs if hits[lg] == m)
+        want[int(r.doc_id)] = (*[hits[lg] for lg in langs], pred)
+
+    got = {
+        r["doc_id"]: tuple(r[f"h_{lg}"] for lg in langs) + (r["lang_pred"],)
+        for r in QUERIES["text_lang_id"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_text_repetition_ratio_matches_python(spark, sf_dir):
+    """Gopher repetition signals recomputed with python sets over tokens
+    and adjacent 2-grams."""
+    import pandas as pd
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    want = {}
+    for r in d.itertuples():
+        tk = r.text.split(" ")
+        g2 = [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+        dup_tok = (
+            _round_half_up(1.0 - len(set(tk)) / len(tk), 4) if tk else 0.0
+        )
+        dup_g2 = (
+            _round_half_up(1.0 - len(set(g2)) / len(g2), 4) if g2 else 0.0
+        )
+        want[int(r.doc_id)] = (len(tk), dup_tok, dup_g2)
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_token_frac"], r["dup_2gram_frac"])
+        for r in QUERIES["text_repetition_ratio"](spark, sf_dir).collect()
+    }
+    assert got == want
