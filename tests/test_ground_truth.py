@@ -1243,3 +1243,186 @@ def test_text_repetition_ratio_matches_python(spark, sf_dir):
         for r in QUERIES["text_repetition_ratio"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_gopher_flags_match_python(spark, sf_dir):
+    """The Gopher rule battery recomputed row-wise in python — including
+    the DISTINCT-stopword-hit semantics of array_intersect (frequency
+    counting here would be a shared-formulation bug this witness exists
+    to catch)."""
+    import re as _re
+
+    import pandas as pd
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    want = {}
+    for r in d.itertuples():
+        tk = r.text.split(" ")
+        n = len(tk)
+        mean_wl = _round_half_up((len(r.text) - (n - 1)) / n, 4)
+        hashes = len(r.text) - len(r.text.replace("#", ""))
+        dots = (len(r.text) - len(r.text.replace("...", ""))) / 3
+        sym = _round_half_up((hashes + dots) / n, 4)
+        alpha = _round_half_up(
+            sum(1 for t in tk if _re.search("[a-z]", t)) / n, 4
+        )
+        stops = len(set(tk) & _EN_STOP)
+        passes = (
+            50 <= n <= 100000
+            and 3 <= mean_wl <= 10
+            and sym < 0.1
+            and alpha > 0.8
+            and stops >= 2
+        )
+        want[int(r.doc_id)] = (n, mean_wl, sym, alpha, stops, passes)
+
+    got = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["mean_word_len"],
+            r["symbol_ratio"],
+            r["alpha_frac"],
+            r["stop_hits"],
+            r["passes"],
+        )
+        for r in QUERIES["gopher_quality_flags"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_pii_redact_matches_python_re(spark, sf_dir):
+    """Redaction recomputed with python re over the same synthesized
+    spans — Java regex vs python re as the differential pair."""
+    import re as _re
+
+    import pandas as pd
+
+    email = _re.compile(r"[a-z0-9]+@[a-z]+\.[a-z]+")
+    phone = _re.compile(r"\d{3}-\d{4}")
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    want = {}
+    for r in d.itertuples():
+        did = int(r.doc_id)
+        if did % 3 == 0:
+            raw = f"{r.text} contact user{did}@example.com now"
+        elif did % 3 == 1:
+            raw = f"{r.text} call 555-{1000 + did % 9000} today"
+        else:
+            raw = r.text
+        clean = phone.sub("[PHONE]", email.sub("[EMAIL]", raw))
+        want[did] = (clean, len(email.findall(raw)) + len(phone.findall(raw)))
+
+    got = {
+        r["doc_id"]: (r["clean"], r["n_pii"])
+        for r in QUERIES["pii_redact"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_embedding_quantize_matches_numpy(spark, sf_dir):
+    """int8 symmetric quantization recomputed with numpy float64
+    arithmetic: scale = max|v|/127, level = floor(v/scale + 0.5)."""
+    import numpy as np
+    import pandas as pd
+
+    e = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    want = {}
+    for r in e.itertuples():
+        v = np.asarray(r.embedding, dtype=np.float64)
+        scale = float(np.abs(v).max()) / 127.0
+        if scale == 0:
+            q = [0] * len(v)
+        else:
+            q = [int(math.floor(x / scale + 0.5)) for x in v]
+        want[int(r.vec_id)] = (
+            _round_half_up(scale, 4),
+            ",".join(str(x) for x in q),
+        )
+
+    got = {
+        r["vec_id"]: (r["scale_r"], r["q_str"])
+        for r in QUERIES["embedding_quantize"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_embedding_dim_stats_match_python_fold(spark, sf_dir):
+    """Per-dimension stats recomputed with an explicit vec_id-ordered
+    left fold (plain python loop — no numpy pairwise summation, which
+    would NOT reproduce the fold order)."""
+    import pandas as pd
+
+    e = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    dims: dict[int, list[float]] = {}
+    for r in e.itertuples():
+        for i, x in enumerate(r.embedding, start=1):
+            dims.setdefault(i, []).append(float(x))
+    want = {}
+    for dim, vals in dims.items():
+        n = len(vals)
+        s = 0.0
+        ss = 0.0
+        for x in vals:
+            s += x
+        for x in vals:
+            ss += x * x
+        std = math.sqrt((ss - s * s / n) / (n - 1))
+        want[dim] = (
+            n,
+            _round_half_up(s / n, 4),
+            _round_half_up(std, 4),
+            _round_half_up(min(vals), 4),
+            _round_half_up(max(vals), 4),
+        )
+
+    got = {
+        r["dim"]: (r["n"], r["mean"], r["std"], r["vmin"], r["vmax"])
+        for r in QUERIES["embedding_dim_stats"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_ngram_jaccard_matches_python_sets(spark, sf_dir):
+    """Blocked n-gram Jaccard recomputed with python set arithmetic over
+    brute-forced (lang, n_chars) blocks."""
+    import hashlib
+
+    import pandas as pd
+
+    from movies_etl_spark.operators.dedup import (
+        MINHASH_P,
+        SHINGLE_C1,
+        SHINGLE_C2,
+    )
+
+    d = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars", "text"]
+    )
+
+    def shingles(text):
+        th = [
+            int(hashlib.md5(t.encode()).hexdigest()[:12], 16) % MINHASH_P
+            for t in text.split(" ")
+        ]
+        if len(th) < 3:
+            return set()
+        return {
+            (th[i] * SHINGLE_C1 + th[i + 1] * SHINGLE_C2 + th[i + 2]) % MINHASH_P
+            for i in range(len(th) - 2)
+        }
+
+    sh = {int(r.doc_id): shingles(r.text) for r in d.itertuples()}
+    want = {}
+    for (_, _), grp in d.groupby(["lang", "n_chars"]):
+        ids = sorted(int(x) for x in grp.doc_id)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                if sh[a] and sh[b]:
+                    j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+                    want[(a, b)] = _round_half_up(j, 4)
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jac"]
+        for r in QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    assert got == want
