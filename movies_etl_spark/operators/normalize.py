@@ -273,6 +273,27 @@ def _commit_validated(
     return final_cols, all_stats
 
 
+def _prune_keep(
+    columns: Sequence[str],
+    tallies: dict,
+    total: int,
+    threshold: float,
+    keep_always: Sequence[str],
+) -> list[str]:
+    """Shared null-ratio prune rule: keep a column when it is protected,
+    the frame is empty, or its null share is under the threshold; an
+    all-pruned outcome keeps everything (null_ratio_prune's no-survivor
+    edge). One definition for the in-memory and disk-staged twins."""
+    if total == 0:
+        return list(columns)
+    keep = [
+        c
+        for c in columns
+        if c in keep_always or (tallies[f"null__{c}"] or 0) / total < threshold
+    ]
+    return keep if keep else list(columns)
+
+
 def validated_cast_staged(
     df: DataFrame, specs: dict[str, tuple[Column, str]]
 ):
@@ -347,7 +368,15 @@ def prune_and_validated_cast(
     must be fast, or cluster-scale fault tolerance matters (a lost
     executor recomputes from source under persist), use the
     parquet-staged twin :func:`prune_and_validated_cast_staged`
-    (measured: 22.6 → 16.9 s cold on the same bench)."""
+    (measured: 22.6 → 16.9 s cold on the same bench).
+
+    Cache lifetime: under the query registry the tracked cache is
+    released when the next query builds. Callers OUTSIDE the registry
+    (direct pipeline use, one-shot scripts) should call
+    ``operators.caching.release_tracked()`` once they have materialized
+    their result, or pass ``persist=False`` / use the staged twin —
+    otherwise the frame stays pinned until process exit (bounded at one
+    CacheManager entry per distinct input plan, but still held)."""
     out, aggs = _attach_parsed(df, specs)
     if persist:
         # tracked: the registry releases it when the NEXT query builds,
@@ -367,16 +396,7 @@ def prune_and_validated_cast(
     ]
     row = out.agg(*aggs).collect()[0].asDict()
     total = row.pop("__total__") or 0
-    if total == 0:
-        keep = list(df.columns)
-    else:
-        keep = [
-            c
-            for c in df.columns
-            if c in keep_always or (row[f"null__{c}"] or 0) / total < threshold
-        ]
-        if not keep:
-            keep = list(df.columns)
+    keep = _prune_keep(df.columns, row, total, threshold, keep_always)
     final_cols, all_stats = _commit_validated(df.columns, set(keep), specs, row)
     return out.select(*final_cols), all_stats
 
@@ -419,16 +439,7 @@ def prune_and_validated_cast_staged(
     ).parquet(stage_path)
     row = dict(obs.get)
     total = row.pop("__total__") or 0
-    if total == 0:
-        keep = list(df.columns)
-    else:
-        keep = [
-            c
-            for c in df.columns
-            if c in keep_always or (row[f"null__{c}"] or 0) / total < threshold
-        ]
-        if not keep:
-            keep = list(df.columns)
+    keep = _prune_keep(df.columns, row, total, threshold, keep_always)
     final_cols, all_stats = _commit_validated(df.columns, set(keep), specs, row)
     staged = df.sparkSession.read.parquet(stage_path)
     return staged.select(*final_cols), all_stats

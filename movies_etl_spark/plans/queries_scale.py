@@ -1209,7 +1209,11 @@ def q_triangle_count(spark, sf_dir):
     # n_edges rides as a lazy 1-row cross join (not a builder-side
     # .count() action, which would materialize the edge pipeline in a
     # separate job before the query's own action even starts)
-    tri = closed.agg(F.sum(per_edge).cast("long").alias("n_triangles"))
+    # coalesce: sum over zero rows is NULL, but an empty graph has 0
+    # triangles (and the oracle's count(*) says 0)
+    tri = closed.agg(
+        F.coalesce(F.sum(per_edge), F.lit(0)).cast("long").alias("n_triangles")
+    )
     ne = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return tri.crossJoin(ne)
 

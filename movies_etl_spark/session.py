@@ -73,10 +73,13 @@ def pin_session_conf(spark: SparkSession) -> SparkSession:
     # externally built session carries Spark's 200-partition default,
     # which at test SF means hundreds of near-empty tasks per shuffle
     # (AQE coalesces the partitions but the initial plan still schedules
-    # them). Size to cores like get_spark does.
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
-    )
+    # them). Replace ONLY the untouched stock default: a session whose
+    # partitions were deliberately sized (get_spark's builder arg, a
+    # harness's own tuning) keeps its setting.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
+        )
     # Early testdata generations stored events.ts as TIMESTAMP(NANOS),
     # which Spark's parquet reader rejects by default; read nanos as long
     # and convert explicitly (sources.readers.load_table normalizes the

