@@ -167,3 +167,103 @@ def test_parse_running_time_matches_python_re(spark, batch):
             assert g is None, (s, g)
         else:
             assert g is not None and math.isclose(g, w, rel_tol=1e-12), (s, g, w)
+
+
+# ---------------------------------------------------------------------------
+# extraction / cleanup expressions
+# ---------------------------------------------------------------------------
+
+_IMDB_PY = re.compile(r"(tt\d{7})")
+
+
+def _ref_imdb(s):
+    if s is None:
+        return None
+    m = _IMDB_PY.search(s)
+    return m.group(1) if m else None
+
+
+_CIT_PY = re.compile(r"\[\d+\]\s*")
+
+
+def _ref_strip_citations(s):
+    return None if s is None else _CIT_PY.sub("", s)
+
+
+def _ref_strip_ranges(s):
+    return None if s is None else _RANGE_PY.sub("$", s)
+
+
+_IMDB_FRAGS = ["tt", "0120338", "123", "45678901", "/title/", "x", "t"]
+_CIT_FRAGS = ["[", "]", "1", "23", " ", "\t", "word", "[4]", "[a]", "."]
+_RANGE_FRAGS = [
+    "$", "1.2", " ", "–", "-", "—", "million", "-word", "word", "\n", "$3",
+]
+
+
+@settings(**_SETTINGS)
+@given(batch=st.lists(_frag_strings(_IMDB_FRAGS), min_size=1, max_size=40))
+def test_extract_imdb_id_matches_python_re(spark, batch):
+    got = _run_spark(spark, batch, E.extract_imdb_id)
+    assert got == [_ref_imdb(s) for s in batch], batch
+
+
+@settings(**_SETTINGS)
+@given(batch=st.lists(_frag_strings(_CIT_FRAGS), min_size=1, max_size=40))
+def test_strip_citations_matches_python_re(spark, batch):
+    got = _run_spark(spark, batch, E.strip_citations)
+    assert got == [_ref_strip_citations(s) for s in batch], batch
+
+
+@settings(**_SETTINGS)
+@given(batch=st.lists(_frag_strings(_RANGE_FRAGS), min_size=1, max_size=40))
+def test_strip_money_ranges_matches_python_re(spark, batch):
+    got = _run_spark(spark, batch, E.strip_money_ranges)
+    assert got == [_ref_strip_ranges(s) for s in batch], batch
+
+
+# ---------------------------------------------------------------------------
+# mixed string-or-array cell normalization
+# ---------------------------------------------------------------------------
+
+import json as _json
+
+
+def _ref_mixed_cell(s):
+    """Reference semantics for string-element JSON arrays (the grammar
+    below emits only string elements / malformed shapes — numeric or
+    nested elements exercise Jackson-specific text capture that the
+    python json module cannot mirror, and the corpus never produces
+    them). raw_decode, not loads: Spark's from_json parses the FIRST
+    JSON value and ignores trailing text (found by this very test —
+    '[..][..]' normalizes to the first array's join, where strict
+    json.loads would reject the whole cell)."""
+    if s is None or not s.startswith("["):
+        return s
+    try:
+        v, _ = _json.JSONDecoder().raw_decode(s)
+    except ValueError:
+        return s
+    if not isinstance(v, list) or any(
+        x is not None and not isinstance(x, str) for x in v
+    ):
+        return s
+    joined = " ".join(x for x in v if x is not None)
+    return joined if joined != "" else s
+
+
+_MIXED_FRAGS = [
+    '["May 17, 1990","(","1990-05-17",")"]', '["a","b"]', "[", "]", '"a"',
+    ",", "plain scalar", " ", "[]", '["",""]', '["x"', "[null]", '[null,"y"]',
+]
+
+
+@settings(**_SETTINGS)
+@given(batch=st.lists(_frag_strings(_MIXED_FRAGS), min_size=1, max_size=40))
+def test_normalize_mixed_cell_matches_python_json(spark, batch):
+    from movies_etl_spark.operators.normalize import normalize_mixed_cell
+
+    # skip inputs with non-string JSON elements the reference can't mirror
+    got = _run_spark(spark, batch, normalize_mixed_cell)
+    for s, g in zip(batch, got):
+        assert g == _ref_mixed_cell(s), (s, g, _ref_mixed_cell(s))
