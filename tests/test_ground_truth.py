@@ -1432,3 +1432,93 @@ def test_ngram_jaccard_matches_python_sets(spark, sf_dir):
         for r in QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_session_paths_matches_python_walk(spark, sf_dir):
+    """Top user journeys recomputed with a per-user python walk: 30-min
+    gap sessionization over (second-truncated ts, event_id) order, '>'
+    joined paths, Counter + the (count DESC, path) cut."""
+    from collections import Counter
+
+    import pandas as pd
+
+    e = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "event_type", "ts"]
+    )
+    e["s"] = pd.to_datetime(e.ts).dt.floor("s")
+    c: Counter = Counter()
+    for _, grp in e.groupby("user_id"):
+        grp = grp.sort_values(["s", "event_id"])
+        path: list[str] = []
+        prev = None
+        for r in grp.itertuples():
+            if prev is not None and (r.s - prev).total_seconds() > 1800:
+                c[">".join(path)] += 1
+                path = []
+            path.append(r.event_type)
+            prev = r.s
+        if path:
+            c[">".join(path)] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    got = [
+        (r["path"], r["n_sessions"])
+        for r in QUERIES["session_paths"](spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def test_rollup_cascade_matches_python_dicts(spark, sf_dir):
+    """The hourly→daily→monthly cascade recomputed with one flat python
+    pass straight from raw events to months — if any cascade level
+    dropped or double-counted partials, the flat recompute would
+    diverge."""
+    import pandas as pd
+
+    e = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    ts = pd.to_datetime(e.ts).dt.floor("s")
+    month = ts.dt.to_period("M").dt.to_timestamp().dt.date
+    cents = (e.value * 100).apply(math.floor).astype(int)
+    agg: dict = {}
+    days: dict = {}
+    for m, d, c in zip(month, ts.dt.date, cents):
+        cnt, s = agg.get(m, (0, 0))
+        agg[m] = (cnt + 1, s + c)
+        days.setdefault(m, set()).add(d)
+    want = {m: (cnt, s, len(days[m])) for m, (cnt, s) in agg.items()}
+
+    got = {
+        r["month"]: (r["cnt"], r["sum_cents"], r["n_days"])
+        for r in QUERIES["rollup_cascade"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_snapshot_diff_matches_python_dicts(spark, sf_dir):
+    """The full-outer churn diff recomputed with two python dicts and
+    set arithmetic."""
+    import pandas as pd
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    a = {int(r.o_orderkey): float(r.o_totalprice) for r in o.itertuples() if r.o_orderkey % 10 != 0}
+    b = {
+        int(r.o_orderkey): (
+            float(r.o_totalprice) + 10.0 if r.o_orderkey % 7 == 0 else float(r.o_totalprice)
+        )
+        for r in o.itertuples()
+        if r.o_orderkey % 10 != 3
+    }
+    want = {}
+    for k in a.keys() | b.keys():
+        if k not in b:
+            want[k] = ("removed", a[k], None)
+        elif k not in a:
+            want[k] = ("added", None, b[k])
+        elif a[k] != b[k]:
+            want[k] = ("changed", a[k], b[k])
+
+    got = {
+        r["o_orderkey"]: (r["status"], r["old_price"], r["new_price"])
+        for r in QUERIES["snapshot_diff"](spark, sf_dir).collect()
+    }
+    assert got == want
