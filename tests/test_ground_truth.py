@@ -1522,3 +1522,53 @@ def test_snapshot_diff_matches_python_dicts(spark, sf_dir):
         for r in QUERIES["snapshot_diff"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_simhash_pairs_match_bruteforce_hamming(spark, sf_dir):
+    """The nibble-banded SimHash pair query against a brute-force
+    ALL-PAIRS numpy Hamming scan (no banding at all): the pigeonhole
+    claim — any pair within Hamming ≤ 2 of a 16-bit fingerprint shares
+    at least one intact nibble — makes banding EXHAUSTIVE, so the two
+    formulations must produce the identical pair set. A banding bug that
+    silently dropped reachable pairs would be invisible to the replay
+    oracle and caught here."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    corpus = {int(r.doc_id): r.text for r in docs.itertuples()}
+    for r in docs.itertuples():
+        toks = r.text.split(" ")
+        if int(r.doc_id) % 50 == 0 and len(toks) >= 20:
+            corpus[int(r.doc_id) + 1000000] = " ".join(toks[: len(toks) - 10])
+
+    def tok_hash(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:12], 16)
+
+    def simhash16(text):
+        hs = [tok_hash(t) for t in text.split(" ")]
+        out = 0
+        for j in range(16):
+            s = sum(((h >> j) & 1) * 2 - 1 for h in hs)
+            if s > 0:
+                out += 1 << j
+        return out
+
+    ids = np.array(sorted(corpus))
+    sh = np.array([simhash16(corpus[i]) for i in ids], dtype=np.int64)
+    pop = np.array([bin(x).count("1") for x in range(1 << 16)], dtype=np.int8)
+    ham = pop[np.bitwise_xor.outer(sh, sh)]
+    iu, ju = np.triu_indices(len(ids), k=1)
+    sel = ham[iu, ju] <= 2
+    want = {
+        (int(ids[a]), int(ids[b])): int(ham[a, b])
+        for a, b in zip(iu[sel], ju[sel])
+    }
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in QUERIES["dedup_simhash_pairs"](spark, sf_dir).collect()
+    }
+    assert got == want
