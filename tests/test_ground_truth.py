@@ -1572,3 +1572,48 @@ def test_simhash_pairs_match_bruteforce_hamming(spark, sf_dir):
         for r in QUERIES["dedup_simhash_pairs"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_upsert_merge_matches_pandas_merge(spark, sf_dir):
+    """The partitioned-lake MERGE (anti-join + dynamic partition
+    overwrite + read-back) recomputed as a plain pandas merge straight
+    from orders — a partition accidentally dropped or doubled by the
+    overwrite machinery would break the per-year reconciliation."""
+    import pandas as pd
+
+    o = pd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"],
+    )
+    o["order_year"] = pd.to_datetime(o.o_orderdate).dt.year
+    base = o[o.o_orderkey % 13 != 0][
+        ["o_orderkey", "o_totalprice", "o_orderstatus", "order_year"]
+    ]
+    upd = o[o.o_orderkey % 13 == 0].assign(
+        o_totalprice=lambda d: (d.o_totalprice + 10.0).round(2),
+        o_orderstatus="U",
+    )[["o_orderkey", "o_totalprice", "o_orderstatus", "order_year"]]
+    ins = o[o.o_orderkey % 997 == 0].assign(
+        o_orderkey=lambda d: d.o_orderkey + 100000000,
+        o_totalprice=lambda d: d.o_totalprice.round(2),
+        o_orderstatus="N",
+    )[["o_orderkey", "o_totalprice", "o_orderstatus", "order_year"]]
+    merged = pd.concat([base, upd, ins])
+    want = {}
+    for y, grp in merged.groupby("order_year"):
+        want[int(y)] = (
+            len(grp),
+            int((grp.o_orderstatus == "U").sum()),
+            int((grp.o_orderstatus == "N").sum()),
+            float(grp.o_totalprice.sum()),
+        )
+
+    got = {
+        r["order_year"]: (r["n_rows"], r["n_updated"], r["n_inserted"], r["total_price"])
+        for r in QUERIES["upsert_merge"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for y, (n, nu, ni, tp) in got.items():
+        assert (n, nu, ni) == want[y][:3], (y, got[y], want[y])
+        # float sum order differs; round-2 output vs pandas sum
+        assert abs(tp - want[y][3]) < 0.02, (y, tp, want[y][3])
