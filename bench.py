@@ -151,6 +151,36 @@ def _calibration_sec(spark) -> float:
     return round(sorted(runs)[1], 3)
 
 
+def _calibration_codegen_sec(spark) -> float:
+    """Janino-compile probe: one action over a 1k-row frame wearing a
+    ~40-branch when/regexp expression battery — execution is ~zero, so
+    the wall time is Catalyst planning + whole-stage-codegen COMPILE.
+    The pure-CPU probe cannot see this cost, yet it dominates the cold
+    entries of the expression-heavy queries (measured: parse_money
+    5.3 s cold / 0.5 s warm, dedup_minhash_lsh 11.0 / 3.0 — NOTES_r4),
+    and it swings several-fold with ambient contention. Unique literals
+    per branch keep the generated source from collapsing via
+    common-subexpression elimination."""
+    from pyspark.sql import functions as F
+
+    col = F.col("s")
+    expr = F.lit(0.0)
+    for i in range(40):
+        expr = F.when(
+            col.rlike(rf"probe{i}[a-z]{{{i % 5 + 1}}}\d+"),
+            F.regexp_extract(col, rf"(\d+)p{i}", 1).try_cast("double") + i,
+        ).otherwise(expr)
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 1000, 1, 2)
+        .select(F.concat(F.lit("probe"), F.col("id").cast("string")).alias("s"))
+        .select(expr.alias("v"))
+        .agg(F.sum("v"))
+        .collect()
+    )
+    return round(time.perf_counter() - t0, 3)
+
+
 def _calibration_stream_sec(spark) -> float:
     """Streaming-floor probe: a fixed 4-row rate-less micro-batch stream
     (availableNow over a tiny generated parquet) through one count into
@@ -215,6 +245,7 @@ def main() -> None:
     ).save()
 
     calibration = _calibration_sec(spark)
+    calibration_codegen = _calibration_codegen_sec(spark)
     calibration_stream = _calibration_stream_sec(spark)
 
     timings: dict[str, float] = {}
@@ -304,6 +335,7 @@ def main() -> None:
                 "approx_rows_per_sec": round(rows_total / total) if total else None,
                 "cluster_propagation_rounds": dedup.LAST_CC_ROUNDS or None,
                 "calibration_sec": calibration,
+                "calibration_codegen_sec": calibration_codegen,
                 "calibration_stream_sec": calibration_stream,
                 "ann_recall_at_5": ann_recall or None,
             }
