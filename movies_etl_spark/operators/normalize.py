@@ -252,6 +252,17 @@ def _commit_validated(
     final_cols: list[Column] = []
     for c in columns:
         if c not in kept:
+            if c in specs:
+                # A spec column removed by the null-ratio prune: its
+                # tallies were computed in the same pass — record them
+                # with an explicit marker so stats consumers can tell a
+                # pruned spec column from one never specced.
+                all_stats[c] = {
+                    "n_input": tallies[f"in__{c}"],
+                    "n_parsed": tallies[f"ok__{c}"],
+                    "dropped": 1,
+                    "dropped_by_null_prune": 1,
+                }
             continue
         if c not in specs:
             final_cols.append(F.col(f"`{c}`"))
@@ -338,7 +349,7 @@ def prune_and_validated_cast(
     specs: dict[str, tuple[Column, str]],
     threshold: float = 0.9,
     keep_always: Sequence[str] = (),
-    persist: bool = True,
+    persist: bool = False,
 ) -> tuple[DataFrame, dict[str, dict[str, int]]]:
     """P5 + §2.8 fused: ONE auxiliary aggregate computes both the
     per-column null ratios (the 90%-null prune decision) and the parse
@@ -355,7 +366,10 @@ def prune_and_validated_cast(
     scan), and the no-survivor edge keeps the frame unchanged like
     null_ratio_prune.
 
-    ``persist`` (default on) caches the attached-parse frame with
+    ``persist`` (default OFF — a library caller gets no surprise pinned
+    cache; managed paths like the query registry / clean_wiki opt in
+    because they release tracked caches themselves) caches the
+    attached-parse frame with
     spill-to-disk between the auxiliary aggregate and the caller's final
     action, so an expensive source (ragged JSON: parse + synonym
     coalesce + dedup shuffle + regex battery) is computed ONCE instead
@@ -370,13 +384,13 @@ def prune_and_validated_cast(
     parquet-staged twin :func:`prune_and_validated_cast_staged`
     (measured: 22.6 → 16.9 s cold on the same bench).
 
-    Cache lifetime: under the query registry the tracked cache is
-    released when the next query builds. Callers OUTSIDE the registry
-    (direct pipeline use, one-shot scripts) should call
+    Cache lifetime under ``persist=True``: the query registry releases
+    the tracked cache when the next query builds. Callers OUTSIDE the
+    registry that opt in should call
     ``operators.caching.release_tracked()`` once they have materialized
-    their result, or pass ``persist=False`` / use the staged twin —
-    otherwise the frame stays pinned until process exit (bounded at one
-    CacheManager entry per distinct input plan, but still held)."""
+    their result, or use the staged twin — otherwise the frame stays
+    pinned until process exit (bounded at one CacheManager entry per
+    distinct input plan, but still held)."""
     out, aggs = _attach_parsed(df, specs)
     if persist:
         # tracked: the registry releases it when the NEXT query builds,
@@ -419,8 +433,19 @@ def prune_and_validated_cast_staged(
     survives the session — the 100 TB shape of the reference's
     try/except column-drop (challenge.py:129-230). Originals of spec
     columns are not staged: commit either replaces them with the parsed
-    value or drops the column entirely, so they never survive."""
+    value or drops the column entirely, so they never survive.
+
+    ``stage_path`` is a PREFIX, not the written location: each invocation
+    writes to ``{stage_path}-{uuid}`` so a re-run (or a concurrent
+    pipeline sharing a stage dir) can never clobber parquet that a
+    still-alive earlier result lazily references. Staging tables are
+    session-scoped scratch — callers own cleanup of the stage_path
+    parent once no returned frame is live (a TTL sweep in production)."""
+    import uuid
+
     from pyspark.sql import Observation
+
+    stage_path = f"{stage_path.rstrip('/')}-{uuid.uuid4().hex[:12]}"
 
     out, aggs = _attach_parsed(df, specs)
     metrics = [

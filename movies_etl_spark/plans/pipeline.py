@@ -64,7 +64,11 @@ MOVIES_RENAME_MAP = {
 MIXED_CELL_PARSE_COLUMNS = ["Box office", "Budget", "Release date", "Running time"]
 
 
-def clean_wiki(wiki_raw: DataFrame, stage_dir: str | None = None) -> DataFrame:
+def clean_wiki(
+    wiki_raw: DataFrame,
+    stage_dir: str | None = None,
+    persist: bool = True,
+) -> DataFrame:
     """Wiki-side normalization (challenge.py:34-174).
 
     P1 key-existence filter → P10 alt-title map → P9 synonym coalesce →
@@ -127,7 +131,14 @@ def clean_wiki(wiki_raw: DataFrame, stage_dir: str | None = None) -> DataFrame:
             df, specs, f"{stage_dir}/wiki_staged", threshold=0.9
         )
     else:
-        df, _stats = N.prune_and_validated_cast(df, specs, threshold=0.9)
+        # persist=True (the default here) caches the attached-parse frame
+        # across the tally aggregate and the caller's final action; the
+        # query registry releases tracked caches when the next query
+        # builds, and direct callers can pass persist=False (or use
+        # stage_dir) to avoid pinning a cache entry until process exit.
+        df, _stats = N.prune_and_validated_cast(
+            df, specs, threshold=0.9, persist=persist
+        )
     renames = {
         "Box office": "box_office",
         "Budget": "budget",

@@ -73,13 +73,28 @@ def pin_session_conf(spark: SparkSession) -> SparkSession:
     # externally built session carries Spark's 200-partition default,
     # which at test SF means hundreds of near-empty tasks per shuffle
     # (AQE coalesces the partitions but the initial plan still schedules
-    # them). Replace ONLY the untouched stock default: a session whose
-    # partitions were deliberately sized (get_spark's builder arg, a
-    # harness's own tuning) keeps its setting.
-    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+    # them). Replace ONLY the untouched stock default, and only ONCE per
+    # session (the sentinel conf records that the decision was made): a
+    # harness that deliberately re-tunes to 200 AFTER the first pin is no
+    # longer clobbered on subsequent pin calls, and a value-200 harness
+    # can opt out up front via SPARK_GRAFT_KEEP_SHUFFLE_PARTITIONS=1
+    # (documented in SCALE.md). The remaining ambiguity — a harness that
+    # deliberately chose exactly 200 BEFORE the first pin, with no opt-out
+    # — is undetectable from conf state alone and resolves to the engine
+    # default.
+    already_decided = (
+        spark.conf.get("spark.movies_etl.shufflePinned", "") == "1"
+    )
+    keep_env = os.environ.get("SPARK_GRAFT_KEEP_SHUFFLE_PARTITIONS") == "1"
+    if (
+        not already_decided
+        and not keep_env
+        and spark.conf.get("spark.sql.shuffle.partitions", "200") == "200"
+    ):
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
         )
+    spark.conf.set("spark.movies_etl.shufflePinned", "1")
     # Early testdata generations stored events.ts as TIMESTAMP(NANOS),
     # which Spark's parquet reader rejects by default; read nanos as long
     # and convert explicitly (sources.readers.load_table normalizes the

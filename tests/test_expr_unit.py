@@ -251,3 +251,46 @@ def test_staged_prune_validate_matches_in_memory(spark, tmp_path):
     assert sorted(map(tuple, staged.collect())) == sorted(map(tuple, mem.collect()))
     # the staged plan must read the staging parquet, not the source
     assert "stage" in staged._jdf.queryExecution().executedPlan().toString()
+
+
+def test_staged_reinvocation_does_not_clobber_live_result(spark, tmp_path):
+    """Each staged invocation writes to a unique suffixed path: a second
+    run with the same stage prefix must not overwrite parquet that the
+    first, still-alive lazy result references (ADVICE r4)."""
+    from movies_etl_spark.operators.normalize import (
+        prune_and_validated_cast_staged,
+    )
+
+    specs = {"v": (F.col("v").try_cast("long"), "any")}
+    df1 = spark.createDataFrame([("1",), ("2",)], "v string")
+    df2 = spark.createDataFrame([("7",), ("8",), ("9",)], "v string")
+    prefix = str(tmp_path / "shared_stage")
+    first, _ = prune_and_validated_cast_staged(df1, specs, prefix)
+    second, _ = prune_and_validated_cast_staged(df2, specs, prefix)
+    # materialize the SECOND first, then the first — the first must still
+    # read its own staging table, not the second's overwrite
+    assert sorted(r["v"] for r in second.collect()) == [7, 8, 9]
+    assert sorted(r["v"] for r in first.collect()) == [1, 2]
+
+
+def test_pruned_spec_column_recorded_in_stats(spark):
+    """A spec column removed by the null-ratio prune gets a stats entry
+    with the dropped_by_null_prune marker (its tallies were computed in
+    the same pass), so stats consumers can tell it from a column that was
+    never specced (ADVICE r4)."""
+    from movies_etl_spark.operators.normalize import prune_and_validated_cast
+
+    df = spark.createDataFrame(
+        [("1", None), ("2", None), ("3", None), ("4", "9")],
+        "good string, mostly_null string",
+    )
+    specs = {
+        "good": (F.col("good").try_cast("long"), "any"),
+        "mostly_null": (F.col("mostly_null").try_cast("long"), "any"),
+    }
+    out, stats = prune_and_validated_cast(df, specs, threshold=0.7)
+    assert "mostly_null" not in out.columns  # 75% null ≥ 0.7 → pruned
+    assert stats["mostly_null"]["dropped"] == 1
+    assert stats["mostly_null"]["dropped_by_null_prune"] == 1
+    assert stats["mostly_null"]["n_input"] == 1  # tallies kept, not lost
+    assert "dropped_by_null_prune" not in stats["good"]

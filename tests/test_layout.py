@@ -96,3 +96,19 @@ def test_pin_session_conf_respects_explicit_partition_sizing(spark):
     assert before != "200", "conftest sizes partitions explicitly"
     pin_session_conf(spark)
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_pin_session_conf_decides_once(spark):
+    """The shuffle-partition replacement happens at most once per session
+    (sentinel conf): a harness that deliberately re-tunes to exactly 200
+    AFTER the first pin keeps its 200 across later per-query pins."""
+    from movies_etl_spark.session import pin_session_conf
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        pin_session_conf(spark)  # first pin → sentinel set
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        pin_session_conf(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
