@@ -174,6 +174,43 @@ def candidate_pairs_minhash(sh_df: DataFrame, id_col: str) -> DataFrame:
     return pairs.select("id_a", "id_b").distinct()
 
 
+def incremental_candidate_pairs(
+    index_bands: DataFrame, delta_bands: DataFrame, id_col: str
+) -> DataFrame:
+    """Candidate pairs INTRODUCED by an append-only delta, given the
+    persisted band index of the corpus so far: delta × (index ∪ delta)
+    on the band key — never a recompute over the existing corpus.
+
+    This is the maintenance step the engine's append-stable hashing
+    (md5 + integer universal hashes, module doc) exists to enable: a
+    daily-growing corpus keeps ONE band table (parquet, appended per
+    batch); each new batch shingles/bands only its own documents, joins
+    against the stored bands for cross pairs, and self-joins for
+    within-delta pairs — so the incremental cost is O(|delta| + matched
+    buckets), not O(|corpus|). Pair identity = total pairs after the
+    append ≡ full recompute's pairs (union with the previously known
+    pairs; proven by the full-recompute oracle and
+    tests/test_ground_truth.py witness).
+
+    Scale shape: the join shuffles on (band_id, band_key) only; when the
+    delta is small relative to the corpus Catalyst broadcasts the delta
+    side, making the index scan shuffle-free. Returns (id_a, id_b)
+    normalized id_a < id_b, distinct across bands."""
+    all_bands = index_bands.unionByName(delta_bands)
+    d = delta_bands.select(F.col(id_col).alias("id_d"), "band_id", "band_key")
+    o = all_bands.select(F.col(id_col).alias("id_o"), "band_id", "band_key")
+    pairs = d.join(o, ["band_id", "band_key"]).filter(
+        F.col("id_d") != F.col("id_o")
+    )
+    return (
+        pairs.select(
+            F.least("id_d", "id_o").alias("id_a"),
+            F.greatest("id_d", "id_o").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def simhash16(toks: Column) -> Column:
     """16-bit SimHash over the token bag: bit j of the fingerprint is the
     sign of Σ_tokens (±1 by bit j of hash48(token)). Near-dup docs differ

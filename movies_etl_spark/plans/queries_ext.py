@@ -284,6 +284,84 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return verified.filter(F.col("jac") >= 0.5).select("id_a", "id_b", "jac")
 
 
+@query("dedup_minhash_incremental", oracle=_MINHASH_ORACLE)
+def q_dedup_minhash_incremental(spark, sf_dir):
+    """Incremental MinHash index maintenance (append-only re-banding):
+    the SAME verified near-dup pairs as dedup_minhash_lsh, produced the
+    way a daily-growing corpus produces them — the original documents
+    are "yesterday's corpus" with persisted band + shingle tables
+    (parquet index, written once), the planted truncated copies are
+    "today's append"; the delta is shingled/banded ALONE and joined
+    against the stored index (dedup.incremental_candidate_pairs), and
+    the union with yesterday's known pairs is Jaccard-verified.
+
+    The oracle is the FULL one-shot recompute in DuckDB (_MINHASH_ORACLE)
+    — a structurally different formulation, so a maintenance bug (missed
+    cross pair, unappended bands) fails the gate rather than being
+    replayed on both sides. The engine's append-stable hashing (md5 +
+    integer universal hashes) is what makes stored signatures reusable
+    across batches. Scale: incremental cost is O(|delta| + matched
+    buckets); the index is an append-only parquet table, and the
+    delta side of the candidate join is broadcast-size in the daily
+    regime."""
+    from movies_etl_spark.plans.registry import _scratch
+
+    store = _scratch("minhash_index", sf_dir)
+    corpus = _near_corpus(spark, sf_dir)
+    base = corpus.filter(F.col("doc_id") < 1000000)
+    delta = corpus.filter(F.col("doc_id") >= 1000000)
+
+    # --- yesterday: build and persist the index over the base corpus ---
+    sh_base = D.shingled(base, "text", "doc_id")
+    sh_base.write.mode("overwrite").parquet(f"{store}/shingles")
+    D.with_minhash_bands(
+        spark.read.parquet(f"{store}/shingles"), "doc_id"
+    ).write.mode("overwrite").parquet(f"{store}/bands")
+    index_bands = spark.read.parquet(f"{store}/bands")
+    # yesterday's known pairs come FROM the index (self-join of stored
+    # bands), not from a recompute of the documents
+    a = index_bands.select(F.col("doc_id").alias("id_a"), "band_id", "band_key")
+    b = index_bands.select(F.col("doc_id").alias("id_b"), "band_id", "band_key")
+    base_pairs = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # --- today: band only the delta, join against the stored index ---
+    sh_delta = caching.tracked_persist(D.shingled(delta, "text", "doc_id"))
+    delta_bands = D.with_minhash_bands(sh_delta, "doc_id")
+    new_pairs = D.incremental_candidate_pairs(index_bands, delta_bands, "doc_id")
+    all_pairs = base_pairs.unionByName(new_pairs).distinct()
+
+    # --- verify against the shingle store ∪ delta shingles ---
+    sh_all = spark.read.parquet(f"{store}/shingles").unionByName(sh_delta)
+    sh = sh_all.filter(F.size("shingles") > 0)
+    va = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    vb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        all_pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jac"),
+        )
+    )
+    out = verified.filter(F.col("jac") >= 0.5).select("id_a", "id_b", "jac")
+    # materialize BEFORE the maintenance append: the verify plan reads
+    # the shingle store, and appending the delta first would double the
+    # delta's shingle rows under it (the returned frame is lazy)
+    out.write.mode("overwrite").parquet(f"{store}/pairs")
+
+    # --- maintenance: append today's bands/shingles so tomorrow's batch
+    # sees today's documents in the index ---
+    delta_bands.write.mode("append").parquet(f"{store}/bands")
+    sh_delta.write.mode("append").parquet(f"{store}/shingles")
+    return spark.read.parquet(f"{store}/pairs")
+
+
 _SIMHASH_BIT_SQL = " + ".join(
     f"(CASE WHEN list_sum(list_transform(hashed, h -> ((h >> {j}) & 1) * 2 - 1)) > 0 "
     f"THEN {2**j} ELSE 0 END)"

@@ -1041,6 +1041,46 @@ def q_groupby_count_salted(spark, sf_dir):
 
 
 @query(
+    "groupby_count_salted_aqe_off",
+    oracle="""
+    SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_groupby_count_salted_aqe_off(spark, sf_dir):
+    """The salted-aggregation proof WITHOUT the AQE safety net: identical
+    semantics to groupby_count_salted, but the action executes with
+    spark.sql.adaptive.enabled=false (written to scratch under the
+    disabled conf, restored after, result read back). At 100 TB the skew
+    scenario that matters is precisely the one where AQE mis-estimates
+    (stale stats, UDF-opaque sizes) — the salting itself must balance the
+    reducers. tests/test_plan_shapes.py::test_salted_agg_balances_reducers_aqe_off
+    asserts the per-reducer input balance (salted max ≈ mean vs unsalted
+    max ≈ hot-key share) by modeling the exchange's murmur3
+    hashpartitioning exactly; this query puts the AQE-off execution under
+    the driver's correctness gate."""
+    from movies_etl_spark.operators.skew import salted_groupby_agg
+
+    target = _scratch("salted_aqe_off", sf_dir)
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        li = _t(spark, sf_dir, "lineitem")
+        out = salted_groupby_agg(
+            li,
+            ["l_returnflag"],
+            {"cnt": ("l_quantity", "count"), "sum_qty_raw": ("l_quantity", "sum")},
+            n_salts=16,
+        )
+        out.select(
+            "l_returnflag", "cnt", F.round(F.col("sum_qty_raw"), 2).alias("sum_qty")
+        ).write.mode("overwrite").parquet(target)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    return spark.read.parquet(target)
+
+
+@query(
     "sample_hash",
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders

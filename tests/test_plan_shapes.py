@@ -431,3 +431,66 @@ def test_entropy_profile_single_fact_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "entropy_profile")
     assert plan.count("events.parquet") == 1, "fact table must scan once"
     assert _nodes(plan, "Expand") == 1, plan
+
+
+def test_salted_agg_balances_reducers_aqe_off(spark, sf_dir):
+    """The salting must balance reducers WITHOUT AQE (the 100 TB failure
+    mode is skew AQE mis-estimates). With adaptive off, the partial
+    aggregate's exchange assigns rows to reducers by
+    murmur3-hash(key, salt) pmod P — modeled here EXACTLY with
+    F.hash(...) (Spark's HashPartitioning uses the same Murmur3Hash
+    expression): the hot-key shuffle that puts ~half of lineitem on one
+    reducer unsalted must spread to ≈mean per reducer salted."""
+    from pyspark.sql import functions as F
+
+    from movies_etl_spark.sources import readers
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        li = readers.load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity"
+        )
+        n_part = 16
+        total = li.count()
+        mean = total / n_part
+
+        def max_reducer_input(cols):
+            pid = F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(n_part))
+            per = (
+                li.withColumn(
+                    "__salt__", (F.rand(seed=42) * 16).cast("int")
+                )
+                .groupBy(pid.alias("pid"))
+                .count()
+                .agg(F.max("count").alias("m"))
+                .collect()[0]["m"]
+            )
+            return per
+
+        unsalted_max = max_reducer_input(["l_returnflag"])
+        salted_max = max_reducer_input(["l_returnflag", "__salt__"])
+        # unsalted: 3 keys over 16 reducers → the N-flag reducer holds
+        # ~half the table (≥4× the mean even if two keys collide apart)
+        assert unsalted_max > 4 * mean, (unsalted_max, mean)
+        # salted: 48 (key, salt) groups spread by hash → near-uniform
+        assert salted_max < 2.5 * mean, (salted_max, mean)
+
+        # and the salted PLAN is the promised two-stage shape with no
+        # adaptive machinery: exactly two exchanges (partial on
+        # (key, salt), final on key), no AdaptiveSparkPlan node
+        from movies_etl_spark.operators.skew import salted_groupby_agg
+
+        out = salted_groupby_agg(
+            li, ["l_returnflag"], {"cnt": ("l_quantity", "count")}, n_salts=16
+        )
+        jvm_mode = (
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        plan = out._jdf.queryExecution().explainString(jvm_mode)
+        assert "AdaptiveSparkPlan" not in plan
+        assert _exchanges(plan) == 2, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)

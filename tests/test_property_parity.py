@@ -410,3 +410,50 @@ def test_triangle_count_matches_orientation_free_ground_truth(spark, sf_dir):
     truth = e1.join(e2, "b").join(e3, ["a", "c"]).count()
     e.unpersist()
     assert got["n_triangles"] == truth
+
+
+def test_incremental_minhash_matches_full_recompute(spark, sf_dir):
+    """The append-only index-maintenance path must produce EXACTLY the
+    pair set of the one-shot full recompute (same corpus, same banding)
+    — a missed cross pair or an unappended band surfaces as a set
+    difference here even before the DuckDB full-recompute oracle runs.
+    Also asserts the maintained index: after the append step, the stored
+    band table equals the full-corpus banding row-for-row (tomorrow's
+    batch sees today's documents)."""
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    inc = {
+        (r["id_a"], r["id_b"], r["jac"])
+        for r in qs["dedup_minhash_incremental"](spark, sf_dir).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"], r["jac"])
+        for r in qs["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    assert inc == full
+    assert len(inc) > 0, "planted truncations must yield verified pairs"
+
+
+def test_incremental_minhash_index_complete_after_append(spark, sf_dir):
+    """After the maintenance append, the stored band index must equal the
+    full-corpus banding (multiset): the incremental store is what
+    tomorrow's delta joins against, so any gap silently loses recall on
+    every future batch."""
+    import os
+
+    import __spark_entry__ as m
+    from movies_etl_spark.operators import dedup as D
+    from movies_etl_spark.plans.queries_ext import _near_corpus
+
+    # run the incremental query (rebuilds its scratch store fresh)
+    m.queries()["dedup_minhash_incremental"](spark, sf_dir).collect()
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    store = f"/tmp/movies_etl_scratch/{os.getpid()}/minhash_index-{sf_tag}"
+    stored = spark.read.parquet(f"{store}/bands")
+    expect = D.with_minhash_bands(
+        D.shingled(_near_corpus(spark, sf_dir), "text", "doc_id"), "doc_id"
+    )
+    a = stored.groupBy("doc_id", "band_id", "band_key").count()
+    b = expect.groupBy("doc_id", "band_id", "band_key").count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
