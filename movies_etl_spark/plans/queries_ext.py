@@ -1322,6 +1322,34 @@ def q_streaming_dedup(spark, sf_dir):
 
 
 @query(
+    "streaming_lsh_dedup",
+    oracle=f"""
+    SELECT doc_id FROM ({_NEAR_CORPUS_SQL}) corpus
+    WHERE doc_id NOT IN (SELECT id_b FROM ({_MINHASH_ORACLE}) pairs)
+    """,
+)
+def q_streaming_lsh_dedup(spark, sf_dir):
+    """Streaming NEAR-dedup at ingest: MinHash-LSH banding over a
+    file-source stream via foreachBatch — each micro-batch bands only its
+    own documents, joins against the accumulated band index for
+    candidates, Jaccard-verifies against the accumulated shingle store,
+    and drops docs with a verified smaller-id partner. Closes the gap
+    between streaming_dedup (exact content hash) and the batch
+    dedup_minhash_lsh: the ingest-time near-dup gate a production corpus
+    pipeline runs. The bounded-input oracle is the batch full recompute:
+    survivors = corpus minus every id_b of the verified pair set (ingest
+    is ascending-id ordered, so "seen before me" ≡ "smaller id"; the
+    rule is also batching-invariant — see streaming/ops.lsh_dedup_stream
+    for the per-batch state/idempotency discipline)."""
+    from movies_etl_spark.plans.registry import _scratch
+    from movies_etl_spark.streaming import ops
+
+    work = _scratch("streaming_lsh_dedup", sf_dir)
+    corpus = _near_corpus(spark, sf_dir)
+    return ops.lsh_dedup_stream(spark, corpus, work)
+
+
+@query(
     "streaming_dedup_watermark",
     oracle="""
     SELECT event_id, user_id, event_type,

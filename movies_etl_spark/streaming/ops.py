@@ -519,6 +519,150 @@ def _merge_versioned(
     part.write.mode("overwrite").parquet(f"{work_dir}/agg/v={batch_id}")
 
 
+def lsh_dedup_stream(
+    spark: SparkSession,
+    corpus: DataFrame,
+    work_dir: str,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Streaming MinHash-LSH NEAR-dedup at ingest: the gate between the
+    exact-hash ``dedup_stream`` and the batch ``dedup_minhash_lsh`` — a
+    production corpus pipeline drops near-duplicates AS DOCUMENTS ARRIVE
+    instead of by periodic batch re-scans.
+
+    Mechanics: foreachBatch banding over a file-source stream. Each
+    micro-batch shingles and bands ONLY its own documents
+    (``dedup.incremental_candidate_pairs`` discipline), joins the batch
+    bands against the accumulated band index for candidates, verifies
+    candidates by exact Jaccard against the accumulated shingle store,
+    drops batch docs with a verified (≥ 0.5) partner of strictly smaller
+    doc_id, and appends the batch's bands/shingles for future batches.
+    State lives in batch-id-addressed parquet tables, NOT the Spark state
+    store: every per-batch write (survivors, bands, shingles) overwrites
+    its own ``batch=N`` subdir and the index read takes only batches
+    STRICTLY below the current id, so a retried batch regenerates
+    identical output instead of double-appending (the _merge_versioned
+    discipline). At scale the index is a real table with TTL retention,
+    and the candidate join shuffles only on (band_id, band_key) with the
+    batch side broadcast-size.
+
+    Determinism contract: ingest order is ascending doc_id (chunks are
+    id-ranged with ascending mtimes), so "partner seen before me" ≡
+    "partner with smaller doc_id" and the result is expressible as the
+    batch full-recompute SQL — the bounded-input oracle. The decision
+    rule is also batching-invariant: collapsing adjacent chunks into one
+    micro-batch yields the same survivor set, because within-batch
+    candidates apply the same smaller-id rule. The chunk-writing global
+    sort below is TEST SCAFFOLDING (building an ordered landing zone),
+    not part of the operator.
+
+    Returns the survivor set (doc_id) read back from the sink."""
+    import glob as globmod
+    import time
+
+    from pyspark.sql import Window
+
+    from movies_etl_spark.operators import dedup as D
+
+    src = f"{work_dir}/src"
+    os.makedirs(src, exist_ok=True)
+    n = corpus.count()
+    per = -(-n // n_chunks)
+    w = Window.orderBy("doc_id")
+    chunked = corpus.withColumn("__rn__", F.row_number().over(w) - 1)
+    for c in range(n_chunks):
+        tmp = f"{work_dir}/chunk_tmp"
+        (
+            chunked.filter(
+                (F.col("__rn__") >= c * per) & (F.col("__rn__") < (c + 1) * per)
+            )
+            .select("doc_id", "text")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = f"{src}/chunk-{c:04d}.parquet"
+        os.replace(f"{tmp}/{part}", dst)
+        mt = time.time() - (n_chunks - c) * 10  # ascending mtimes = order
+        os.utime(dst, (mt, mt))
+
+    def _batches_below(kind: str, batch_id: int) -> list[str]:
+        try:
+            ids = [
+                int(d.split("=", 1)[1])
+                for d in os.listdir(f"{work_dir}/{kind}")
+                if d.startswith("batch=")
+            ]
+        except FileNotFoundError:
+            return []
+        return [
+            f"{work_dir}/{kind}/batch={i}" for i in sorted(ids) if i < batch_id
+        ]
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sh_b = D.shingled(batch_df, "text", "doc_id").cache()
+        bands_b = D.with_minhash_bands(sh_b, "doc_id").cache()
+        band_dirs = _batches_below("bands", batch_id)
+        if band_dirs:
+            index_bands = spark.read.parquet(*band_dirs)
+            index_sh = spark.read.parquet(
+                *_batches_below("shingles", batch_id)
+            )
+        else:
+            index_bands = bands_b.limit(0)
+            index_sh = sh_b.limit(0)
+        all_bands = index_bands.unionByName(bands_b)
+        bnew = bands_b.select(F.col("doc_id").alias("id_b"), "band_id", "band_key")
+        aold = all_bands.select(F.col("doc_id").alias("id_a"), "band_id", "band_key")
+        cand = (
+            aold.join(bnew, ["band_id", "band_key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        sh_all = index_sh.unionByName(sh_b).filter(F.size("shingles") > 0)
+        va = sh_all.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+        vb = sh_all.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+        dropped = (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .filter(F.round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 4) >= 0.5)
+            .select("id_b")
+            .distinct()
+        )
+        survivors = batch_df.select("doc_id").join(
+            dropped, batch_df["doc_id"] == dropped["id_b"], "left_anti"
+        )
+        survivors.write.mode("overwrite").parquet(
+            f"{work_dir}/out/batch={batch_id}"
+        )
+        bands_b.write.mode("overwrite").parquet(
+            f"{work_dir}/bands/batch={batch_id}"
+        )
+        sh_b.write.mode("overwrite").parquet(
+            f"{work_dir}/shingles/batch={batch_id}"
+        )
+        sh_b.unpersist()
+        bands_b.unpersist()
+
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{work_dir}/_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    assert globmod.glob(f"{work_dir}/out/batch=*"), "no batches processed"
+    return spark.read.parquet(f"{work_dir}/out/batch=*")
+
+
 def _load_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch events load with the same ts normalization as the stream."""
     from movies_etl_spark.sources import readers

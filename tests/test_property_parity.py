@@ -457,3 +457,35 @@ def test_incremental_minhash_index_complete_after_append(spark, sf_dir):
     a = stored.groupBy("doc_id", "band_id", "band_key").count()
     b = expect.groupBy("doc_id", "band_id", "band_key").count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_streaming_lsh_dedup_matches_batch_and_crosses_batches(spark, sf_dir):
+    """The streaming near-dedup survivor set must equal the batch
+    formulation (corpus minus every id_b of the verified LSH pair set),
+    AND the work must genuinely span micro-batches: the planted
+    truncated copies (+1000000 ids) land in a later chunk than their
+    originals, so every dropped doc here was deduped against the
+    parquet band INDEX of earlier batches, not within one batch."""
+    import glob
+    import os
+
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    surv = {r["doc_id"] for r in qs["streaming_lsh_dedup"](spark, sf_dir).collect()}
+    pairs = qs["dedup_minhash_lsh"](spark, sf_dir).collect()
+    dropped_expect = {r["id_b"] for r in pairs}
+    from movies_etl_spark.plans.queries_ext import _near_corpus
+
+    corpus_ids = {
+        r["doc_id"] for r in _near_corpus(spark, sf_dir).select("doc_id").collect()
+    }
+    assert surv == corpus_ids - dropped_expect
+    assert dropped_expect, "planted near-dups must be dropped"
+    # multi-batch evidence: 4 per-batch survivor dirs on disk, and at
+    # least one dropped doc whose smaller partner sits 1000000 below it
+    # (original in an earlier id-range chunk)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    work = f"/tmp/movies_etl_scratch/{os.getpid()}/streaming_lsh_dedup-{sf_tag}"
+    assert len(glob.glob(f"{work}/out/batch=*")) == 4
+    assert any(b - a == 1000000 for (a, b) in {(r["id_a"], r["id_b"]) for r in pairs})
