@@ -1254,3 +1254,70 @@ def q_degree_distribution(spark, sf_dir):
         F.min("d").cast("long").alias("min_deg"),
         F.max("d").cast("long").alias("max_deg"),
     )
+
+
+_QSKETCH_ORACLE = """
+    WITH vals0 AS (
+      SELECT l_orderkey % 8 AS shard,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    vals AS (
+      SELECT shard, v,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY v, l_orderkey, l_linenumber) - 1 AS rn,
+             count(*) OVER (PARTITION BY shard) AS n_s
+      FROM vals0
+    ),
+    cent AS (
+      SELECT shard, CAST(floor(rn * 100 / n_s) AS BIGINT) AS bucket,
+             avg(v) AS m, count(*) AS w
+      FROM vals GROUP BY 1, 2
+    ),
+    ordered AS (
+      SELECT m,
+             sum(w) OVER (ORDER BY m, shard, bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             sum(w) OVER () AS total
+      FROM cent
+    ),
+    qs AS (SELECT unnest([0.1, 0.5, 0.9, 0.95, 0.99]) AS q)
+    SELECT q, round(arg_min(m, cum) / 100, 2) AS est
+    FROM qs JOIN ordered ON cum >= q * total
+    GROUP BY q
+"""
+
+
+@query("quantile_sketch_merge", oracle=_QSKETCH_ORACLE)
+def q_quantile_sketch_merge(spark, sf_dir):
+    """Mergeable quantile sketch as explicit partial/merge stages
+    (operators.sketch): per-shard equi-depth centroid sketches over
+    integer cents (exact integer sums → engine-portable), merged into
+    global quantile estimates by running-weight interpolation — the
+    at-scale swap approx_stats/rollup_cascade promise for exact
+    percentiles, with the partials exposed as DATA so shard sketches
+    built by different jobs/days merge without re-reading values.
+
+    Unlike percentile_approx (a black-box t-digest inside one query),
+    these partials are engine-portable arithmetic: the DuckDB oracle
+    recomputes the identical sketch, and the bounds witness
+    (tests/test_property_parity.py) independently asserts every estimate
+    sits inside the exact ±2% rank window, surviving recomputation at 4
+    and 16 shards. Shuffle cost: one rank window per shard + one
+    ~shards·k-row centroid merge — the values shuffle once, the merge
+    moves only centroids."""
+    from movies_etl_spark.operators import sketch as SK
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 8).alias("shard"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cent = SK.equidepth_centroids(
+        li, "cents", "shard", ["l_orderkey", "l_linenumber"], k=100
+    )
+    out = SK.merge_centroid_quantiles(cent, [0.1, 0.5, 0.9, 0.95, 0.99])
+    return out.select("q", F.round(F.col("est") / 100, 2).alias("est"))

@@ -489,3 +489,44 @@ def test_streaming_lsh_dedup_matches_batch_and_crosses_batches(spark, sf_dir):
     work = f"/tmp/movies_etl_scratch/{os.getpid()}/streaming_lsh_dedup-{sf_tag}"
     assert len(glob.glob(f"{work}/out/batch=*")) == 4
     assert any(b - a == 1000000 for (a, b) in {(r["id_a"], r["id_b"]) for r in pairs})
+
+
+def test_quantile_sketch_bounds_survive_sharded_recompute(spark, sf_dir, duck):
+    """The merged sketch estimate must sit inside the exact ±2% RANK
+    window (k=100 centroids/shard bounds rank error at ~1%), and the
+    bound must survive recomputing the partials at DIFFERENT shard
+    counts (4 / 8 / 16) — the merge-of-partials contract: shard layout
+    is an execution detail, not a semantic input. The witness is
+    DuckDB's quantile_cont on the raw values — independent machinery,
+    not the sketch replica oracle."""
+    from movies_etl_spark.operators import sketch as SK
+    from movies_etl_spark.sources import readers
+
+    QS = [0.1, 0.5, 0.9, 0.95, 0.99]
+    margin = 0.02
+    windows = {}
+    for q in QS:
+        lo, hi = duck.execute(
+            f"""SELECT quantile_cont(l_extendedprice, {max(q - margin, 0.0)}),
+                       quantile_cont(l_extendedprice, {min(q + margin, 1.0)})
+                FROM lineitem"""
+        ).fetchone()
+        windows[q] = (lo, hi)
+
+    li = readers.load_table(spark, sf_dir, "lineitem")
+    for n_shards in (4, 8, 16):
+        sharded = li.select(
+            (F.col("l_orderkey") % n_shards).alias("shard"),
+            F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        cent = SK.equidepth_centroids(
+            sharded, "cents", "shard", ["l_orderkey", "l_linenumber"], k=100
+        )
+        got = {
+            r["q"]: r["est"] / 100
+            for r in SK.merge_centroid_quantiles(cent, QS).collect()
+        }
+        for q, (lo, hi) in windows.items():
+            assert lo - 0.01 <= got[q] <= hi + 0.01, (n_shards, q, got[q], lo, hi)
