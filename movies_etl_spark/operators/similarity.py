@@ -437,3 +437,149 @@ def recall_at_k(exact: DataFrame, ann: DataFrame) -> float:
     # empty exact frame means NO data reached the evaluator — report the
     # failure (0.0), never a vacuous perfect score
     return hits / total if total else 0.0
+
+
+def retrieve_quantized_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_candidates: int = 20,
+    offsets: list[int] | None = None,
+) -> DataFrame:
+    """RETRIEVE stage of the retrieve→rerank pattern: multi-probe
+    sign-LSH candidate generation scored with INT8-QUANTIZED dot
+    products — the cheap first pass a billion-vector index runs (4×
+    smaller vectors, integer arithmetic), accepting ~0.5% score noise
+    that the rerank stage repairs.
+
+    The quantized score is engine-portable by construction: integer dot
+    (exact in 64-bit), times the two symmetric scales, over the exact
+    float norms, rounded to 6 — the DuckDB oracle reproduces it
+    bit-for-bit. Returns the top ``n_candidates`` per query with BOTH
+    full-precision vectors carried along for the rerank stage
+    (query_id, neighbor_id, qvec, cvec, retrieval_sim, retrieval_rank).
+
+    Scale shape: same as topk_multiprobe_lsh — probes broadcast,
+    candidate generation is an equi-join on the probe bucket (file-level
+    pruning at scale), corpus never shuffles; the int8 columns would be
+    the STORED index at 100 TB (the float vectors live in the rerank
+    store, fetched only for the ~n_candidates winners)."""
+    from movies_etl_spark.operators.curation import int8_quantize, int8_scale
+    from movies_etl_spark.operators.dedup import l2norm
+
+    def prep(df, prefix):
+        d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        sc = int8_scale(d)
+        return df.select(
+            F.col(id_col).alias(f"{prefix}id"),
+            d.alias(f"{prefix}vec"),
+            int8_quantize(d, sc).alias(f"{prefix}qv"),
+            sc.alias(f"{prefix}scale"),
+            l2norm(F.col(vec_col)).alias(f"{prefix}nrm"),
+            rp_bucket(F.col(vec_col)).cast("int").alias(f"{prefix}bucket"),
+        )
+
+    offs = MULTIPROBE_OFFSETS_H2 if offsets is None else offsets
+    c = prep(corpus, "c")
+    q = prep(queries, "q")
+    probes = q.withColumn(
+        "off", F.explode(F.array(*[F.lit(o) for o in offs]))
+    ).select(
+        F.col("qid").alias("query_id"),
+        "qvec",
+        "qqv",
+        "qscale",
+        "qnrm",
+        F.col("qbucket").bitwiseXOR(F.col("off")).cast("int").alias("probe_bucket"),
+    )
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("qqv"), F.col("cqv"), lambda x, y: x.cast("long") * y.cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    qsim = F.round(
+        (idot.cast("double") * F.col("qscale") * F.col("cscale"))
+        / (F.col("qnrm") * F.col("cnrm")),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("retrieval_sim"), F.asc("neighbor_id")
+    )
+    return (
+        c.join(
+            F.broadcast(probes),
+            (F.col("cbucket") == F.col("probe_bucket"))
+            & (F.col("cid") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("cid").alias("neighbor_id"),
+            "qvec",
+            "cvec",
+            qsim.alias("retrieval_sim"),
+        )
+        .withColumn("retrieval_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("retrieval_rank") <= n_candidates)
+    )
+
+
+def rerank_topk(cands: DataFrame, k: int = 3) -> DataFrame:
+    """RERANK stage: score the retrieved candidates with the EXPENSIVE
+    model in an Arrow-batched Python worker (mapInPandas) and keep the
+    top ``k`` per query by the reranked score.
+
+    The scorer here is full-precision float64 cosine over the carried
+    vector pair — deterministic arithmetic the DuckDB oracle replicates,
+    so the whole retrieve→rerank chain sits under the driver's value
+    gate. The marked block below is the CROSS-ENCODER SLOT: a real
+    deployment replaces the cosine with a batched model call
+    (tokenize(query,doc) → GPU forward pass → score), keeping the exact
+    same contract — Arrow batch in, one score per row out — and the same
+    plan shape (no shuffle added; the candidate frame is already
+    ~n_candidates·|queries| rows, the model cost dominates and
+    parallelizes per batch). Same stub discipline as multimodal.py's
+    decode: the Spark-side plumbing (schema, batching, rank window) is
+    real and tested; only the scorer body is swapped.
+
+    Output: (query_id, neighbor_id, retrieval_sim, rerank_score, rank).
+    """
+    schema = (
+        "query_id bigint, neighbor_id bigint, "
+        "retrieval_sim double, rerank_score double"
+    )
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.stack(pdf["qvec"].to_numpy()).astype(np.float64)
+            c = np.stack(pdf["cvec"].to_numpy()).astype(np.float64)
+            # --- CROSS-ENCODER SLOT: replace from here ---------------
+            s = (q * c).sum(axis=1) / (
+                np.linalg.norm(q, axis=1) * np.linalg.norm(c, axis=1)
+            )
+            # --- to here with a batched model forward pass -----------
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "retrieval_sim": pdf["retrieval_sim"],
+                    "rerank_score": np.round(s, 6),
+                }
+            )
+
+    scored = cands.select(
+        "query_id", "neighbor_id", "retrieval_sim", "qvec", "cvec"
+    ).mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rerank_score"), F.asc("neighbor_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)

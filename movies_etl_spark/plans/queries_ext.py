@@ -692,6 +692,80 @@ def q_similarity_ann_multiprobe(spark, sf_dir):
     return SIM.topk_multiprobe_lsh(e, e.filter(F.col("vec_id") < 8), k=5)
 
 
+_ANN_RERANK_ORACLE = f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+                      {_rp_bucket_sql("embedding")} AS bucket
+               FROM embeddings),
+    s AS (SELECT vec_id, vd, bucket,
+                 list_max(list_transform(vd, x -> abs(x))) / 127.0 AS scale,
+                 sqrt(list_reduce([CAST(0 AS DOUBLE)] ||
+                      list_transform(vd, x -> x * x),
+                      (acc, y) -> acc + y)) AS nrm
+          FROM v),
+    sq AS (SELECT vec_id, vd, bucket, scale, nrm,
+                  CASE WHEN scale = 0
+                       THEN list_transform(vd, x -> CAST(0 AS BIGINT))
+                       ELSE list_transform(vd,
+                            x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+                  END AS qv
+           FROM s),
+    q AS (SELECT * FROM sq WHERE vec_id < 8),
+    probes AS (SELECT q.vec_id AS query_id, q.vd AS qvd, q.qv AS qqv,
+                      q.scale AS qscale, q.nrm AS qnrm,
+                      xor(q.bucket, off) AS probe_bucket
+               FROM q, UNNEST({SIM.MULTIPROBE_OFFSETS_H2}) t(off)),
+    cand AS (
+        SELECT p.query_id, e.vec_id AS neighbor_id, p.qvd, e.vd AS cvd,
+               round(CAST(list_reduce([CAST(0 AS BIGINT)] ||
+                          list_transform(list_zip(p.qqv, e.qv),
+                                         x -> x[1] * x[2]),
+                          (acc, y) -> acc + y) AS DOUBLE)
+                     * p.qscale * e.scale / (p.qnrm * e.nrm), 6)
+                   AS retrieval_sim
+        FROM sq e JOIN probes p
+          ON e.bucket = p.probe_bucket AND e.vec_id <> p.query_id),
+    top AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY retrieval_sim DESC, neighbor_id) AS rr
+            FROM cand) WHERE rr <= 20),
+    rer AS (
+        SELECT query_id, neighbor_id, retrieval_sim,
+               round({_COS_SQL.format(a="qvd", b="cvd")}, 6) AS rerank_score
+        FROM top)
+    SELECT query_id, neighbor_id, retrieval_sim, rerank_score, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY rerank_score DESC, neighbor_id) AS BIGINT) AS rank
+        FROM rer)
+    WHERE rank <= 3
+"""
+
+
+@query("ann_rerank", oracle=_ANN_RERANK_ORACLE)
+def q_ann_rerank(spark, sf_dir):
+    """Retrieve→rerank — the two-stage ANN serving pattern the rest of
+    the suite sets up: a CHEAP retrieve (multi-probe sign-LSH candidates
+    scored with int8-quantized dot products — the 4×-compressed index a
+    billion-vector deployment actually stores) pulls top-20 candidates
+    per query, then an EXPENSIVE rerank recomputes full-precision scores
+    in an Arrow-batched Python worker (similarity.rerank_topk — the
+    cross-encoder slot; the stub scorer is exact float64 cosine so the
+    whole chain sits under the value gate, and a real model call swaps
+    into the marked block with the same batch contract). Quantization
+    noise (~0.5%) genuinely reorders near-ties inside the candidate
+    list (measured: 7 of 8 queries' top-20 change order at sf0.01), so
+    the rerank is doing real work, not relabeling. Scale: probes
+    broadcast, candidates
+    equi-join on probe bucket, the Python stage sees only
+    |queries|·20 rows — the float vectors travel only for winners."""
+    e = _t(spark, sf_dir, "embeddings")
+    cands = SIM.retrieve_quantized_multiprobe(
+        e, e.filter(F.col("vec_id") < 8), n_candidates=20
+    )
+    return SIM.rerank_topk(cands, k=3)
+
+
 #: squared euclidean distance, same fold discipline as _COS_SQL
 _D2_SQL = """
     list_reduce([CAST(0 AS DOUBLE)] ||

@@ -530,3 +530,62 @@ def test_quantile_sketch_bounds_survive_sharded_recompute(spark, sf_dir, duck):
         }
         for q, (lo, hi) in windows.items():
             assert lo - 0.01 <= got[q] <= hi + 0.01, (n_shards, q, got[q], lo, hi)
+
+
+def test_ann_rerank_containment_and_scorer_parity(spark, sf_dir):
+    """Retrieve→rerank invariants: (a) the reranked top-3 is contained
+    in the quantized-retrieve top-20 (rerank reorders, never invents
+    candidates); (b) the Python-worker BLAS score equals the JVM
+    fold-cosine recomputed independently for every output pair (the
+    vectorized-twin discipline: round-6 absorbs the summation-order
+    ulp); (c) the quantized retrieval order genuinely differs from the
+    exact order inside the candidate list for most queries — the noise
+    the rerank stage exists to repair."""
+    import numpy as np
+
+    import __spark_entry__ as m
+    from movies_etl_spark.operators import similarity as SIM
+    from movies_etl_spark.operators.dedup import cosine
+    from movies_etl_spark.sources import readers
+
+    out = m.queries()["ann_rerank"](spark, sf_dir).toPandas()
+    assert len(out) == 8 * 3
+
+    e = readers.load_table(spark, sf_dir, "embeddings")
+    cands = SIM.retrieve_quantized_multiprobe(
+        e, e.filter(F.col("vec_id") < 8), n_candidates=20
+    ).toPandas()
+    top20 = set(zip(cands.query_id, cands.neighbor_id))
+    assert set(zip(out.query_id, out.neighbor_id)) <= top20
+
+    # (b) independent scorer: JVM fold cosine on the same pairs
+    ev = {r["vec_id"]: r["embedding"] for r in e.collect()}
+    pair_df = spark.createDataFrame(
+        [
+            (int(r.query_id), int(r.neighbor_id), ev[r.query_id], ev[r.neighbor_id])
+            for r in out.itertuples()
+        ],
+        "query_id long, neighbor_id long, a array<float>, b array<float>",
+    )
+    fold = {
+        (r["query_id"], r["neighbor_id"]): r["c"]
+        for r in pair_df.select(
+            "query_id", "neighbor_id", F.round(cosine(F.col("a"), F.col("b")), 6).alias("c")
+        ).collect()
+    }
+    for r in out.itertuples():
+        assert fold[(r.query_id, r.neighbor_id)] == r.rerank_score, r
+
+    # (c) quantization genuinely perturbs the candidate ordering
+    reordered = 0
+    for _, d in cands.groupby("query_id"):
+        d = d.sort_values("retrieval_rank")
+        q = np.stack(d.qvec.to_numpy())
+        c = np.stack(d.cvec.to_numpy())
+        s = np.round(
+            (q * c).sum(1) / (np.linalg.norm(q, axis=1) * np.linalg.norm(c, axis=1)),
+            6,
+        )
+        if (np.argsort(-s, kind="stable") != np.arange(len(s))).any():
+            reordered += 1
+    assert reordered >= 4, reordered
