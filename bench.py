@@ -123,6 +123,14 @@ HEADLINE = [
     "hopping_window_agg",
     "entropy_profile",
     "winsorize_robust_scale",
+    # r5 additions: skew salting without the AQE net, append-only MinHash
+    # index maintenance, ingest-time LSH near-dedup, mergeable quantile
+    # sketch partials, and the retrieve->rerank two-stage ANN chain
+    "groupby_count_salted_aqe_off",
+    "dedup_minhash_incremental",
+    "streaming_lsh_dedup",
+    "quantile_sketch_merge",
+    "ann_rerank",
 ]
 
 
