@@ -42,25 +42,27 @@ from movies_etl_spark.plans import queries_scale  # noqa: E402,F401
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
-# Round-5 window (exactly 50; registered total 193 — all 188 prior
+# Round-5 window (exactly 50; registered total 196 — all 188 prior
 # queries carry green rows across r1∪r2∪r3∪r4, so this round's window is
-# freshness + the 5 round-5 additions; NOTES_r5.md carries the ledger):
-#    1-5:  round-5 additions (AQE-off salted proof, incremental MinHash
+# freshness + the 8 round-5 additions; NOTES_r5.md carries the ledger):
+#    1-8:  round-5 additions (AQE-off salted proof, incremental MinHash
 #          index maintenance, streaming LSH near-dedup, mergeable
-#          quantile sketch, retrieve→rerank).
-#   6-13:  the VERDICT r4 freshness list — queries whose implementations
+#          quantile sketch, retrieve→rerank, portable-HLL distinct
+#          sketch, count-min heavy hitters, SemDeDup composite).
+#   9-16:  the VERDICT r4 freshness list — queries whose implementations
 #          were rewritten AFTER the r4 driver run froze (triangle
 #          adjacency form, entropy GROUPING SETS form, the staged/fused
 #          prune_and_validated_cast ETL path + validation family), so
 #          the SHIPPED formulations finally earn driver rows.
-#  14-18:  re-validation of green queries whose underlying operators
+#  17-21:  re-validation of green queries whose underlying operators
 #          round 5 touched (salted_groupby_agg twin, banding machinery
 #          shared with the incremental/streaming paths, int8 functions
 #          now also feeding the retrieve stage).
-#  19-50:  oldest-row freshness rotation — the r1 cohort in registration
+#  22-50:  oldest-row freshness rotation — the r1 cohort in registration
 #          order (their rows are 4 rounds old; everything is green, so
 #          the marginal slot is best spent re-proving the oldest claims
-#          against today's code).
+#          against today's code). Three r1 slots (the csv/json scans)
+#          rotated out to make room for the late-r5 sketch additions.
 _ROUND5_PRIORITY = [
     # round-5 additions
     "groupby_count_salted_aqe_off",
@@ -68,6 +70,9 @@ _ROUND5_PRIORITY = [
     "streaming_lsh_dedup",
     "quantile_sketch_merge",
     "ann_rerank",
+    "hll_distinct_shards",
+    "heavy_hitters_cms",
+    "dedup_semantic_clusters",
     # VERDICT r4 post-freeze-rewrite freshness
     "triangle_count",
     "entropy_profile",
@@ -113,9 +118,6 @@ _ROUND5_PRIORITY = [
     "fill_if_zero",
     "fillna_zero",
     "from_unix_seconds",
-    "scan_json",
-    "scan_csv",
-    "scan_csv_inferred",
 ]
 
 # Round-4 window (exactly 50 when the round's additions land):

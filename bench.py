@@ -131,6 +131,11 @@ HEADLINE = [
     "streaming_lsh_dedup",
     "quantile_sketch_merge",
     "ann_rerank",
+    # late-r5 sketch/semantic additions: portable HLL partial/merge,
+    # count-min heavy hitters over bigram keys, SemDeDup composite
+    "hll_distinct_shards",
+    "heavy_hitters_cms",
+    "dedup_semantic_clusters",
 ]
 
 

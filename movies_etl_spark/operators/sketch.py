@@ -1,5 +1,7 @@
-"""Mergeable quantile sketches (SCALE.md's at-scale swap for exact
-percentiles, made explicit as partial/merge stages).
+"""Mergeable sketches (SCALE.md's at-scale swap for exact statistics,
+made explicit as partial/merge stages): equi-depth quantile centroids,
+a portable HyperLogLog for distinct counts, and a count-min sketch for
+frequency point queries / heavy hitters.
 
 ``percentile_approx`` already merges t-digest partials inside one query,
 but a 100 TB pipeline needs the partials THEMSELVES as data: per-shard
@@ -29,8 +31,14 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _as_shard(shard_col) -> Column:
+    """Accept a column name or Column expression; alias it to 'shard'."""
+    c = F.col(shard_col) if isinstance(shard_col, str) else shard_col
+    return c.alias("shard")
 
 
 def equidepth_centroids(
@@ -104,3 +112,152 @@ def merge_centroid_quantiles(
         .agg(F.min_by("m", "cum").alias("m_sel"))
         .select("q", F.col("m_sel").alias("est"))
     )
+
+
+# ===========================================================================
+# Portable HyperLogLog (mergeable distinct-count sketch)
+# ===========================================================================
+
+#: HLL geometry: p register-index bits → m = 2^p registers; the md5-hex
+#: prefix supplies 60 hash bits, leaving W = 60 - p value bits. With
+#: p = 9 the standard error is 1.04/sqrt(512) ≈ 4.6%.
+HLL_P = 9
+HLL_M = 1 << HLL_P
+HLL_W = 60 - HLL_P
+#: bias constant alpha_m for m ≥ 128 (Flajolet et al. 2007).
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_partials(df: DataFrame, key_col: str, shard_col) -> DataFrame:
+    """Per-shard HLL register table — the PARTIAL a 100 TB pipeline
+    stores per day/source and merges later without re-reading keys.
+
+    Hashing is the engine-portable md5 discipline (dedup.py module doc):
+    h = first 15 md5-hex chars as a 60-bit integer; register = top
+    HLL_P bits; rho = leading-zero count of the remaining HLL_W bits
+    plus one, computed EXACTLY via the minimal-width binary string
+    (``bin`` agrees between Spark and DuckDB) — no float log2 anywhere.
+    Output: (shard, register, rho) with rho = max per register; ~m rows
+    per shard regardless of input size, map-side combinable."""
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    reg = F.floor(h / F.lit(1 << HLL_W)).cast("long")
+    rest = h % F.lit(1 << HLL_W)
+    rho = F.when(rest == 0, F.lit(HLL_W + 1)).otherwise(
+        F.lit(HLL_W + 1) - F.length(F.bin(rest))
+    )
+    return (
+        df.select(_as_shard(shard_col), reg.alias("register"), rho.alias("rho"))
+        .groupBy("shard", "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(partials: DataFrame) -> DataFrame:
+    """Merge register tables across shards: max per register — the
+    associative merge (shard → day → global), reading only ~m-row
+    partials, never the keys."""
+    return partials.groupBy("register").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Distinct-count estimate from a register table (optionally one
+    estimate per ``group_cols`` — e.g. per shard when fed partials).
+
+    The harmonic-mean denominator is computed in EXACT integer
+    arithmetic: sum(2^-rho) · 2^(W+1) = sum(2^(W+1-rho)) is a bigint
+    (≤ m·2^W ≈ 2^60, no overflow), absent registers contribute 2^(W+1)
+    each, and the single float division happens once at the end — so
+    the estimate is a deterministic function of the register table and
+    replays bit-identically in the DuckDB oracle. Small-range
+    correction: linear counting m·ln(m/V) when E ≤ 2.5m and V > 0."""
+    gcols = list(group_cols or [])
+    term = F.expr(f"shiftleft(cast(1 as bigint), {HLL_W + 1} - rho)")
+    agg = registers.groupBy(*gcols).agg(
+        F.sum(term).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    full = F.lit(1 << (HLL_W + 1))
+    s_total = F.col("s_present") + (F.lit(HLL_M) - F.col("n_present")) * full
+    sum_inv = s_total.cast("double") / full.cast("double")
+    e_raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / sum_inv
+    v_zero = (F.lit(HLL_M) - F.col("n_present")).cast("double")
+    e_corr = F.when(
+        (e_raw <= 2.5 * HLL_M) & (v_zero > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_zero),
+    ).otherwise(e_raw)
+    return agg.select(*gcols, F.round(e_corr, 2).alias("est_distinct"))
+
+
+# ===========================================================================
+# Count-min sketch (mergeable frequency sketch / heavy-hitter estimates)
+# ===========================================================================
+
+#: CMS geometry: depth d independent hash rows × width w cells. Error
+#: contract: est ∈ [true, true + e·N/w] with prob ≥ 1 − (1/2)^d·…;
+#: overestimate-only, never under.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_cell(key: Column, seed: int) -> Column:
+    """Cell index for hash row ``seed``: md5 over the seed-salted key —
+    the same engine-portable purpose-salting the split/sample hashes use
+    (curation.py) — reduced mod CMS_WIDTH."""
+    salted = F.concat(F.lit(f"{seed}:"), key.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(salted), 1, 12), 16, 10).cast("long")
+        % CMS_WIDTH
+    )
+
+
+def cms_partials(df: DataFrame, key_col: str, shard_col) -> DataFrame:
+    """Per-shard CMS cell table: for each of the d hash rows, count
+    occurrences per cell. Output (shard, seed, cell, cnt) — ≤ d·w rows
+    per shard, a map-side-combinable groupBy; the PARTIAL to store per
+    day/source. The d-way row expansion rides a small array explode on
+    the map side (no extra shuffle class — still one aggregate)."""
+    key = F.col(key_col)
+    rows = F.array(
+        *[
+            F.struct(F.lit(i).alias("seed"), _cms_cell(key, i).alias("cell"))
+            for i in range(CMS_DEPTH)
+        ]
+    )
+    return (
+        df.select(_as_shard(shard_col), F.explode(rows).alias("rc"))
+        .select("shard", F.col("rc.seed").alias("seed"), F.col("rc.cell").alias("cell"))
+        .groupBy("shard", "seed", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(partials: DataFrame) -> DataFrame:
+    """Merge cell tables across shards: sum per (seed, cell) — the
+    associative merge, ≤ d·w rows out."""
+    return partials.groupBy("seed", "cell").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_point_estimate(merged: DataFrame, candidates: DataFrame, key_col: str) -> DataFrame:
+    """Frequency estimate for each candidate key: min over the d hash
+    rows of the key's cell count (absent cell ⇒ 0). The candidate set is
+    broadcast (heavy-hitter shortlists are small by definition); the
+    sketch table is ≤ d·w rows, so the join is trivially local. Returns
+    (key_col, cms_est)."""
+    key = F.col(key_col)
+    probes = candidates.select(
+        key,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("seed"), _cms_cell(key, i).alias("cell"))
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rc"),
+    ).select(key_col, F.col("rc.seed").alias("seed"), F.col("rc.cell").alias("cell"))
+    joined = probes.join(merged, ["seed", "cell"], "left").select(
+        key_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy(key_col).agg(F.min("cnt").alias("cms_est"))

@@ -776,12 +776,14 @@ _D2_SQL = """
 """
 
 
-@query(
-    "kmeans_assign",
-    oracle=f"""
-    WITH v AS (SELECT vec_id,
-                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
-               FROM embeddings),
+#: the two fixed Lloyd's iterations (k=4, seeds = first k ids) as a WITH
+#: body — shared verbatim by the kmeans_assign oracle and the SemDeDup
+#: composite's oracle (queries_scale.dedup_semantic_clusters), so both
+#: replay the IDENTICAL assignment.
+KMEANS_CTE = f"""
+    v AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+          FROM embeddings),
     seeds AS (SELECT vec_id AS cell, vd AS centroid FROM v WHERE vec_id < 4),
     a1 AS (
         SELECT vec_id, vd, cell FROM (
@@ -801,6 +803,13 @@ _D2_SQL = """
                        ORDER BY round({_D2_SQL.format(a="v.vd", b="c.centroid")}, 6),
                                 c.cell) AS r
             FROM v, c1 c) WHERE r = 1)
+"""
+
+
+@query(
+    "kmeans_assign",
+    oracle=f"""
+    WITH {KMEANS_CTE}
     SELECT vec_id, cell, round(d2, 4) AS d2 FROM a2
     """,
 )

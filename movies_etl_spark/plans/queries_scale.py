@@ -1321,3 +1321,284 @@ def q_quantile_sketch_merge(spark, sf_dir):
     )
     out = SK.merge_centroid_quantiles(cent, [0.1, 0.5, 0.9, 0.95, 0.99])
     return out.select("q", F.round(F.col("est") / 100, 2).alias("est"))
+
+
+# ===========================================================================
+# Mergeable cardinality / frequency sketches + semantic dedup composite
+# ===========================================================================
+
+
+_HLL_ORACLE = """
+    WITH k AS (SELECT l_orderkey % 8 AS shard, l_partkey FROM lineitem),
+    h AS (SELECT shard,
+                 ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+          FROM k),
+    rr AS (SELECT shard, h // 2251799813685248 AS register,
+                  h % 2251799813685248 AS rest
+           FROM h),
+    rho0 AS (SELECT shard, register,
+                    CASE WHEN rest = 0 THEN 52
+                         ELSE 52 - length(bin(rest)) END AS rho
+             FROM rr),
+    regs AS (SELECT shard, register, max(rho) AS rho
+             FROM rho0 GROUP BY shard, register),
+    merged AS (SELECT register, max(rho) AS rho FROM regs GROUP BY register),
+    est_in AS (
+        SELECT CAST(shard AS VARCHAR) AS scope,
+               sum(1::BIGINT << (52 - rho)) AS s_present,
+               count(*) AS n_present
+        FROM regs GROUP BY shard
+        UNION ALL
+        SELECT 'merged' AS scope,
+               sum(1::BIGINT << (52 - rho)) AS s_present,
+               count(*) AS n_present
+        FROM merged),
+    e AS (
+        SELECT scope,
+               CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+                   + CAST(1.079 AS DOUBLE) / 512) * 512 * 512
+               / (CAST(s_present + (512 - n_present) * (1::BIGINT << 52)
+                       AS DOUBLE)
+                  / CAST(1::BIGINT << 52 AS DOUBLE)) AS e_raw,
+               CAST(512 - n_present AS DOUBLE) AS v_zero
+        FROM est_in),
+    fin AS (
+        SELECT scope,
+               CASE WHEN e_raw <= CAST(2.5 AS DOUBLE) * 512 AND v_zero > 0
+                    THEN CAST(512 AS DOUBLE) * ln(CAST(512 AS DOUBLE) / v_zero)
+                    ELSE e_raw END AS est
+        FROM e),
+    ex AS (
+        SELECT CAST(shard AS VARCHAR) AS scope,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+        FROM k GROUP BY shard
+        UNION ALL
+        SELECT 'merged' AS scope,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+        FROM k)
+    SELECT f.scope, round(f.est, 2) AS est_distinct, ex.exact_distinct
+    FROM fin f JOIN ex USING (scope)
+"""
+
+
+@query("hll_distinct_shards", oracle=_HLL_ORACLE)
+def q_hll_distinct_shards(spark, sf_dir):
+    """Portable HyperLogLog distinct-count sketch as explicit
+    partial/merge stages (operators.sketch): per-shard register tables
+    over md5-derived 60-bit hashes, merged by register-max into a global
+    sketch — the distinct-count sibling of quantile_sketch_merge, with
+    the partials exposed as DATA so per-day/per-source sketches built by
+    different jobs merge without re-reading keys.
+
+    Unlike approx_count_distinct (engine-private HLL++ buffers inside
+    one query), every stage is engine-portable arithmetic — leading-zero
+    counts via minimal-width binary strings, the harmonic-mean
+    denominator as an EXACT bigint sum (absent registers folded in as
+    integers, one float division at the end) — so the DuckDB oracle
+    recomputes the identical estimate to the last bit and the register
+    tables are append-stable the way the md5 dedup hashes are. Output:
+    per-shard estimates + the merged global estimate, each next to its
+    exact distinct count (the ±4.6%-stderr witness lives in
+    tests/test_ground_truth.py, with merge-equals-whole proven exactly).
+
+    Scale: the partial is a map-side-combinable groupBy collapsing any
+    input to ≤ m=512 rows per shard; the merge reads register rows only
+    — the 100 TB daily-cardinality dashboard without a distinct shuffle.
+    """
+    from movies_etl_spark.operators import sketch as SK
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 8).alias("shard"), "l_partkey"
+    )
+    parts = caching.tracked_persist(SK.hll_partials(li, "l_partkey", "shard"))
+    per_shard = SK.hll_estimate(parts, ["shard"])
+    merged_est = SK.hll_estimate(SK.hll_merge(parts))
+    exact_shard = li.groupBy("shard").agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    exact_all = li.agg(F.countDistinct("l_partkey").alias("exact_distinct"))
+    shard_rows = per_shard.join(exact_shard, "shard").select(
+        F.col("shard").cast("string").alias("scope"),
+        "est_distinct",
+        "exact_distinct",
+    )
+    merged_row = merged_est.crossJoin(exact_all).select(
+        F.lit("merged").alias("scope"), "est_distinct", "exact_distinct"
+    )
+    return shard_rows.unionAll(merged_row)
+
+
+_CMS_ORACLE = """
+    WITH d AS (SELECT doc_id % 4 AS shard, string_split(text, ' ') AS toks
+               FROM documents WHERE len(string_split(text, ' ')) >= 2),
+    bg AS (SELECT shard, toks[p] || ' ' || toks[p + 1] AS bigram
+           FROM d, unnest(range(1, len(toks))) AS t(p)),
+    cells AS (SELECT shard, seed,
+                     ('0x' || substr(md5(CAST(seed AS VARCHAR) || ':'
+                                         || bigram), 1, 12))::BIGINT % 1024
+                       AS cell
+              FROM bg, unnest(range(4)) r(seed)),
+    partials AS (SELECT shard, seed, cell, count(*) AS cnt
+                 FROM cells GROUP BY shard, seed, cell),
+    merged AS (SELECT seed, cell, sum(cnt) AS cnt
+               FROM partials GROUP BY seed, cell),
+    exact AS (SELECT bigram, CAST(count(*) AS BIGINT) AS exact_cnt
+              FROM bg GROUP BY bigram),
+    cands AS (SELECT bigram, exact_cnt FROM exact
+              ORDER BY exact_cnt DESC, bigram LIMIT 20),
+    probes AS (SELECT c.bigram, c.exact_cnt, r.seed,
+                      ('0x' || substr(md5(CAST(r.seed AS VARCHAR) || ':'
+                                          || c.bigram), 1, 12))::BIGINT % 1024
+                        AS cell
+               FROM cands c, unnest(range(4)) r(seed)),
+    est AS (SELECT bigram, exact_cnt, min(coalesce(m.cnt, 0)) AS cms_est
+            FROM probes p LEFT JOIN merged m USING (seed, cell)
+            GROUP BY bigram, exact_cnt)
+    SELECT bigram, exact_cnt, CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - exact_cnt AS BIGINT) AS overest
+    FROM est
+"""
+
+
+@query("heavy_hitters_cms", oracle=_CMS_ORACLE)
+def q_heavy_hitters_cms(spark, sf_dir):
+    """Count-min sketch frequency estimates for the corpus's top
+    bigrams, built as explicit partial/merge stages (operators.sketch):
+    per-shard (seed, cell) count tables under d=4 md5-salted hash rows
+    of width w=1024, merged by cell-sum, point-queried by min-over-rows
+    — the frequency sibling of hll_distinct_shards (Cormode &
+    Muthukrishnan's count-min sketch, the standard sublinear
+    heavy-hitter primitive) over the same bigram keys bigram_lm_counts
+    tabulates exactly.
+
+    The sketch answers frequency point queries for ANY key in O(d) from
+    ≤ d·w cells regardless of key-space size; the estimate
+    overestimates only (est ≥ true always; est ≤ true + e·N/w w.h.p. —
+    both sides asserted by the ground-truth witness; at this geometry
+    13 of the top-20 come back exact and the rest overshoot by ≤ 32 on
+    counts of ~1400). Bigram keys (916 distinct here) actually load the
+    1024-wide rows — single tokens (31-word synthetic vocab) would
+    never collide and the sketch would be vacuously exact. Candidates
+    are the exact top-20 (computed identically by both engines so the
+    overestimate column is itself oracle-checked data); at 100 TB the
+    candidate list comes from a cheap sampled pre-pass while the sketch
+    — engine-portable integer cells, mergeable across days/sources by
+    summation — supplies counts without a key-space-sized shuffle."""
+    from movies_etl_spark.operators import sketch as SK
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 4).alias("shard"), F.split(F.col("text"), " ").alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    bg = d.select(
+        "shard",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "p -> concat(element_at(toks, p), ' ', element_at(toks, p + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    bg = caching.tracked_persist(bg)
+    merged = SK.cms_merge(SK.cms_partials(bg, "bigram", "shard"))
+    exact = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    cands = exact.orderBy(F.col("exact_cnt").desc(), "bigram").limit(20)
+    est = SK.cms_point_estimate(merged, cands.select("bigram"), "bigram")
+    return cands.join(est, "bigram").select(
+        "bigram",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overest"),
+    )
+
+
+#: SemDeDup similarity threshold: pairs at or above (on the rounded
+#: value) are semantic duplicates; the member closer to its cluster
+#: centroid is dropped (keep the atypical exemplar). 0.4 yields a ~5%
+#: drop rate on the synthetic embeddings (sim tail: 27 victims / 500) —
+#: non-vacuous without flagging half the corpus.
+SEMDEDUP_TAU = 0.4
+
+
+def _semdedup_oracle() -> str:
+    from movies_etl_spark.plans.queries_ext import _COS_SQL, KMEANS_CTE
+
+    cos = _COS_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""
+    WITH {KMEANS_CTE},
+    asg AS (SELECT vec_id, cell, round(d2, 4) AS d2 FROM a2),
+    m AS (SELECT g.vec_id, g.cell, g.d2, e.embedding
+          FROM asg g JOIN embeddings e USING (vec_id)),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 a.d2 AS d2_a, b.d2 AS d2_b
+          FROM m a JOIN m b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE round({cos}, 6) >= {SEMDEDUP_TAU}),
+    victims AS (SELECT DISTINCT
+                    CASE WHEN d2_a < d2_b THEN id_a ELSE id_b END AS vec_id
+                FROM p)
+    SELECT g.vec_id, g.cell, g.d2,
+           (v.vec_id IS NOT NULL) AS dropped
+    FROM asg g LEFT JOIN victims v USING (vec_id)
+    """
+
+
+@query("dedup_semantic_clusters", oracle=_semdedup_oracle())
+def q_dedup_semantic_clusters(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster embeddings with k-means, compare pairs ONLY
+    within a cluster, and for each pair above the similarity threshold
+    drop the member CLOSER to its cluster centroid — keeping the
+    atypical exemplar, the paper's keep-rule — so the corpus sheds
+    semantic (not just lexical) redundancy.
+
+    This is the composite the suite's pieces were built for:
+    kmeans_assign LEARNS the blocking key (the same cells that feed the
+    IVF index), the within-cell pairwise compare is the guarded
+    dedup_embedding_cosine kernel (blocks bounded by cluster size — at
+    100 TB, k scales with corpus so cells stay under
+    MAX_COSINE_BLOCK_ROWS and the O(b²) kernel never sees the corpus),
+    and the drop rule is a deterministic per-pair decision (distances
+    rounded before compare, ties to the larger id) — no connected
+    components needed. Output: every vector with its cell, distance to
+    centroid, and drop verdict. The DuckDB oracle replays the identical
+    two Lloyd's iterations (shared KMEANS_CTE) plus the identical pair
+    rule."""
+    from movies_etl_spark.operators import dedup as D
+    from movies_etl_spark.operators import similarity as SIM
+
+    e = _t(spark, sf_dir, "embeddings")
+    asg = caching.tracked_persist(SIM.kmeans_assign(e, k=4, iters=2))
+    v = e.select(
+        "vec_id", "embedding", D.l2norm(F.col("embedding")).alias("nrm")
+    )
+    m = asg.join(v, "vec_id")
+    a = m.select(
+        F.col("vec_id").alias("id_a"),
+        "cell",
+        F.col("d2").alias("d2_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = m.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cell").alias("cell_b"),
+        F.col("d2").alias("d2_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = D.dot(F.col("va"), F.col("vb")) / (F.col("nrm_a") * F.col("nrm_b"))
+    pairs = a.join(
+        b, (F.col("cell") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b"))
+    ).filter(F.round(cos, 6) >= SEMDEDUP_TAU)
+    victims = pairs.select(
+        F.when(F.col("d2_a") < F.col("d2_b"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("vec_id")
+    ).distinct()
+    return asg.join(
+        victims.withColumn("hit", F.lit(1)), "vec_id", "left"
+    ).select("vec_id", "cell", "d2", F.col("hit").isNotNull().alias("dropped"))

@@ -1617,3 +1617,164 @@ def test_upsert_merge_matches_pandas_merge(spark, sf_dir):
         assert (n, nu, ni) == want[y][:3], (y, got[y], want[y])
         # float sum order differs; round-2 output vs pandas sum
         assert abs(tp - want[y][3]) < 0.02, (y, tp, want[y][3])
+
+
+def test_hll_sketch_matches_independent_python_hll(spark, sf_dir):
+    """Portable-HLL witness with a STRUCTURALLY different implementation:
+    hashlib md5 + int.bit_length() registers in plain python (no SQL, no
+    bin()-string arithmetic). The register tables must match EXACTLY
+    (proving the hash/register/rho pipeline), the merged estimate must
+    match to the output rounding, and every estimate must sit within 3
+    standard errors (3 · 1.04/√512 ≈ 14%) of the exact distinct count
+    computed by pandas nunique."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    li["shard"] = li.l_orderkey % 8
+
+    def registers(keys):
+        regs: dict[int, int] = {}
+        for k in set(int(x) for x in keys):
+            h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+            reg, rest = h >> 51, h & ((1 << 51) - 1)
+            rho = 52 - rest.bit_length() if rest else 52
+            regs[reg] = max(regs.get(reg, 0), rho)
+        return regs
+
+    def estimate(regs):
+        m, alpha = 512, 0.7213 / (1.0 + 1.079 / 512)
+        s = sum(1 << (52 - r) for r in regs.values()) + (m - len(regs)) * (1 << 52)
+        e_raw = alpha * m * m / (s / float(1 << 52))
+        v = m - len(regs)
+        if e_raw <= 2.5 * m and v > 0:
+            return m * math.log(m / float(v))
+        return e_raw
+
+    got = {r["scope"]: (r["est_distinct"], r["exact_distinct"])
+           for r in QUERIES["hll_distinct_shards"](spark, sf_dir).collect()}
+    assert set(got) == {str(s) for s in range(8)} | {"merged"}
+
+    # exact counts vs pandas nunique
+    exact_all = li.l_partkey.nunique()
+    assert got["merged"][1] == exact_all
+    for s, grp in li.groupby("shard"):
+        assert got[str(s)][1] == grp.l_partkey.nunique()
+
+    # merged estimate vs the independent python HLL (one rounding step
+    # of slack: ln() may differ by an ulp between libm and the JVM)
+    merged_regs = registers(li.l_partkey)
+    assert abs(got["merged"][0] - estimate(merged_regs)) <= 0.011
+
+    # mergeability is exact: max-of-shard-registers == whole-input table
+    shard_regs: dict[int, int] = {}
+    for _, grp in li.groupby("shard"):
+        for reg, rho in registers(grp.l_partkey).items():
+            shard_regs[reg] = max(shard_regs.get(reg, 0), rho)
+    assert shard_regs == merged_regs
+
+    # every estimate within 3 standard errors of its exact count
+    for scope, (est, exact) in got.items():
+        assert abs(est - exact) / exact <= 3 * 1.04 / math.sqrt(512), (scope, est, exact)
+
+
+def test_cms_matches_independent_python_cms(spark, sf_dir):
+    """Count-min witness with an independent hashlib/Counter
+    implementation: cell tables and point estimates must match EXACTLY
+    (all-integer arithmetic), estimates must never undercount (the CMS
+    one-sided guarantee), and overestimates must stay under the e·N/w
+    Markov bound (deterministic data + hashes ⇒ a stable assertion, not
+    a probabilistic flake)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    exact: Counter = Counter()
+    cells: Counter = Counter()  # (seed, cell) -> count
+
+    def cell(seed, key):
+        return int(hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:12], 16) % 1024
+
+    n_total = 0
+    for _, row in docs.iterrows():
+        toks = row.text.split(" ")
+        if len(toks) < 2:
+            continue
+        for a, b in zip(toks, toks[1:]):
+            k = f"{a} {b}"
+            exact[k] += 1
+            n_total += 1
+            for s in range(4):
+                cells[(s, cell(s, k))] += 1
+
+    cands = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = {r["bigram"]: (r["exact_cnt"], r["cms_est"], r["overest"])
+           for r in QUERIES["heavy_hitters_cms"](spark, sf_dir).collect()}
+    assert set(got) == {k for k, _ in cands}
+
+    bound = math.e * n_total / 1024
+    for k, cnt in cands:
+        py_est = min(cells[(s, cell(s, k))] for s in range(4))
+        g_exact, g_est, g_over = got[k]
+        assert g_exact == cnt, (k, g_exact, cnt)
+        assert g_est == py_est, (k, g_est, py_est)  # integer-exact replay
+        assert g_est >= g_exact  # CMS never undercounts
+        assert g_over == g_est - g_exact
+        assert g_over <= bound, (k, g_over, bound)
+
+
+def test_semdedup_matches_independent_numpy(spark, sf_dir):
+    """SemDeDup witness: numpy recompute of the full chain — Lloyd's
+    k-means (same quantization points as the kmeans witness), pairwise
+    cosine WITHIN cells only, drop-the-closer-to-centroid rule — and the
+    dropped set must match exactly."""
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    V = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    ids = emb.vec_id.to_numpy()
+    cents = {int(i): V[ids == i][0] for i in range(4)}
+
+    def assign(cmap):
+        out = {}
+        for i, vid in enumerate(ids):
+            best = min(
+                cmap.items(),
+                key=lambda kv: (round(float(((V[i] - kv[1]) ** 2).sum()), 6), kv[0]),
+            )
+            out[int(vid)] = (best[0], round(float(((V[i] - best[1]) ** 2).sum()), 6))
+        return out
+
+    a1 = assign(cents)
+    newc = {}
+    for c in sorted({v[0] for v in a1.values()}):
+        members = V[[a1[int(v)][0] == c for v in ids]]
+        newc[c] = np.round(members.mean(axis=0), 6)
+    a2 = assign(newc)
+    d2r = {vid: _round_half_up(d2, 4) for vid, (c, d2) in a2.items()}
+
+    idx = {int(v): i for i, v in enumerate(ids)}
+    nrm = np.sqrt((V * V).sum(axis=1))
+    victims = set()
+    vids = sorted(idx)
+    for i, va in enumerate(vids):
+        for vb in vids[i + 1:]:
+            if a2[va][0] != a2[vb][0]:
+                continue
+            cos = float(V[idx[va]] @ V[idx[vb]] / (nrm[idx[va]] * nrm[idx[vb]]))
+            if _round_half_up(cos, 6) >= 0.4:
+                victims.add(va if d2r[va] < d2r[vb] else vb)
+
+    rows = QUERIES["dedup_semantic_clusters"](spark, sf_dir).collect()
+    assert len(rows) == len(ids)
+    got_dropped = {r["vec_id"] for r in rows if r["dropped"]}
+    got_cells = {r["vec_id"]: r["cell"] for r in rows}
+    assert got_cells == {v: a2[v][0] for v in vids}
+    assert got_dropped == victims
