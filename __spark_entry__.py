@@ -42,27 +42,30 @@ from movies_etl_spark.plans import queries_scale  # noqa: E402,F401
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
-# Round-5 window (exactly 50; registered total 196 — all 188 prior
+# Round-5 window (exactly 50; registered total 198 — all 188 prior
 # queries carry green rows across r1∪r2∪r3∪r4, so this round's window is
-# freshness + the 8 round-5 additions; NOTES_r5.md carries the ledger):
-#    1-8:  round-5 additions (AQE-off salted proof, incremental MinHash
+# freshness + the 10 round-5 additions; NOTES_r5.md carries the ledger):
+#   1-10:  round-5 additions (AQE-off salted proof, incremental MinHash
 #          index maintenance, streaming LSH near-dedup, mergeable
 #          quantile sketch, retrieve→rerank, portable-HLL distinct
-#          sketch, count-min heavy hitters, SemDeDup composite).
-#   9-16:  the VERDICT r4 freshness list — queries whose implementations
+#          sketch, count-min heavy hitters, SemDeDup composite, AQE-off
+#          salted skew JOIN, runtime bloom-filter join pruning).
+#  11-18:  the VERDICT r4 freshness list — queries whose implementations
 #          were rewritten AFTER the r4 driver run froze (triangle
 #          adjacency form, entropy GROUPING SETS form, the staged/fused
 #          prune_and_validated_cast ETL path + validation family), so
 #          the SHIPPED formulations finally earn driver rows.
-#  17-21:  re-validation of green queries whose underlying operators
+#  19-23:  re-validation of green queries whose underlying operators
 #          round 5 touched (salted_groupby_agg twin, banding machinery
 #          shared with the incremental/streaming paths, int8 functions
 #          now also feeding the retrieve stage).
-#  22-50:  oldest-row freshness rotation — the r1 cohort in registration
+#  24-50:  oldest-row freshness rotation — the r1 cohort in registration
 #          order (their rows are 4 rounds old; everything is green, so
 #          the marginal slot is best spent re-proving the oldest claims
-#          against today's code). Three r1 slots (the csv/json scans)
-#          rotated out to make room for the late-r5 sketch additions.
+#          against today's code). Five r1 slots rotated out to fund the
+#          late-r5 additions: the three csv/json scans, orderby_limit
+#          (all untouched since r1), and from_unix_seconds (which
+#          already re-proved green in r4 via the ETL re-rotation).
 _ROUND5_PRIORITY = [
     # round-5 additions
     "groupby_count_salted_aqe_off",
@@ -73,6 +76,8 @@ _ROUND5_PRIORITY = [
     "hll_distinct_shards",
     "heavy_hitters_cms",
     "dedup_semantic_clusters",
+    "join_skew_salted",
+    "bloom_join_prune",
     # VERDICT r4 post-freeze-rewrite freshness
     "triangle_count",
     "entropy_profile",
@@ -114,10 +119,8 @@ _ROUND5_PRIORITY = [
     "set_intersect",
     "set_except",
     "topk_per_group",
-    "orderby_limit",
     "fill_if_zero",
     "fillna_zero",
-    "from_unix_seconds",
 ]
 
 # Round-4 window (exactly 50 when the round's additions land):

@@ -132,10 +132,13 @@ HEADLINE = [
     "quantile_sketch_merge",
     "ann_rerank",
     # late-r5 sketch/semantic additions: portable HLL partial/merge,
-    # count-min heavy hitters over bigram keys, SemDeDup composite
+    # count-min heavy hitters over bigram keys, SemDeDup composite,
+    # AQE-off salted skew join, runtime bloom-filter join pruning
     "hll_distinct_shards",
     "heavy_hitters_cms",
     "dedup_semantic_clusters",
+    "join_skew_salted",
+    "bloom_join_prune",
 ]
 
 

@@ -64,6 +64,7 @@ def salted_join_hot_keys(
     key: str,
     hot_keys: Sequence,
     n_salts: int = 16,
+    broadcast_small: bool = True,
 ) -> DataFrame:
     """Manual skew-join: replicate the small side ``n_salts``× for the
     hot keys, salt the big side's hot rows, equi-join on (key, salt).
@@ -71,13 +72,25 @@ def salted_join_hot_keys(
     useful when statistics are known ahead of time (e.g. a fixed head-key
     distribution in a production feed).
 
-    The broadcast of ``small_rep`` is intentional and safe: callers pass a
-    genuinely dimension-sized ``small`` side (the contract of a skew JOIN
-    mitigation — the big side salts, the small side replicates), and the
-    replication factor is bounded by ``n_salts`` (default 16), so the
-    broadcast payload is |small| × n_salts rows, still dimension-scale.
-    Contrast flagship_user_activity, where an unbounded-cardinality
-    aggregate must NOT be broadcast."""
+    Two execution modes:
+
+    - ``broadcast_small=True`` (default): broadcast the replicated
+      small side. Safe because callers pass a genuinely dimension-sized
+      ``small`` (the contract of a skew JOIN mitigation — the big side
+      salts, the small side replicates) and replication is bounded by
+      ``n_salts``, so the payload stays dimension-scale. Contrast
+      flagship_user_activity, where an unbounded-cardinality aggregate
+      must NOT be broadcast. In this mode the broadcast itself already
+      removes the key shuffle; the salt matters only for downstream
+      (key, salt)-partitioned stages.
+    - ``broadcast_small=False``: plain shuffle equi-join on
+      (key, salt). This is where the salting IS the mechanism: a
+      sort-merge join on the raw key would send every hot-key row to
+      one reducer, while (key, salt) fans each hot key over ``n_salts``
+      reducers — the mode to use when the small side exceeds broadcast
+      budget (a replicated mid-size dimension) or when the engine's
+      adaptive skew handling is unavailable/mis-estimating; proven with
+      AQE off by the join_skew_salted query + balance test."""
     hot = F.array(*[F.lit(k) for k in hot_keys])
     big_salted = big.withColumn(
         "__salt__",
@@ -91,5 +104,7 @@ def salted_join_hot_keys(
         F.sequence(F.lit(0), F.lit(n_salts - 1)),
     ).otherwise(F.array(F.lit(0)))
     small_rep = small.withColumn("__salt__", F.explode(salts))
-    out = big_salted.join(F.broadcast(small_rep), [key, "__salt__"])
+    if broadcast_small:
+        small_rep = F.broadcast(small_rep)
+    out = big_salted.join(small_rep, [key, "__salt__"])
     return out.drop("__salt__")

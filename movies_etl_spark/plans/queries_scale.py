@@ -1602,3 +1602,160 @@ def q_dedup_semantic_clusters(spark, sf_dir):
     return asg.join(
         victims.withColumn("hit", F.lit(1)), "vec_id", "left"
     ).select("vec_id", "cell", "d2", F.col("hit").isNotNull().alias("dropped"))
+
+
+# ===========================================================================
+# Skew-join salting (AQE-off) + runtime bloom-filter join pruning
+# ===========================================================================
+
+
+_SKEW_JOIN_ORACLE = """
+    WITH big AS (SELECT CASE WHEN l_orderkey % 4 < 3 THEN 0
+                             ELSE l_orderkey % 16 END AS hk,
+                        l_quantity
+                 FROM lineitem),
+    s AS (SELECT n_nationkey AS hk, n_name FROM nation WHERE n_nationkey < 16)
+    SELECT n_name, CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM big JOIN s USING (hk)
+    GROUP BY n_name
+"""
+
+
+@query("join_skew_salted", oracle=_SKEW_JOIN_ORACLE)
+def q_join_skew_salted(spark, sf_dir):
+    """Skew-safe SHUFFLE join (operators.skew.salted_join_hot_keys,
+    broadcast_small=False) executed with AQE off — the join-side twin of
+    groupby_count_salted_aqe_off. The derived key puts ~75% of lineitem
+    on one hot value (the head-key shape of a production feed); a plain
+    sort-merge join would send every hot row to one reducer. Salting
+    fans the hot key over n_salts=8 sub-keys while the dimension side
+    replicates only for the hot key (bounded blow-up: |small| + n_salts
+    rows), and the equi-join on (key, salt) balances the reducers where
+    AQE's skew splitting isn't there to save it (adaptive=false and
+    broadcast disabled for the action, restored after — the conf
+    discipline of the agg twin). Semantics are identical to the plain
+    join: the oracle is the unsalted JOIN, and
+    tests/test_plan_shapes.py asserts both the SortMergeJoin-on-salt
+    plan shape and the modeled reducer balance."""
+    from movies_etl_spark.operators.skew import salted_join_hot_keys
+
+    target = _scratch("join_skew_salted", sf_dir)
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = _t(spark, sf_dir, "lineitem").select(
+            F.when(F.col("l_orderkey") % 4 < 3, F.lit(0))
+            .otherwise(F.col("l_orderkey") % 16)
+            .alias("hk"),
+            "l_quantity",
+        )
+        nat = (
+            _t(spark, sf_dir, "nation")
+            .filter(F.col("n_nationkey") < 16)
+            .select(F.col("n_nationkey").alias("hk"), "n_name")
+        )
+        joined = salted_join_hot_keys(
+            li, nat, "hk", hot_keys=[0], n_salts=8, broadcast_small=False
+        )
+        (
+            joined.groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            )
+            .write.mode("overwrite")
+            .parquet(target)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+    return spark.read.parquet(target)
+
+
+_BLOOM_ORACLE = """
+    WITH sel AS (SELECT o_orderkey, o_orderdate FROM orders
+                 WHERE o_orderpriority = '1-URGENT'
+                   AND CAST(o_orderdate AS DATE) < DATE '1995-07-01')
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem JOIN sel ON l_orderkey = o_orderkey
+    GROUP BY month
+"""
+
+
+@query("bloom_join_prune", oracle=_BLOOM_ORACLE)
+def q_bloom_join_prune(spark, sf_dir):
+    """Runtime bloom-filter join pruning: a selective dimension filter
+    (urgent first-half-1995 orders, ~1.5% of the table) is turned into a bloom filter that prunes the
+    FACT side before the join shuffle — Spark's InjectRuntimeFilter
+    builds `bloom_filter_agg` over the filtered creation side and
+    plants `might_contain` into the lineitem scan, so non-matching fact
+    rows die at the scan instead of riding the shuffle (the semi-join
+    reduction a 100 TB star join lives on when partition pruning can't
+    apply — the filter column is the join key, not a partition key).
+
+    The action runs with the application-side threshold lowered so the
+    optimization triggers at test scale (production leaves the 10 GB
+    default: the whole point is the fact side is huge) and broadcast
+    disabled (the filter targets shuffle joins); confs are restored
+    after the scratch write, per the AQE-off discipline.
+    tests/test_plan_shapes.py asserts `might_contain` lands in the
+    executed plan. Semantics are untouched — blooms only ever
+    false-positive, the join discards survivors exactly — so the oracle
+    is the plain join."""
+    target = _scratch("bloom_join_prune", sf_dir)
+    prev_bloom = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+    )
+    prev_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "10GB",
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sel = (
+            _t(spark, sf_dir, "orders")
+            .filter(
+                (F.col("o_orderpriority") == "1-URGENT")
+                & (
+                    F.col("o_orderdate").cast("date")
+                    < F.lit("1995-07-01").cast("date")
+                )
+            )
+            .select("o_orderkey", "o_orderdate")
+        )
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        (
+            li.join(sel, li.l_orderkey == sel.o_orderkey)
+            .groupBy(
+                F.date_trunc("month", F.col("o_orderdate"))
+                .cast("date")
+                .alias("month")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            )
+            .write.mode("overwrite")
+            .parquet(target)
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", prev_bloom
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_thresh,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+    return spark.read.parquet(target)

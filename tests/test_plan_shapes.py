@@ -38,6 +38,13 @@ def _exchanges(plan: str) -> int:
     return _nodes(plan, "Exchange")
 
 
+def _formatted(spark, df) -> str:
+    jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(jvm_mode)
+
+
 def test_flagship_no_forced_broadcast_aqe_converts(spark, sf_dir):
     """The per-user aggregate has unbounded cardinality (one row per
     distinct user), so the plan must NOT force a broadcast of it; at test
@@ -494,3 +501,116 @@ def test_salted_agg_balances_reducers_aqe_off(spark, sf_dir):
         assert _exchanges(plan) == 2, plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_salted_join_balances_reducers_aqe_off(spark, sf_dir):
+    """Join-side twin of the salted-agg balance proof: with adaptive off
+    and broadcast disabled, a sort-merge join on the raw hot key (75% of
+    lineitem on one derived value) puts ~12× the mean on one reducer;
+    salted over 8 sub-keys, the max reducer holds ≤3.5× the mean (the
+    residue above 1× is two hot-salt buckets colliding mod 16 — each
+    bucket alone is ~1.5× mean). Reducer assignment is modeled exactly
+    as HashPartitioning does: murmur3 F.hash(join keys) pmod P."""
+    from pyspark.sql import functions as F
+
+    from movies_etl_spark.sources import readers
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = readers.load_table(spark, sf_dir, "lineitem").select(
+            F.when(F.col("l_orderkey") % 4 < 3, F.lit(0))
+            .otherwise(F.col("l_orderkey") % 16)
+            .alias("hk"),
+            "l_quantity",
+        )
+        n_part = 16
+        total = li.count()
+        mean = total / n_part
+        salted = li.withColumn(
+            "__salt__",
+            F.when(
+                F.col("hk") == 0, (F.rand(seed=42) * 8).cast("int")
+            ).otherwise(F.lit(0)),
+        )
+
+        def max_reducer_input(cols):
+            pid = F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(n_part))
+            return (
+                salted.groupBy(pid.alias("pid"))
+                .count()
+                .agg(F.max("count").alias("m"))
+                .collect()[0]["m"]
+            )
+
+        assert max_reducer_input(["hk"]) > 8 * mean
+        assert max_reducer_input(["hk", "__salt__"]) < 3.5 * mean
+
+        # plan shape: a real shuffle join on (key, salt) — sort-merge,
+        # no broadcast, no adaptive machinery
+        from movies_etl_spark.operators.skew import salted_join_hot_keys
+
+        nat = (
+            readers.load_table(spark, sf_dir, "nation")
+            .filter(F.col("n_nationkey") < 16)
+            .select(F.col("n_nationkey").alias("hk"), "n_name")
+        )
+        out = salted_join_hot_keys(
+            li, nat, "hk", hot_keys=[0], n_salts=8, broadcast_small=False
+        )
+        plan = _formatted(spark, out)
+        assert "SortMergeJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+        assert "AdaptiveSparkPlan" not in plan
+        assert "__salt__" in plan  # the salt is a join key, not dropped
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+def test_bloom_filter_lands_in_fact_scan(spark, sf_dir):
+    """bloom_join_prune's mechanism: with the application-side threshold
+    lowered and broadcast disabled, InjectRuntimeFilter must plant a
+    might_contain(bloom_filter_agg(...)) predicate on the lineitem side
+    of the join — the semi-join reduction that kills non-matching fact
+    rows before the shuffle."""
+    from pyspark.sql import functions as F
+
+    from movies_etl_spark.sources import readers
+
+    prev_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "10GB",
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sel = (
+            readers.load_table(spark, sf_dir, "orders")
+            .filter(
+                (F.col("o_orderpriority") == "1-URGENT")
+                & (
+                    F.col("o_orderdate").cast("date")
+                    < F.lit("1995-07-01").cast("date")
+                )
+            )
+            .select("o_orderkey")
+        )
+        li = readers.load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey)
+        plan = _formatted(spark, j)
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_thresh,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
