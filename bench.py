@@ -139,6 +139,7 @@ HEADLINE = [
     "dedup_semantic_clusters",
     "join_skew_salted",
     "bloom_join_prune",
+    "bpe_train_merges",
 ]
 
 

@@ -1759,3 +1759,67 @@ def q_bloom_join_prune(spark, sf_dir):
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
     return spark.read.parquet(target)
+
+
+# ===========================================================================
+# BPE tokenizer training
+# ===========================================================================
+
+
+def _bpe_oracle(n_merges: int = 8) -> str:
+    """Replay the BPE training run: the same wordcount, the same
+    (count DESC, pair) argmax, the same double-space replace merge —
+    one CTE block per iteration, generated mechanically."""
+    parts = [
+        """wc AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+         FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         WHERE tok <> '' GROUP BY tok),
+    w0 AS (SELECT array_to_string(string_split(word, ''), ' ') || ' </w>'
+                  AS syms, freq
+           FROM wc)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""p{i} AS (SELECT s[p] AS sym_a, s[p + 1] AS sym_b,
+                      CAST(sum(freq) AS BIGINT) AS cnt
+               FROM (SELECT string_split(syms, ' ') AS s, freq FROM w{i - 1}) t,
+                    unnest(range(1, len(s))) r(p)
+               GROUP BY sym_a, sym_b),
+    m{i} AS (SELECT sym_a, sym_b, cnt FROM p{i}
+             ORDER BY cnt DESC, sym_a, sym_b LIMIT 1),
+    w{i} AS (SELECT trim(replace(
+                 replace(' ' || replace(w.syms, ' ', '  ') || ' ',
+                         ' ' || m.sym_a || '  ' || m.sym_b || ' ',
+                         ' ' || m.sym_a || m.sym_b || ' '),
+                 '  ', ' ')) AS syms, w.freq
+             FROM w{i - 1} w, m{i} m)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS step, sym_a, sym_b, cnt AS pair_cnt FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + selects
+
+
+@query("bpe_train_merges", oracle=_bpe_oracle(8))
+def q_bpe_train_merges(spark, sf_dir):
+    """BPE tokenizer training (operators.bpe — Sennrich et al. 2016):
+    learn the first 8 merge rules from the corpus and return the merge
+    table (step, pair, weighted count) — the
+    train-a-tokenizer-on-your-corpus step of an LLM data pipeline.
+
+    The only corpus-scale stage is the word count (one wordcount
+    shuffle); the merge loop iterates on the aggregated (word, freq)
+    table — vocabulary-bounded, the same shape industrial BPE trainers
+    use — with a 1-row argmax collect per iteration (the bounded
+    1-row-statistic collect class). No floats exist anywhere in the
+    algorithm (integer counts, lexicographic tie-breaks, pure-string
+    greedy merges via the double-space replace trick), so the DuckDB
+    oracle replays the identical training run and the witness
+    (tests/test_ground_truth.py) re-trains with a plain-python
+    Counter/list-walk implementation and matches exactly."""
+    from movies_etl_spark.operators import bpe as B
+
+    d = _t(spark, sf_dir, "documents")
+    wc = caching.tracked_persist(B.word_counts(d, "text"))
+    return B.bpe_train(spark, wc, n_merges=8)

@@ -1778,3 +1778,57 @@ def test_semdedup_matches_independent_numpy(spark, sf_dir):
     got_cells = {r["vec_id"]: r["cell"] for r in rows}
     assert got_cells == {v: a2[v][0] for v in vids}
     assert got_dropped == victims
+
+
+def test_bpe_train_matches_independent_python_trainer(spark, sf_dir):
+    """BPE witness: re-train with a plain-python Counter + explicit
+    leftmost-non-overlapping list walk (no replace-string trick, no
+    SQL) — the full merge table must match exactly."""
+    from collections import Counter
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    wc: Counter = Counter()
+    for t in docs.text:
+        for w in t.split(" "):
+            if w:
+                wc[w] += 1
+    words: dict = {}
+    for w, f in wc.items():
+        words[tuple(list(w) + ["</w>"])] = words.get(tuple(list(w) + ["</w>"]), 0) + f
+
+    def merge_word(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    want = []
+    for step in range(1, 9):
+        pc: Counter = Counter()
+        for syms, f in words.items():
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += f
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((step, a, b, cnt))
+        nxt: dict = {}
+        for syms, f in words.items():
+            m = merge_word(syms, a, b)
+            nxt[m] = nxt.get(m, 0) + f
+        words = nxt
+
+    got = [
+        (r["step"], r["sym_a"], r["sym_b"], r["pair_cnt"])
+        for r in QUERIES["bpe_train_merges"](spark, sf_dir)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == want
