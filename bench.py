@@ -140,6 +140,7 @@ HEADLINE = [
     "join_skew_salted",
     "bloom_join_prune",
     "bpe_train_merges",
+    "bpe_subword_stats",
 ]
 
 

@@ -105,6 +105,22 @@ def bpe_train(
     deterministic), then the merge applied as a string map. The input
     ``wc`` should be persisted by the caller (it is re-read once per
     iteration); the symbol table itself stays vocab-bounded."""
+    merges, _ = bpe_train_with_vocab(spark, wc, n_merges)
+    return merges
+
+
+def bpe_train_with_vocab(
+    spark: SparkSession, wc: DataFrame, n_merges: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """bpe_train plus the ENCODED vocabulary: the symbol table after the
+    final merge IS every distinct word's subword segmentation, so
+    training yields the tokenizer-apply artifact for free. Returns
+    (merges, encoded_words) with encoded_words = (syms, freq).
+
+    This is the scale shape of tokenizer APPLICATION too: encode the
+    distinct-word table once (vocab-bounded work), then the corpus maps
+    through it with a broadcast join — the raw text is never re-walked
+    per merge rule."""
     words = initial_symbols(wc)
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
@@ -121,6 +137,7 @@ def bpe_train(
         words = words.select(
             apply_merge(F.col("syms"), a, b).alias("syms"), "freq"
         )
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         merges, "step int, sym_a string, sym_b string, pair_cnt bigint"
     )
+    return merges_df, words

@@ -1766,10 +1766,12 @@ def q_bloom_join_prune(spark, sf_dir):
 # ===========================================================================
 
 
-def _bpe_oracle(n_merges: int = 8) -> str:
+def _bpe_oracle(n_merges: int = 8, final_select: str | None = None) -> str:
     """Replay the BPE training run: the same wordcount, the same
     (count DESC, pair) argmax, the same double-space replace merge —
-    one CTE block per iteration, generated mechanically."""
+    one CTE block per iteration, generated mechanically.
+    ``final_select`` overrides the default merge-table projection (the
+    encode query selects from the final w{n} symbol table instead)."""
     parts = [
         """wc AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -1794,7 +1796,7 @@ def _bpe_oracle(n_merges: int = 8) -> str:
                  '  ', ' ')) AS syms, w.freq
              FROM w{i - 1} w, m{i} m)"""
         )
-    selects = " UNION ALL ".join(
+    selects = final_select or " UNION ALL ".join(
         f"SELECT {i} AS step, sym_a, sym_b, cnt AS pair_cnt FROM m{i}"
         for i in range(1, n_merges + 1)
     )
@@ -1823,3 +1825,42 @@ def q_bpe_train_merges(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     wc = caching.tracked_persist(B.word_counts(d, "text"))
     return B.bpe_train(spark, wc, n_merges=8)
+
+
+@query(
+    "bpe_subword_stats",
+    oracle=_bpe_oracle(
+        8,
+        final_select="""SELECT subword, CAST(sum(freq) AS BIGINT) AS n_occurrences
+    FROM (SELECT unnest(string_split(syms, ' ')) AS subword, freq FROM w8)
+    GROUP BY subword ORDER BY n_occurrences DESC, subword LIMIT 30""",
+    ),
+)
+def q_bpe_subword_stats(spark, sf_dir):
+    """Tokenizer APPLY stage completing the train→encode story: encode
+    the corpus with the 8 learned BPE merges and report the top-30
+    subwords by corpus occurrence — the vocab-usage histogram that
+    drives vocabulary-size and merge-count decisions.
+
+    The scale shape is the industrial tokenizer-apply one: encoding
+    happens ONCE per distinct word (the symbol table after the final
+    training merge IS the segmentation — bpe_train_with_vocab returns
+    it for free), and corpus-level statistics weight by the word
+    frequencies — the raw text is never re-walked per merge rule; at
+    100 TB the encoded vocab broadcasts to the corpus as a join, the
+    same broadcast-dimension shape as topic_tag_rules. The oracle
+    replays training and encoding in one generated CTE chain."""
+    from movies_etl_spark.operators import bpe as B
+
+    d = _t(spark, sf_dir, "documents")
+    wc = caching.tracked_persist(B.word_counts(d, "text"))
+    _, encoded = B.bpe_train_with_vocab(spark, wc, n_merges=8)
+    return (
+        encoded.select(
+            F.explode(F.split(F.col("syms"), " ")).alias("subword"), "freq"
+        )
+        .groupBy("subword")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "subword")
+        .limit(30)
+    )

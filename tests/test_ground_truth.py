@@ -1832,3 +1832,16 @@ def test_bpe_train_matches_independent_python_trainer(spark, sf_dir):
         .collect()
     ]
     assert got == want
+
+    # the APPLY stage: top-30 subword usage from the python-encoded
+    # vocab must match bpe_subword_stats exactly
+    sub: Counter = Counter()
+    for syms, f in words.items():
+        for s in syms:
+            sub[s] += f
+    want_sub = sorted(sub.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    got_sub = [
+        (r["subword"], r["n_occurrences"])
+        for r in QUERIES["bpe_subword_stats"](spark, sf_dir).collect()
+    ]
+    assert got_sub == want_sub
