@@ -15,9 +15,9 @@ first 50 in registration order; r2: the 50 r1 left unverified; r3: the
 r4: the 25 r3-overflow + 3 re-rotated ETL composites + 18 r4 additions
 + 4 refactor re-validations — closing the union at 188/188 checked).
 Round 5's window (see _ROUND5_PRIORITY below) is additions + freshness:
-12 new queries, the 8 post-freeze-rewrite queries VERDICT r4 flagged
+13 new queries, the 8 post-freeze-rewrite queries VERDICT r4 flagged
 (their shipped formulations were never under the driver's gate), 5
-re-validations of operators round 5 touched, and 25 oldest-row (r1
+re-validations of operators round 5 touched, and 24 oldest-row (r1
 cohort) re-proofs. NOTES_r3/r4/r5.md carry the per-round rotation
 ledger so the judge can union the rounds without re-deriving cohorts.
 """
@@ -42,33 +42,35 @@ from movies_etl_spark.plans import queries_scale  # noqa: E402,F401
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
-# Round-5 window (exactly 50; registered total 200 — all 188 prior
+# Round-5 window (exactly 50; registered total 201 — all 188 prior
 # queries carry green rows across r1∪r2∪r3∪r4, so this round's window is
-# freshness + the 12 round-5 additions; NOTES_r5.md carries the ledger):
-#   1-12:  round-5 additions (AQE-off salted proof, incremental MinHash
+# freshness + the 13 round-5 additions; NOTES_r5.md carries the ledger):
+#   1-13:  round-5 additions (AQE-off salted proof, incremental MinHash
 #          index maintenance, streaming LSH near-dedup, mergeable
 #          quantile sketch, retrieve→rerank, portable-HLL distinct
 #          sketch, count-min heavy hitters, SemDeDup composite, AQE-off
 #          salted skew JOIN, runtime bloom-filter join pruning, BPE
-#          tokenizer training + its encode/apply stage).
-#  13-20:  the VERDICT r4 freshness list — queries whose implementations
+#          tokenizer training + its encode/apply stage, streaming HLL
+#          distinct maintenance).
+#  14-21:  the VERDICT r4 freshness list — queries whose implementations
 #          were rewritten AFTER the r4 driver run froze (triangle
 #          adjacency form, entropy GROUPING SETS form, the staged/fused
 #          prune_and_validated_cast ETL path + validation family), so
 #          the SHIPPED formulations finally earn driver rows.
-#  21-25:  re-validation of green queries whose underlying operators
+#  22-26:  re-validation of green queries whose underlying operators
 #          round 5 touched (salted_groupby_agg twin, banding machinery
 #          shared with the incremental/streaming paths, int8 functions
 #          now also feeding the retrieve stage).
-#  26-50:  oldest-row freshness rotation — the r1 cohort in registration
+#  27-50:  oldest-row freshness rotation — the r1 cohort in registration
 #          order (their rows are 4 rounds old; everything is green, so
 #          the marginal slot is best spent re-proving the oldest claims
-#          against today's code). Seven r1 slots rotated out to fund the
-#          late-r5 additions: the three csv/json scans, orderby_limit,
-#          fillna_zero and fill_if_zero (untouched since r1; the
-#          coalesce logic also rides inside pivot_counts, which stays
-#          in the window), and from_unix_seconds (already re-proved
-#          green in r4 via the ETL re-rotation).
+#          against today's code). Eight r1 slots rotated out to fund
+#          the late-r5 additions: the three csv/json scans,
+#          orderby_limit, fillna_zero and fill_if_zero (untouched since
+#          r1; the coalesce logic also rides inside pivot_counts, which
+#          stays in the window), set_except (its machinery shared with
+#          set_union/set_intersect, which stay), and from_unix_seconds
+#          (already re-proved green in r4 via the ETL re-rotation).
 _ROUND5_PRIORITY = [
     # round-5 additions
     "groupby_count_salted_aqe_off",
@@ -83,6 +85,7 @@ _ROUND5_PRIORITY = [
     "bloom_join_prune",
     "bpe_train_merges",
     "bpe_subword_stats",
+    "streaming_hll_distinct",
     # VERDICT r4 post-freeze-rewrite freshness
     "triangle_count",
     "entropy_profile",
@@ -122,7 +125,6 @@ _ROUND5_PRIORITY = [
     "dedup_by_key",
     "set_union",
     "set_intersect",
-    "set_except",
     "topk_per_group",
 ]
 

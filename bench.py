@@ -141,6 +141,7 @@ HEADLINE = [
     "bloom_join_prune",
     "bpe_train_merges",
     "bpe_subword_stats",
+    "streaming_hll_distinct",
 ]
 
 

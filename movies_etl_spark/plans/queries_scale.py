@@ -1864,3 +1864,67 @@ def q_bpe_subword_stats(spark, sf_dir):
         .orderBy(F.col("n_occurrences").desc(), "subword")
         .limit(30)
     )
+
+
+_STREAM_HLL_ORACLE = """
+    WITH e AS (SELECT CAST(date_trunc('day',
+                      CAST(date_trunc('second', ts) AS TIMESTAMP)) AS DATE)
+                        AS day,
+                      user_id
+               FROM events),
+    h AS (SELECT day,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+          FROM e),
+    rr AS (SELECT day, h // 2251799813685248 AS register,
+                  h % 2251799813685248 AS rest
+           FROM h),
+    rho0 AS (SELECT day, register,
+                    CASE WHEN rest = 0 THEN 52
+                         ELSE 52 - length(bin(rest)) END AS rho
+             FROM rr),
+    regs AS (SELECT day, register, max(rho) AS rho
+             FROM rho0 GROUP BY day, register),
+    est_in AS (SELECT day,
+                      sum(1::BIGINT << (52 - rho)) AS s_present,
+                      count(*) AS n_present
+               FROM regs GROUP BY day),
+    e2 AS (SELECT day,
+                  CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+                      + CAST(1.079 AS DOUBLE) / 512) * 512 * 512
+                  / (CAST(s_present + (512 - n_present) * (1::BIGINT << 52)
+                          AS DOUBLE)
+                     / CAST(1::BIGINT << 52 AS DOUBLE)) AS e_raw,
+                  CAST(512 - n_present AS DOUBLE) AS v_zero
+           FROM est_in)
+    SELECT day,
+           round(CASE WHEN e_raw <= CAST(2.5 AS DOUBLE) * 512 AND v_zero > 0
+                      THEN CAST(512 AS DOUBLE) * ln(CAST(512 AS DOUBLE)
+                                                    / v_zero)
+                      ELSE e_raw END, 2) AS est_distinct
+    FROM e2
+"""
+
+
+@query("streaming_hll_distinct", oracle=_STREAM_HLL_ORACLE)
+def q_streaming_hll_distinct(spark, sf_dir):
+    """Streaming incremental distinct-count maintenance: per-day
+    distinct users kept up to date per micro-batch by merging HLL
+    register tables in foreachBatch (streaming/ops.
+    incremental_distinct_rollup). Distinctness is the aggregate
+    additive rollups CANNOT maintain incrementally — a batch
+    COUNT(DISTINCT) re-reads all of history on every refresh, while the
+    ≤ m-row register table is the bounded mergeable state that makes it
+    O(batch) — this is the streaming twin of hll_distinct_shards, on
+    the versioned-state discipline of streaming_incremental_rollup
+    (idempotent retries, readers see only complete versions).
+
+    Because the register-max merge is associative and the md5 hashing
+    deterministic, the post-stream register table equals the
+    whole-input sketch EXACTLY, so the per-day estimates match the
+    oracle's one-shot replay bit-for-bit — the maintenance invariant
+    under the driver's gate."""
+    from movies_etl_spark.streaming import ops
+
+    work = _scratch("stream_hll", sf_dir)
+    return ops.incremental_distinct_rollup(spark, sf_dir, work)

@@ -669,3 +669,67 @@ def _load_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return readers.load_table(spark, sf_dir, "events")
 
+
+
+def incremental_distinct_rollup(
+    spark: SparkSession, sf_dir: str, work_dir: str, n_source_files: int = 4
+) -> DataFrame:
+    """Incremental DISTINCT-count maintenance: a foreachBatch sink keeps
+    per-day HyperLogLog register tables continuously merged as event
+    batches arrive — the streaming complement of hll_distinct_shards,
+    and the operator that answers "distinct users per day, updated per
+    batch" without ever re-scanning history (a batch COUNT(DISTINCT)
+    re-reads everything; additive rollups can't express distinctness —
+    the HLL register table is the only bounded mergeable state for it).
+
+    Each micro-batch reduces to (day, register, rho) partials
+    (sketch.hll_partials — ≤ m=512 rows per day regardless of batch
+    size) and merges them into the previous state by REGISTER-MAX,
+    written batch-id-versioned exactly like incremental_hourly_rollup
+    (idempotent retries, readers see only complete versions). Because
+    the max-merge is associative and the hashing is deterministic md5,
+    the final register table equals the whole-input sketch EXACTLY —
+    so the estimates match the batch one-shot replay bit-for-bit (the
+    oracle invariant), not merely approximately."""
+    from movies_etl_spark.operators import sketch as SK
+
+    ev = _load_events_batch(spark, sf_dir)
+    src = f"{work_dir}/src"
+    ev.select(
+        F.date_trunc("day", F.date_trunc("second", F.col("ts")))
+        .cast("date")
+        .alias("day"),
+        F.col("user_id").cast("long").alias("user_id"),
+    ).repartition(n_source_files).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("day DATE, user_id BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(src)
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        part = SK.hll_partials(batch_df, "user_id", "day").withColumnRenamed(
+            "shard", "day"
+        )
+        prior = _agg_versions(work_dir, upto=batch_id)
+        if prior:
+            prev = spark.read.parquet(f"{work_dir}/agg/v={prior[-1]}")
+            part = (
+                prev.unionByName(part)
+                .groupBy("day", "register")
+                .agg(F.max("rho").alias("rho"))
+            )
+        part.write.mode("overwrite").parquet(f"{work_dir}/agg/v={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{work_dir}/_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    last = _agg_versions(work_dir)[-1]
+    regs = spark.read.parquet(f"{work_dir}/agg/v={last}")
+    return SK.hll_estimate(regs, ["day"])

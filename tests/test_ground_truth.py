@@ -1845,3 +1845,27 @@ def test_bpe_train_matches_independent_python_trainer(spark, sf_dir):
         for r in QUERIES["bpe_subword_stats"](spark, sf_dir).collect()
     ]
     assert got_sub == want_sub
+
+
+def test_streaming_hll_distinct_within_bounds_of_exact(spark, sf_dir):
+    """Streaming-HLL witness: exact per-day distinct users recomputed
+    with pandas nunique (no Spark, no SQL, no sketch); every streamed
+    estimate must land within 3 standard errors (3·1.04/√512 ≈ 14%) of
+    the exact count, and the day coverage must match exactly."""
+    import math
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    days = pd.to_datetime(ev.ts).dt.date
+    exact = ev.groupby(days).user_id.nunique()
+
+    got = {
+        r["day"]: r["est_distinct"]
+        for r in QUERIES["streaming_hll_distinct"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(exact.index)
+    tol = 3 * 1.04 / math.sqrt(512)
+    for day, est in got.items():
+        ex = exact[day]
+        assert abs(est - ex) / ex <= tol, (day, est, ex)
