@@ -142,13 +142,14 @@ def hll_partials(df: DataFrame, key_col: str, shard_col) -> DataFrame:
     h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10).cast(
         "long"
     )
-    reg = F.floor(h / F.lit(1 << HLL_W)).cast("long")
+    reg = F.shiftright(h, HLL_W)
     rest = h % F.lit(1 << HLL_W)
     rho = F.when(rest == 0, F.lit(HLL_W + 1)).otherwise(
         F.lit(HLL_W + 1) - F.length(F.bin(rest))
     )
     return (
-        df.select(_as_shard(shard_col), reg.alias("register"), rho.alias("rho"))
+        df.filter(F.col(key_col).isNotNull())  # HLL counts non-null keys
+        .select(_as_shard(shard_col), reg.alias("register"), rho.alias("rho"))
         .groupBy("shard", "register")
         .agg(F.max("rho").alias("rho"))
     )
@@ -175,7 +176,9 @@ def hll_estimate(registers: DataFrame, group_cols: list[str] | None = None) -> D
     gcols = list(group_cols or [])
     term = F.expr(f"shiftleft(cast(1 as bigint), {HLL_W + 1} - rho)")
     agg = registers.groupBy(*gcols).agg(
-        F.sum(term).alias("s_present"),
+        # coalesce: an ungrouped aggregate over ZERO register rows yields
+        # a NULL sum — an empty sketch must estimate 0 distinct, not NULL
+        F.coalesce(F.sum(term), F.lit(0)).alias("s_present"),
         F.count(F.lit(1)).alias("n_present"),
     )
     full = F.lit(1 << (HLL_W + 1))
