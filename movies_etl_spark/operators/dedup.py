@@ -316,13 +316,15 @@ def cosine_pairs_vectorized(
             {
                 "id_a": ids[iu[sel]],
                 "id_b": ids[ju[sel]],
-                "label": pdf[block_col].iloc[0],
+                block_col: pdf[block_col].iloc[0],
                 "sim": np.round(sims[iu, ju][sel], 4),
             }
         )
 
+    block_type = df.schema[block_col].dataType.simpleString()
     return df.select(id_col, vec_col, block_col).groupBy(block_col).applyInPandas(
-        per_block, "id_a bigint, id_b bigint, label int, sim double"
+        per_block,
+        f"id_a bigint, id_b bigint, {block_col} {block_type}, sim double",
     )
 
 
