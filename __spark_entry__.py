@@ -15,9 +15,9 @@ first 50 in registration order; r2: the 50 r1 left unverified; r3: the
 r4: the 25 r3-overflow + 3 re-rotated ETL composites + 18 r4 additions
 + 4 refactor re-validations — closing the union at 188/188 checked).
 Round 5's window (see _ROUND5_PRIORITY below) is additions + freshness:
-13 new queries, the 8 post-freeze-rewrite queries VERDICT r4 flagged
+14 new queries, the 8 post-freeze-rewrite queries VERDICT r4 flagged
 (their shipped formulations were never under the driver's gate), 5
-re-validations of operators round 5 touched, and 24 oldest-row (r1
+re-validations of operators round 5 touched, and 23 oldest-row (r1
 cohort) re-proofs. NOTES_r3/r4/r5.md carry the per-round rotation
 ledger so the judge can union the rounds without re-deriving cohorts.
 """
@@ -42,41 +42,43 @@ from movies_etl_spark.plans import queries_scale  # noqa: E402,F401
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
-# Round-5 window (exactly 50; registered total 201 — all 188 prior
+# Round-5 window (exactly 50; registered total 202 — all 188 prior
 # queries carry green rows across r1∪r2∪r3∪r4, so this round's window is
-# freshness + the 13 round-5 additions; NOTES_r5.md carries the ledger):
-#   1-13:  round-5 additions (AQE-off salted proof, incremental MinHash
+# freshness + the 14 round-5 additions; NOTES_r5.md carries the ledger):
+#   1-14:  round-5 additions (AQE-off salted proof, incremental MinHash
 #          index maintenance, streaming LSH near-dedup, mergeable
-#          quantile sketch, retrieve→rerank, portable-HLL distinct
-#          sketch, count-min heavy hitters, SemDeDup composite, AQE-off
-#          salted skew JOIN, runtime bloom-filter join pruning, BPE
-#          tokenizer training + its encode/apply stage, streaming HLL
-#          distinct maintenance).
-#  14-21:  the VERDICT r4 freshness list — queries whose implementations
+#          quantile sketch + its per-group form, retrieve→rerank,
+#          portable-HLL distinct sketch, count-min heavy hitters,
+#          SemDeDup composite, AQE-off salted skew JOIN, runtime
+#          bloom-filter join pruning, BPE tokenizer training + its
+#          encode/apply stage, streaming HLL distinct maintenance).
+#  15-22:  the VERDICT r4 freshness list — queries whose implementations
 #          were rewritten AFTER the r4 driver run froze (triangle
 #          adjacency form, entropy GROUPING SETS form, the staged/fused
 #          prune_and_validated_cast ETL path + validation family), so
 #          the SHIPPED formulations finally earn driver rows.
-#  22-26:  re-validation of green queries whose underlying operators
+#  23-27:  re-validation of green queries whose underlying operators
 #          round 5 touched (salted_groupby_agg twin, banding machinery
 #          shared with the incremental/streaming paths, int8 functions
 #          now also feeding the retrieve stage).
-#  27-50:  oldest-row freshness rotation — the r1 cohort in registration
+#  28-50:  oldest-row freshness rotation — the r1 cohort in registration
 #          order (their rows are 4 rounds old; everything is green, so
 #          the marginal slot is best spent re-proving the oldest claims
-#          against today's code). Eight r1 slots rotated out to fund
+#          against today's code). Nine r1 slots rotated out to fund
 #          the late-r5 additions: the three csv/json scans,
 #          orderby_limit, fillna_zero and fill_if_zero (untouched since
 #          r1; the coalesce logic also rides inside pivot_counts, which
-#          stays in the window), set_except (its machinery shared with
-#          set_union/set_intersect, which stay), and from_unix_seconds
-#          (already re-proved green in r4 via the ETL re-rotation).
+#          stays in the window), set_except and set_intersect (their
+#          machinery shared with set_union, which stays), and
+#          from_unix_seconds (already re-proved green in r4 via the ETL
+#          re-rotation).
 _ROUND5_PRIORITY = [
     # round-5 additions
     "groupby_count_salted_aqe_off",
     "dedup_minhash_incremental",
     "streaming_lsh_dedup",
     "quantile_sketch_merge",
+    "quantile_sketch_by_group",
     "ann_rerank",
     "hll_distinct_shards",
     "heavy_hitters_cms",
@@ -124,7 +126,6 @@ _ROUND5_PRIORITY = [
     "collect_map_column",
     "dedup_by_key",
     "set_union",
-    "set_intersect",
     "topk_per_group",
 ]
 

@@ -142,6 +142,7 @@ HEADLINE = [
     "bpe_train_merges",
     "bpe_subword_stats",
     "streaming_hll_distinct",
+    "quantile_sketch_by_group",
 ]
 
 

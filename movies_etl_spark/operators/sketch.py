@@ -47,63 +47,97 @@ def equidepth_centroids(
     shard_col: str,
     order_cols: Sequence[str],
     k: int = 100,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Per-shard partial sketch: rank values within the shard
     (deterministic tie-break via ``order_cols``), cut into ``k``
     equi-depth buckets, and reduce each bucket to a (mean, weight)
-    centroid. Returns (shard, bucket, m, w).
+    centroid. Returns (*group_cols, shard, bucket, m, w) —
+    ``group_cols`` scopes everything (sketch per group per shard, e.g.
+    per (priority, day)), empty for a global sketch.
 
     The rank window shuffles each shard's values once — the same shuffle
     class as any per-shard sort — and the centroid reduction is a
     map-side-combinable groupBy. At 100 TB the shard column is the
     physical partition (day, source file group), so the window never
-    crosses partitions and the output is ~shards·k rows."""
-    w_rank = Window.partitionBy(shard_col).orderBy(
+    crosses partitions and the output is ~groups·shards·k rows."""
+    gcols = list(group_cols)
+    w_rank = Window.partitionBy(*gcols, shard_col).orderBy(
         F.col(value_col), *[F.col(c) for c in order_cols]
     )
-    w_shard = Window.partitionBy(shard_col)
+    w_shard = Window.partitionBy(*gcols, shard_col)
     ranked = df.select(
+        *gcols,
         F.col(shard_col).alias("shard"),
         F.col(value_col).alias("v"),
         (F.row_number().over(w_rank) - 1).alias("rn"),
         F.count(F.lit(1)).over(w_shard).alias("n_s"),
     )
     bucket = F.floor(F.col("rn") * k / F.col("n_s")).cast("bigint")
-    return ranked.groupBy("shard", bucket.alias("bucket")).agg(
+    return ranked.groupBy(*gcols, "shard", bucket.alias("bucket")).agg(
         F.avg("v").alias("m"), F.count(F.lit(1)).alias("w")
     )
 
 
 def merge_centroid_quantiles(
-    centroids: DataFrame, quantiles: Sequence[float]
+    centroids: DataFrame,
+    quantiles: Sequence[float],
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Merge partial sketches into quantile estimates: order ALL shard
     centroids by (mean, shard, bucket) — the deterministic total order —
     take the running weight, and for each q return the mean of the first
-    centroid whose cumulative weight reaches q·N. Returns (q, est) with
-    est UNROUNDED — callers round exactly once at their output scale
+    centroid whose cumulative weight reaches q·N. With ``group_cols``
+    the whole computation runs per group (the per-group-percentile
+    dashboard from partials). Returns (*group_cols, q, est) with est
+    UNROUNDED — callers round exactly once at their output scale
     (double-rounding at two scales can flip the last digit vs an oracle
     that rounds once).
 
     This is the associative merge: ``centroids`` may itself be the union
     of previously merged centroid tables (shard → region → global), and
-    the input is centroid rows only — the raw values are never re-read."""
-    w_cum = Window.orderBy("m", "shard", "bucket").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    the input is centroid rows only — the raw values are never re-read.
+    The quantile probes are a tiny broadcast side (|groups|·|qs| rows)
+    against the centroid table."""
+    gcols = list(group_cols)
+    w_cum = (
+        Window.partitionBy(*gcols)
+        .orderBy("m", "shard", "bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*gcols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     ordered = centroids.select(
+        *gcols,
         "m",
         F.sum("w").over(w_cum).alias("cum"),
-        F.sum("w").over(
-            Window.partitionBy().rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("total"),
+        F.sum("w").over(w_tot).alias("total"),
     )
     qs = F.array(*[F.lit(float(q)) for q in quantiles])
-    qdf = centroids.sparkSession.range(1).select(
-        F.explode(qs).alias("q")
-    )
+    if gcols:
+        qdf = (
+            centroids.select(*gcols)
+            .distinct()
+            .select(
+                *[F.col(c).alias(f"__g_{c}") for c in gcols],
+                F.explode(qs).alias("q"),
+            )
+        )
+        cond = F.col("cum") >= F.col("q") * F.col("total")
+        for c in gcols:
+            cond = cond & (F.col(f"__g_{c}") == F.col(c))
+        hit = qdf.join(ordered, cond, "inner")
+        return (
+            hit.groupBy(*[f"__g_{c}" for c in gcols], "q")
+            .agg(F.min_by("m", "cum").alias("m_sel"))
+            .select(
+                *[F.col(f"__g_{c}").alias(c) for c in gcols],
+                "q",
+                F.col("m_sel").alias("est"),
+            )
+        )
+    qdf = centroids.sparkSession.range(1).select(F.explode(qs).alias("q"))
     hit = qdf.join(
         ordered, F.col("cum") >= F.col("q") * F.col("total"), "inner"
     )

@@ -1927,3 +1927,69 @@ def q_streaming_hll_distinct(spark, sf_dir):
 
     work = _scratch("stream_hll", sf_dir)
     return ops.incremental_distinct_rollup(spark, sf_dir, work)
+
+
+_QSKETCH_GROUP_ORACLE = """
+    WITH vals0 AS (
+      SELECT o_orderpriority AS grp, o_orderkey % 4 AS shard,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS v, o_orderkey
+      FROM orders
+    ),
+    vals AS (
+      SELECT grp, shard, v,
+             row_number() OVER (PARTITION BY grp, shard
+                                ORDER BY v, o_orderkey) - 1 AS rn,
+             count(*) OVER (PARTITION BY grp, shard) AS n_s
+      FROM vals0
+    ),
+    cent AS (
+      SELECT grp, shard, CAST(floor(rn * 100 / n_s) AS BIGINT) AS bucket,
+             avg(v) AS m, count(*) AS w
+      FROM vals GROUP BY 1, 2, 3
+    ),
+    ordered AS (
+      SELECT grp, m,
+             sum(w) OVER (PARTITION BY grp ORDER BY m, shard, bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             sum(w) OVER (PARTITION BY grp) AS total
+      FROM cent
+    ),
+    qs AS (SELECT unnest([0.25, 0.5, 0.95]) AS q)
+    SELECT grp AS o_orderpriority, q,
+           round(arg_min(m, cum) / 100, 2) AS est
+    FROM qs JOIN ordered ON cum >= q * total
+    GROUP BY grp, q
+"""
+
+
+@query("quantile_sketch_by_group", oracle=_QSKETCH_GROUP_ORACLE)
+def q_quantile_sketch_by_group(spark, sf_dir):
+    """Per-GROUP quantiles from mergeable centroid partials — the
+    at-scale swap for percentile_by_group the way quantile_sketch_merge
+    is for describe_stats: order-price p25/p50/p95 per order priority,
+    computed entirely from per-(group, shard) equi-depth centroid
+    tables (operators.sketch with group_cols) so group-level percentile
+    dashboards merge daily shard sketches instead of re-ranking raw
+    values. Same exact-integer-cents portability and single-rounding
+    discipline as the global query; shuffle cost is one rank window per
+    (group, shard) plus a ~groups·shards·k-row centroid merge, and the
+    quantile probes are a |groups|·|qs|-row broadcast side."""
+    from movies_etl_spark.operators import sketch as SK
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority"),
+        (F.col("o_orderkey") % 4).alias("shard_in"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    cent = SK.equidepth_centroids(
+        o, "cents", "shard_in", ["o_orderkey"], k=100,
+        group_cols=["o_orderpriority"],
+    )
+    out = SK.merge_centroid_quantiles(
+        cent, [0.25, 0.5, 0.95], group_cols=["o_orderpriority"]
+    )
+    return out.select(
+        "o_orderpriority", "q", F.round(F.col("est") / 100, 2).alias("est")
+    )

@@ -643,3 +643,47 @@ def test_cms_point_estimate_unknown_key_is_zero(spark):
     cands = spark.range(1).select(F.lit("never-inserted-key").alias("k"))
     est = SK.cms_point_estimate(merged, cands, "k").collect()
     assert len(est) == 1 and est[0]["cms_est"] == 0
+
+
+def test_grouped_quantile_sketch_bounds_per_group(spark, sf_dir, duck):
+    """Per-group sketch estimates must sit inside each group's exact
+    ±3% RANK window (groups are ~5× smaller than the global table, so
+    per-shard centroid width — hence rank error — is proportionally
+    coarser), recomputed at 2 and 4 shards per group. Witness machinery
+    is quantile_cont per group — independent of the sketch replica."""
+    from movies_etl_spark.operators import sketch as SK
+    from movies_etl_spark.sources import readers
+
+    QS = [0.25, 0.5, 0.95]
+    margin = 0.03
+    windows = {}
+    for q in QS:  # quantile_cont requires constant fractions
+        for grp, lo, hi in duck.execute(
+            f"""SELECT o_orderpriority,
+                       quantile_cont(o_totalprice, {max(q - margin, 0.0)}),
+                       quantile_cont(o_totalprice, {min(q + margin, 1.0)})
+                FROM orders GROUP BY o_orderpriority"""
+        ).fetchall():
+            windows[(grp, q)] = (lo, hi)
+
+    o = readers.load_table(spark, sf_dir, "orders")
+    for n_shards in (2, 4):
+        sharded = o.select(
+            "o_orderpriority",
+            (F.col("o_orderkey") % n_shards).alias("shard"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            "o_orderkey",
+        )
+        cent = SK.equidepth_centroids(
+            sharded, "cents", "shard", ["o_orderkey"], k=100,
+            group_cols=["o_orderpriority"],
+        )
+        got = {
+            (r["o_orderpriority"], r["q"]): r["est"] / 100
+            for r in SK.merge_centroid_quantiles(
+                cent, QS, group_cols=["o_orderpriority"]
+            ).collect()
+        }
+        assert set(got) == set(windows)
+        for key, (lo, hi) in windows.items():
+            assert lo - 0.01 <= got[key] <= hi + 0.01, (n_shards, key, got[key], lo, hi)
