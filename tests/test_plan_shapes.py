@@ -614,3 +614,45 @@ def test_bloom_filter_lands_in_fact_scan(spark, sf_dir):
             prev_thresh,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+def test_sketch_queries_plan_shapes(spark, sf_dir):
+    """Scale-shape regressions for the sketch/semantic suite: no
+    cartesian products anywhere; the CMS candidate probe and the
+    quantile-probe joins stay broadcast (tiny sides); HashAggregate
+    partials exist (map-side combine) for the partial stages."""
+    for name, checks in {
+        # the only nested-loop is the documented 1-row global-estimate
+        # cross join; everything else hash/broadcast
+        "hll_distinct_shards": {"CartesianProduct": 0},
+        "heavy_hitters_cms": {
+            "CartesianProduct": 0,
+            "SortMergeJoin": 0,
+            "BroadcastNestedLoopJoin": 0,
+        },
+        "quantile_sketch_by_group": {
+            "CartesianProduct": 0,
+            "SortMergeJoin": 0,
+            "BroadcastNestedLoopJoin": 0,
+        },
+        "bpe_subword_stats": {
+            "CartesianProduct": 0,
+            "SortMergeJoin": 0,
+            "BroadcastNestedLoopJoin": 0,
+        },
+    }.items():
+        plan = _plan(spark, sf_dir, name)
+        for node, want in checks.items():
+            assert _nodes(plan, node) == want, (name, node, plan[:1500])
+        assert _nodes(plan, "HashAggregate") >= 2, name  # partial+final
+
+
+def test_semdedup_pairs_stay_blocked(spark, sf_dir):
+    """The SemDeDup pair stage must remain the guarded per-block
+    Python kernel (one FlatMapGroupsInPandas over the cell key), never
+    an unblocked pairwise join: no cartesian products, and exactly the
+    kmeans broadcast-centroid nested loops (2 iterations × assignment),
+    not a pairwise one."""
+    plan = _plan(spark, sf_dir, "dedup_semantic_clusters")
+    assert _nodes(plan, "CartesianProduct") == 0
+    assert _nodes(plan, "FlatMapGroupsInPandas") == 1, plan[:1500]
