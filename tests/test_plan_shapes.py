@@ -656,3 +656,45 @@ def test_semdedup_pairs_stay_blocked(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_semantic_clusters")
     assert _nodes(plan, "CartesianProduct") == 0
     assert _nodes(plan, "FlatMapGroupsInPandas") == 1, plan[:1500]
+
+
+def test_zorder_layout_actually_prunes_row_groups(spark, sf_dir, tmp_path):
+    """zorder_key's claim, proven with scan metrics instead of prose:
+    write the same table in a hash-random layout and in the
+    repartitionByRange(zkey)+sortWithinPartitions(zkey) layout the
+    docstring names as the write-side companion, scan both with the
+    same 2-D box predicate, and compare the parquet scan's
+    numOutputRows. The z-ordered layout must let min/max row-group
+    statistics discard a majority of rows before the filter (measured:
+    1500 → 375 at sf0.001, 4× pruning) while the random layout reads
+    everything; both layouts must return identical matches."""
+    from pyspark.sql import functions as F
+
+    zdf = QUERIES["zorder_key"](spark, sf_dir)
+    rand_path = str(tmp_path / "rand")
+    zord_path = str(tmp_path / "zord")
+    zdf.repartition(16).write.mode("overwrite").parquet(rand_path)
+    (
+        zdf.repartitionByRange(16, "zkey")
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite")
+        .parquet(zord_path)
+    )
+
+    pred = "x >= 30 AND x < 80 AND y >= 1200 AND y < 1600"
+
+    def scan(path):
+        df = spark.read.parquet(path).filter(pred)
+        rows = df.collect()
+        ep = df._jdf.queryExecution().executedPlan()
+        scanned = ep.collectLeaves().apply(0).metrics().apply("numOutputRows").value()
+        return {r["o_orderkey"] for r in rows}, scanned
+
+    rand_rows, rand_scanned = scan(rand_path)
+    zord_rows, zord_scanned = scan(zord_path)
+    assert zord_rows == rand_rows and len(rand_rows) > 0
+    # random layout: every file spans the full key space -> no pruning
+    total = zdf.count()
+    assert rand_scanned == total
+    # z-ordered: min/max stats must discard at least half the rows
+    assert zord_scanned <= rand_scanned / 2, (zord_scanned, rand_scanned)
