@@ -143,6 +143,7 @@ HEADLINE = [
     "bpe_subword_stats",
     "streaming_hll_distinct",
     "quantile_sketch_by_group",
+    "feature_hash_vectorize",
 ]
 
 

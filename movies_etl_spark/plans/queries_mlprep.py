@@ -611,3 +611,74 @@ def q_stratified_kfold_assign(spark, sf_dir):
         "lang",
         ((F.row_number().over(w) - 1) % 5).cast("long").alias("fold"),
     )
+
+
+# ===========================================================================
+# Hashing-trick vectorization
+# ===========================================================================
+
+
+@query(
+    "feature_hash_vectorize",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                 FROM documents WHERE doc_id < 50),
+    h AS (SELECT doc_id,
+                 ('0x' || substr(md5('fh:' || t), 1, 12))::BIGINT AS hv
+          FROM tok WHERE t <> ''),
+    sgn AS (SELECT doc_id, hv % 256 AS dim,
+                   CASE WHEN (hv >> 20) & 1 = 1 THEN 1 ELSE -1 END AS s
+            FROM h),
+    agg AS (SELECT doc_id, dim, CAST(sum(s) AS BIGINT) AS w
+            FROM sgn GROUP BY doc_id, dim),
+    nz AS (SELECT * FROM agg WHERE w <> 0)
+    SELECT doc_id, dim, w,
+           round(w / sqrt(sum(CAST(w * w AS DOUBLE))
+                 OVER (PARTITION BY doc_id)), 6) AS w_l2
+    FROM nz
+    """,
+)
+def q_feature_hash_vectorize(spark, sf_dir):
+    """Hashing-trick text vectorization (Weinberger et al. 2009; the
+    HashingVectorizer semantics with alternate signs): token → md5
+    bucket in a fixed 256-dim space, sign from an independent hash bit
+    (unbiases collisions in expectation), per-(doc, dim) signed counts,
+    zero entries dropped, L2-normalized — the stateless featurizer for
+    streaming/online training where a fitted vocabulary is impossible
+    (no vocab table, no fit pass, any engine reproduces the features).
+
+    Pure map + one (doc, dim) groupBy with map-side partials + one
+    per-doc window on the ≤256-dim sparse rows — no vocabulary-sized
+    state anywhere, which is the point of the trick at 100 TB. Hashing
+    is the engine-portable purpose-salted md5 ('fh:' salt); weights are
+    exact integers until the single L2 division, rounded once."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("fh:"), F.col("t"))), 1, 12), 16, 10
+    ).cast("long")
+    sgn = tok.select(
+        "doc_id",
+        (hv % 256).alias("dim"),
+        F.when(F.shiftright(hv, 20) % 2 == 1, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("s"),
+    )
+    agg = (
+        sgn.groupBy("doc_id", "dim")
+        .agg(F.sum("s").alias("w"))
+        .filter(F.col("w") != 0)
+    )
+    w_doc = Window.partitionBy("doc_id")
+    return agg.select(
+        "doc_id",
+        "dim",
+        "w",
+        F.round(
+            F.col("w")
+            / F.sqrt(F.sum((F.col("w") * F.col("w")).cast("double")).over(w_doc)),
+            6,
+        ).alias("w_l2"),
+    )

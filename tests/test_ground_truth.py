@@ -1869,3 +1869,39 @@ def test_streaming_hll_distinct_within_bounds_of_exact(spark, sf_dir):
     for day, est in got.items():
         ex = exact[day]
         assert abs(est - ex) / ex <= tol, (day, est, ex)
+
+
+def test_feature_hash_matches_independent_python(spark, sf_dir):
+    """Hashing-trick witness: recompute the signed bucket sums and the
+    L2 normalization with hashlib + a plain dict — every sparse entry
+    must match (integer weights exactly, normalized weights to the
+    output rounding)."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = docs[docs.doc_id < 50]
+    want: dict = {}
+    for _, row in docs.iterrows():
+        buckets: dict = {}
+        for t in row.text.split(" "):
+            if not t:
+                continue
+            hv = int(hashlib.md5(f"fh:{t}".encode()).hexdigest()[:12], 16)
+            s = 1 if (hv >> 20) & 1 else -1
+            buckets[hv % 256] = buckets.get(hv % 256, 0) + s
+        nz = {d: w for d, w in buckets.items() if w != 0}
+        nrm = math.sqrt(sum(w * w for w in nz.values()))
+        for d, w in nz.items():
+            want[(int(row.doc_id), d)] = (w, _round_half_up(w / nrm, 6))
+
+    got = {
+        (r["doc_id"], r["dim"]): (r["w"], r["w_l2"])
+        for r in QUERIES["feature_hash_vectorize"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for key, (w, wl2) in got.items():
+        assert w == want[key][0], (key, w, want[key])
+        assert abs(wl2 - want[key][1]) <= 1e-6, (key, wl2, want[key])
