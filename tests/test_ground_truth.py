@@ -1905,3 +1905,34 @@ def test_feature_hash_matches_independent_python(spark, sf_dir):
     for key, (w, wl2) in got.items():
         assert w == want[key][0], (key, w, want[key])
         assert abs(wl2 - want[key][1]) <= 1e-6, (key, wl2, want[key])
+
+
+def test_data_quality_gate_matches_pandas_battery(spark, sf_dir):
+    """Quality-gate witness: recompute every expectation with pandas
+    set/filter logic — observed violation counts and pass verdicts must
+    match, including the deliberately failing price-cap check."""
+    import pandas as pd
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    want = {
+        "not_null:o_orderkey": int(o.o_orderkey.isna().sum()),
+        "unique:o_orderkey": int(len(o) - o.o_orderkey.nunique()),
+        "range:o_totalprice>0": int((o.o_totalprice <= 0).sum()),
+        "accepted_values:o_orderstatus": int(
+            (~o.o_orderstatus.isin(["F", "O", "P"])).sum()
+        ),
+        "range:o_totalprice<=400000": int((o.o_totalprice > 400000).sum()),
+        "fk:lineitem.l_orderkey->orders": int(
+            (~li.l_orderkey.isin(set(o.o_orderkey))).sum()
+        ),
+    }
+    got = {
+        r["check_name"]: (r["observed"], r["passed"])
+        for r in QUERIES["data_quality_gate"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for name, obs in want.items():
+        assert got[name] == (obs, obs == 0), (name, got[name], obs)
+    # the gate must be able to FAIL: at sf0.01 the price cap trips; at
+    # other SFs just assert verdict consistency (checked above)
