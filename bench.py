@@ -145,6 +145,7 @@ HEADLINE = [
     "quantile_sketch_by_group",
     "feature_hash_vectorize",
     "data_quality_gate",
+    "quantile_sketch_cdf",
 ]
 
 

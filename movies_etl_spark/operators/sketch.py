@@ -298,3 +298,53 @@ def cms_point_estimate(merged: DataFrame, candidates: DataFrame, key_col: str) -
         key_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
     )
     return joined.groupBy(key_col).agg(F.min("cnt").alias("cms_est"))
+
+
+def cdf_from_centroids(
+    centroids: DataFrame,
+    probes: Sequence[float],
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The quantile dual: estimated CDF (rank fraction) at each probe
+    value, read from the SAME centroid tables merge_centroid_quantiles
+    consumes — rank(v) ≈ weight of centroids with mean ≤ v over total
+    weight. One sketch table serves both directions (quantile lookup
+    and percentile-rank lookup), which is the operational point: the
+    partials are stored once and answer both dashboards. Probes are a
+    tiny broadcast side; the estimate inherits the ~1/k-per-shard rank
+    error contract. Returns (*group_cols, probe, est_cdf UNROUNDED)."""
+    gcols = list(group_cols)
+    pr = F.array(*[F.lit(float(p)) for p in probes])
+    if gcols:
+        pdf = (
+            centroids.select(*gcols)
+            .distinct()
+            .select(
+                *[F.col(c).alias(f"__g_{c}") for c in gcols],
+                F.explode(pr).alias("probe"),
+            )
+        )
+        cond = F.lit(True)
+        for c in gcols:
+            cond = cond & (F.col(f"__g_{c}") == F.col(c))
+        joined = pdf.join(centroids, cond, "inner")
+        out = joined.groupBy(*[f"__g_{c}" for c in gcols], "probe").agg(
+            (
+                F.sum(F.when(F.col("m") <= F.col("probe"), F.col("w")).otherwise(0))
+                / F.sum("w")
+            ).alias("est_cdf")
+        )
+        return out.select(
+            *[F.col(f"__g_{c}").alias(c) for c in gcols], "probe", "est_cdf"
+        )
+    pdf = centroids.sparkSession.range(1).select(F.explode(pr).alias("probe"))
+    return (
+        pdf.crossJoin(centroids)
+        .groupBy("probe")
+        .agg(
+            (
+                F.sum(F.when(F.col("m") <= F.col("probe"), F.col("w")).otherwise(0))
+                / F.sum("w")
+            ).alias("est_cdf")
+        )
+    )

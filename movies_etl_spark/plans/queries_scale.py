@@ -2109,3 +2109,63 @@ def q_data_quality_gate(spark, sf_dir):
         F.lit(0).cast("long").alias("threshold"),
         (F.col("c.observed") <= 0).alias("passed"),
     )
+
+
+_QSKETCH_CDF_ORACLE = """
+    WITH vals0 AS (
+      SELECT l_orderkey % 8 AS shard,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    vals AS (
+      SELECT shard, v,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY v, l_orderkey, l_linenumber) - 1 AS rn,
+             count(*) OVER (PARTITION BY shard) AS n_s
+      FROM vals0
+    ),
+    cent AS (
+      SELECT shard, CAST(floor(rn * 100 / n_s) AS BIGINT) AS bucket,
+             avg(v) AS m, count(*) AS w
+      FROM vals GROUP BY 1, 2
+    ),
+    probes AS (SELECT unnest([100000.0, 500000.0, 2000000.0,
+                              5000000.0, 9000000.0]) AS probe)
+    SELECT round(probe / 100, 2) AS price,
+           round(sum(CASE WHEN m <= probe THEN w ELSE 0 END) * 1.0
+                 / sum(w), 6) AS est_cdf
+    FROM probes, cent
+    GROUP BY probe
+"""
+
+
+@query("quantile_sketch_cdf", oracle=_QSKETCH_CDF_ORACLE)
+def q_quantile_sketch_cdf(spark, sf_dir):
+    """The quantile sketch's DUAL read path: estimated CDF (percentile
+    rank) at given price points, answered from the SAME per-shard
+    centroid tables quantile_sketch_merge consumes — one stored sketch
+    serves both lookup directions ("what price is p95?" and "what
+    fraction of lines cost ≤ $X?"), which is the operational point of
+    keeping partials as data. Probes are a tiny broadcast side against
+    the ~shards·k-row centroid table; integer weight sums with one
+    division at the end, rounded once. Error inherits the ~1/k-per-
+    shard rank contract (bounds witness in test_property_parity.py)."""
+    from movies_etl_spark.operators import sketch as SK
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 8).alias("shard_in"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cent = SK.equidepth_centroids(
+        li, "cents", "shard_in", ["l_orderkey", "l_linenumber"], k=100
+    )
+    out = SK.cdf_from_centroids(
+        cent, [100000.0, 500000.0, 2000000.0, 5000000.0, 9000000.0]
+    )
+    return out.select(
+        F.round(F.col("probe") / 100, 2).alias("price"),
+        F.round(F.col("est_cdf"), 6).alias("est_cdf"),
+    )

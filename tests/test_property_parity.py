@@ -687,3 +687,29 @@ def test_grouped_quantile_sketch_bounds_per_group(spark, sf_dir, duck):
         assert set(got) == set(windows)
         for key, (lo, hi) in windows.items():
             assert lo - 0.01 <= got[key] <= hi + 0.01, (n_shards, key, got[key], lo, hi)
+
+
+def test_sketch_cdf_bounds_vs_exact_rank(spark, sf_dir, duck):
+    """CDF-dual bounds: each estimated rank fraction must sit within
+    the centroid rank-error window (±2%) of the EXACT fraction of raw
+    values at or below the probe — independent machinery (a raw
+    count/ratio in DuckDB), not the sketch replica."""
+    probes = [100000.0, 500000.0, 2000000.0, 5000000.0, 9000000.0]
+    exact = {}
+    for p in probes:
+        frac, = duck.execute(
+            f"""SELECT sum(CASE WHEN floor(l_extendedprice * 100) <= {p}
+                               THEN 1 ELSE 0 END) * 1.0 / count(*)
+                FROM lineitem"""
+        ).fetchone()
+        exact[round(p / 100, 2)] = frac
+
+    import __spark_entry__ as m
+
+    got = {
+        r["price"]: r["est_cdf"]
+        for r in m.queries()["quantile_sketch_cdf"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(exact)
+    for price, est in got.items():
+        assert abs(est - exact[price]) <= 0.02, (price, est, exact[price])
