@@ -146,6 +146,7 @@ HEADLINE = [
     "feature_hash_vectorize",
     "data_quality_gate",
     "quantile_sketch_cdf",
+    "hll_set_overlap",
 ]
 
 

@@ -2169,3 +2169,138 @@ def q_quantile_sketch_cdf(spark, sf_dir):
         F.round(F.col("probe") / 100, 2).alias("price"),
         F.round(F.col("est_cdf"), 6).alias("est_cdf"),
     )
+
+
+def _hll_regs_sql(name: str, where: str) -> str:
+    """Register-table CTE block for the overlap oracle (same portable
+    HLL pipeline as _HLL_ORACLE, single logical shard)."""
+    return f"""{name}_h AS (
+        SELECT DISTINCT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+                                        1, 15))::BIGINT AS h
+        FROM lineitem WHERE {where}),
+    {name}_r AS (
+        SELECT h // 2251799813685248 AS register,
+               max(CASE WHEN h % 2251799813685248 = 0 THEN 52
+                        ELSE 52 - length(bin(h % 2251799813685248)) END)
+                 AS rho
+        FROM {name}_h GROUP BY register)"""
+
+
+_HLL_EST_SQL = """
+        CASE WHEN e_raw <= CAST(2.5 AS DOUBLE) * 512 AND v_zero > 0
+             THEN CAST(512 AS DOUBLE) * ln(CAST(512 AS DOUBLE) / v_zero)
+             ELSE e_raw END
+"""
+
+
+_HLL_OVERLAP_ORACLE = f"""
+    WITH {_hll_regs_sql("a", "l_returnflag = 'R'")},
+    {_hll_regs_sql("b", "l_returnflag = 'A'")},
+    u_r AS (SELECT register, max(rho) AS rho
+            FROM (SELECT * FROM a_r UNION ALL SELECT * FROM b_r)
+            GROUP BY register),
+    ests AS (
+        SELECT scope,
+               round({_HLL_EST_SQL}, 2) AS est
+        FROM (
+            SELECT scope,
+                   CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+                       + CAST(1.079 AS DOUBLE) / 512) * 512 * 512
+                   / (CAST(s_present + (512 - n_present) * (1::BIGINT << 52)
+                           AS DOUBLE)
+                      / CAST(1::BIGINT << 52 AS DOUBLE)) AS e_raw,
+                   CAST(512 - n_present AS DOUBLE) AS v_zero
+            FROM (
+                SELECT 'a' AS scope, sum(1::BIGINT << (52 - rho)) AS s_present,
+                       count(*) AS n_present FROM a_r
+                UNION ALL
+                SELECT 'b', sum(1::BIGINT << (52 - rho)), count(*) FROM b_r
+                UNION ALL
+                SELECT 'union', sum(1::BIGINT << (52 - rho)), count(*)
+                FROM u_r))),
+    exacts AS (
+        SELECT 'a' AS scope, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact
+        FROM lineitem WHERE l_returnflag = 'R'
+        UNION ALL
+        SELECT 'b', CAST(count(DISTINCT l_orderkey) AS BIGINT)
+        FROM lineitem WHERE l_returnflag = 'A'
+        UNION ALL
+        SELECT 'union', CAST(count(DISTINCT l_orderkey) AS BIGINT)
+        FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+    base AS (SELECT e.scope, e.est, x.exact
+             FROM ests e JOIN exacts x USING (scope)),
+    inter AS (
+        SELECT 'intersection' AS scope,
+               round((SELECT est FROM base WHERE scope = 'a')
+                     + (SELECT est FROM base WHERE scope = 'b')
+                     - (SELECT est FROM base WHERE scope = 'union'), 2) AS est,
+               (SELECT exact FROM base WHERE scope = 'a')
+               + (SELECT exact FROM base WHERE scope = 'b')
+               - (SELECT exact FROM base WHERE scope = 'union') AS exact)
+    SELECT scope, est, exact FROM base
+    UNION ALL SELECT scope, est, exact FROM inter
+"""
+
+
+@query("hll_set_overlap", oracle=_HLL_OVERLAP_ORACLE)
+def q_hll_set_overlap(spark, sf_dir):
+    """Audience-overlap analytics from HLL register tables: the distinct
+    orders containing a returned line ('R'), an accepted line ('A'),
+    their union, and the
+    inclusion–exclusion intersection estimate |A∩B| = |A|+|B|−|A∪B| —
+    computed entirely from two stored register tables. The union needs
+    NO re-scan of either input: register-max of the two sketches IS the
+    exact sketch of the union (the lossless-union property that makes
+    HLL the overlap primitive — intersections/segment overlaps across
+    any combination of stored daily/segment sketches, no raw-data
+    joins). Exact counts ride along so the error is oracle-checked
+    data; the intersection inherits ~√3× the single-sketch error
+    relative to the smaller set (bounds witness in
+    test_property_parity.py)."""
+    from movies_etl_spark.operators import sketch as SK
+
+    li = _t(spark, sf_dir, "lineitem")
+
+    def regs(flag):
+        side = li.filter(F.col("l_returnflag") == flag).select(
+            "l_orderkey", F.lit(0).alias("sh")
+        )
+        return SK.hll_partials(side, "l_orderkey", "sh").drop("shard")
+
+    ra = caching.tracked_persist(regs("R"))
+    rb = caching.tracked_persist(regs("A"))
+    ru = ra.unionByName(rb).groupBy("register").agg(F.max("rho").alias("rho"))
+
+    def est(r, scope):
+        return SK.hll_estimate(r).select(
+            F.lit(scope).alias("scope"), F.col("est_distinct").alias("est")
+        )
+
+    ests = est(ra, "a").unionByName(est(rb, "b")).unionByName(est(ru, "union"))
+
+    def exact(cond, scope):
+        return (
+            li.filter(cond)
+            .agg(F.countDistinct("l_orderkey").alias("exact"))
+            .select(F.lit(scope).alias("scope"), "exact")
+        )
+
+    exacts = (
+        exact(F.col("l_returnflag") == "R", "a")
+        .unionByName(exact(F.col("l_returnflag") == "A", "b"))
+        .unionByName(exact(F.col("l_returnflag").isin("R", "A"), "union"))
+    )
+    base = caching.tracked_persist(ests.join(exacts, "scope"))
+    piv = base.groupBy().pivot("scope", ["a", "b", "union"]).agg(
+        F.first("est").alias("est"), F.first("exact").alias("exact")
+    )
+    inter = piv.select(
+        F.lit("intersection").alias("scope"),
+        F.round(
+            F.col("a_est") + F.col("b_est") - F.col("union_est"), 2
+        ).alias("est"),
+        (F.col("a_exact") + F.col("b_exact") - F.col("union_exact")).alias(
+            "exact"
+        ),
+    )
+    return base.select("scope", "est", "exact").unionByName(inter)

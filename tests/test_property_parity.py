@@ -713,3 +713,27 @@ def test_sketch_cdf_bounds_vs_exact_rank(spark, sf_dir, duck):
     assert set(got) == set(exact)
     for price, est in got.items():
         assert abs(est - exact[price]) <= 0.02, (price, est, exact[price])
+
+
+def test_hll_overlap_within_combined_error(spark, sf_dir):
+    """Inclusion-exclusion overlap bounds: each single-set estimate
+    within 3σ (14%) of its exact count (the exact rides in the output,
+    itself pinned against pandas in the HLL witness); the intersection
+    — which combines three estimates — within √3·3σ of exact, relative
+    to the UNION size (the scale of the absolute errors involved)."""
+    import math
+
+    import __spark_entry__ as m
+
+    rows = {
+        r["scope"]: (r["est"], r["exact"])
+        for r in m.queries()["hll_set_overlap"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"a", "b", "union", "intersection"}
+    sigma = 1.04 / math.sqrt(512)
+    for scope in ("a", "b", "union"):
+        est, exact = rows[scope]
+        assert abs(est - exact) / exact <= 3 * sigma, (scope, est, exact)
+    est_i, exact_i = rows["intersection"]
+    bound = math.sqrt(3) * 3 * sigma * rows["union"][1]
+    assert abs(est_i - exact_i) <= bound, (est_i, exact_i, bound)
