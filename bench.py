@@ -147,6 +147,7 @@ HEADLINE = [
     "data_quality_gate",
     "quantile_sketch_cdf",
     "hll_set_overlap",
+    "bpe_pack_pipeline",
 ]
 
 

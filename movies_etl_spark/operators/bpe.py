@@ -46,8 +46,12 @@ def word_counts(df: DataFrame, text_col: str) -> DataFrame:
 
 def initial_symbols(wc: DataFrame) -> DataFrame:
     """Seed the symbol sequences: each word becomes its characters
-    joined by single spaces, plus the end-of-word marker. (syms, freq)."""
+    joined by single spaces, plus the end-of-word marker.
+    (word, syms, freq) — the word rides along so the trained vocabulary
+    doubles as the word→segmentation ENCODING MAP (bpe_pack_pipeline
+    broadcasts it back onto the corpus)."""
     return wc.select(
+        "word",
         F.concat(
             F.concat_ws(" ", F.split(F.col("word"), "")), F.lit(" " + EOW)
         ).alias("syms"),
@@ -115,7 +119,9 @@ def bpe_train_with_vocab(
     """bpe_train plus the ENCODED vocabulary: the symbol table after the
     final merge IS every distinct word's subword segmentation, so
     training yields the tokenizer-apply artifact for free. Returns
-    (merges, encoded_words) with encoded_words = (syms, freq).
+    (merges, encoded_words) with encoded_words = (word, syms, freq) —
+    the word rides along, so the result doubles as the
+    word→segmentation ENCODING MAP ready to broadcast.
 
     This is the scale shape of tokenizer APPLICATION too: encode the
     distinct-word table once (vocab-bounded work), then the corpus maps
@@ -135,7 +141,7 @@ def bpe_train_with_vocab(
         a, b, cnt = top[0]["sym_a"], top[0]["sym_b"], top[0]["cnt"]
         merges.append((step, a, b, int(cnt)))
         words = words.select(
-            apply_merge(F.col("syms"), a, b).alias("syms"), "freq"
+            "word", apply_merge(F.col("syms"), a, b).alias("syms"), "freq"
         )
     merges_df = spark.createDataFrame(
         merges, "step int, sym_a string, sym_b string, pair_cnt bigint"

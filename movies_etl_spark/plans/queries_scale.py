@@ -1765,17 +1765,26 @@ def q_bloom_join_prune(spark, sf_dir):
 # ===========================================================================
 
 
-def _bpe_oracle(n_merges: int = 8, final_select: str | None = None) -> str:
+def _bpe_oracle(
+    n_merges: int = 8,
+    final_select: str | None = None,
+    carry_word: bool = False,
+) -> str:
     """Replay the BPE training run: the same wordcount, the same
     (count DESC, pair) argmax, the same double-space replace merge —
     one CTE block per iteration, generated mechanically.
     ``final_select`` overrides the default merge-table projection (the
-    encode query selects from the final w{n} symbol table instead)."""
+    encode query selects from the final w{n} symbol table instead);
+    ``carry_word`` threads the word column through the iterations so
+    the final table is the word→segmentation encoding map (the pack
+    query joins it back onto the corpus)."""
+    wcol = "word, " if carry_word else ""
+    wcol_w = "w.word, " if carry_word else ""
     parts = [
-        """wc AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+        f"""wc AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
          WHERE tok <> '' GROUP BY tok),
-    w0 AS (SELECT array_to_string(string_split(word, ''), ' ') || ' </w>'
+    w0 AS (SELECT {wcol}array_to_string(string_split(word, ''), ' ') || ' </w>'
                   AS syms, freq
            FROM wc)"""
     ]
@@ -1788,7 +1797,7 @@ def _bpe_oracle(n_merges: int = 8, final_select: str | None = None) -> str:
                GROUP BY sym_a, sym_b),
     m{i} AS (SELECT sym_a, sym_b, cnt FROM p{i}
              ORDER BY cnt DESC, sym_a, sym_b LIMIT 1),
-    w{i} AS (SELECT trim(replace(
+    w{i} AS (SELECT {wcol_w}trim(replace(
                  replace(' ' || replace(w.syms, ' ', '  ') || ' ',
                          ' ' || m.sym_a || '  ' || m.sym_b || ' ',
                          ' ' || m.sym_a || m.sym_b || ' '),
@@ -2304,3 +2313,86 @@ def q_hll_set_overlap(spark, sf_dir):
         ),
     )
     return base.select("scope", "est", "exact").unionByName(inter)
+
+
+_BPE_PACK_FINAL = """, nsub AS (
+        SELECT word, CAST(len(string_split(syms, ' ')) AS BIGINT) AS ns
+        FROM w8),
+    dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+    cnt AS (SELECT doc_id, CAST(sum(ns) AS BIGINT) AS n
+            FROM dt JOIN nsub USING (word)
+            WHERE word <> '' GROUP BY doc_id),
+    keyed AS (
+        SELECT doc_id, n,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) % 8 AS shard,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM cnt),
+    c AS (
+        SELECT doc_id, n,
+               CAST(sum(n) OVER (ORDER BY shard, h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n AS BIGINT)
+                   AS cum_before
+        FROM keyed)
+    SELECT doc_id, n AS n_subwords,
+           cum_before // 512 AS seq_first,
+           (cum_before + n - 1) // 512 AS seq_last,
+           cum_before % 512 AS bin_offset
+    FROM c"""
+
+
+@query(
+    "bpe_pack_pipeline",
+    oracle=_bpe_oracle(8, final_select=_BPE_PACK_FINAL, carry_word=True),
+)
+def q_bpe_pack_pipeline(spark, sf_dir):
+    """Tokenize-then-pack — the end-to-end bridge from the trained
+    tokenizer to training sequences: documents are counted in SUBWORDS
+    of the corpus-trained BPE (not whitespace tokens — the budget that
+    actually bounds a transformer's context window), then packed into
+    fixed 512-subword sequences with the sequence_pack machinery.
+
+    The composite demonstrates the full production layout: per-word
+    subword lengths come from the encoded vocabulary (vocab-bounded,
+    broadcast onto the exploded corpus — the raw text is never
+    re-walked per merge rule), per-doc counts are one groupBy, and the
+    global offset is the two-phase distributed prefix sum (per-shard
+    cumsum + 8 shard totals through a serial window — never a
+    single-task sort). The oracle replays training, encoding, counting,
+    and packing in one generated CTE chain."""
+    from movies_etl_spark.operators import bpe as B
+    from movies_etl_spark.operators import curation as C
+
+    d = _t(spark, sf_dir, "documents")
+    wc = caching.tracked_persist(B.word_counts(d, "text"))
+    _, encoded = B.bpe_train_with_vocab(spark, wc, n_merges=8)
+    nsub = encoded.select(
+        "word", F.size(F.split(F.col("syms"), " ")).cast("long").alias("ns")
+    )
+    dt = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    cnt = (
+        dt.join(F.broadcast(nsub), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("ns").alias("n"))
+    )
+    keyed = cnt.select(
+        "doc_id",
+        "n",
+        C.hash_bucket(F.col("doc_id"), 8).alias("shard"),
+        C.hash_order(F.col("doc_id")).alias("h"),
+    )
+    off = C.global_running_offset(
+        keyed, "n", "shard", [F.col("h"), F.col("doc_id")]
+    )
+    cb = F.col("cum_before")
+    budget = 512
+    return off.select(
+        "doc_id",
+        F.col("n").alias("n_subwords"),
+        F.floor(cb / budget).cast("long").alias("seq_first"),
+        F.floor((cb + F.col("n") - 1) / budget).cast("long").alias("seq_last"),
+        (cb % budget).alias("bin_offset"),
+    )

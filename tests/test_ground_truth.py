@@ -1936,3 +1936,74 @@ def test_data_quality_gate_matches_pandas_battery(spark, sf_dir):
         assert got[name] == (obs, obs == 0), (name, got[name], obs)
     # the gate must be able to FAIL: at sf0.01 the price cap trips; at
     # other SFs just assert verdict consistency (checked above)
+
+
+def test_bpe_pack_matches_independent_python(spark, sf_dir):
+    """Tokenize-then-pack witness: python re-trains the BPE (same
+    trainer as the merges witness), encodes each word by the explicit
+    list walk, counts per-doc subwords, and replays the concat-and-chunk
+    layout with a plain running total — every doc's sequence span and
+    offset must match."""
+    import hashlib
+    from collections import Counter
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    wc: Counter = Counter()
+    for t in docs.text:
+        for w in t.split(" "):
+            if w:
+                wc[w] += 1
+    words = {w: tuple(list(w) + ["</w>"]) for w in wc}
+
+    def merge_word(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    for _ in range(8):
+        pc: Counter = Counter()
+        for w, syms in words.items():
+            f = wc[w]
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += f
+        if not pc:
+            break
+        (a, b), _cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        words = {w: merge_word(syms, a, b) for w, syms in words.items()}
+
+    nsub = {w: len(syms) for w, syms in words.items()}
+    doc_n = {}
+    for _, row in docs.iterrows():
+        doc_n[int(row.doc_id)] = sum(
+            nsub[w] for w in row.text.split(" ") if w
+        )
+
+    def shard(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16) % 8
+
+    order = sorted(
+        doc_n,
+        key=lambda d: (shard(d), hashlib.md5(str(d).encode()).hexdigest(), d),
+    )
+    want = {}
+    cum = 0
+    for d in order:
+        n = doc_n[d]
+        want[d] = (n, cum // 512, (cum + n - 1) // 512, cum % 512)
+        cum += n
+
+    got = {
+        r["doc_id"]: (
+            r["n_subwords"], r["seq_first"], r["seq_last"], r["bin_offset"]
+        )
+        for r in QUERIES["bpe_pack_pipeline"](spark, sf_dir).collect()
+    }
+    assert got == want
