@@ -258,12 +258,35 @@ _MIXED_FRAGS = [
 ]
 
 
+def _has_nonstring_elements(s):
+    """True for JSON arrays holding nested/numeric elements — the
+    out-of-corpus shapes where Spark's Jackson parser text-captures the
+    element (from_json(.., array<string>) turns a nested array into its
+    raw JSON text) while python's json module cannot mirror that. The
+    operator docstring pins these as out of contract; fragment
+    concatenation can still construct them (hypothesis found
+    '[["a","b"]]'), so the documented skip must be enforced, not just
+    stated."""
+    if s is None or not s.startswith("["):
+        return False
+    try:
+        v, _ = _json.JSONDecoder().raw_decode(s)
+    except ValueError:
+        return False
+    return isinstance(v, list) and any(
+        x is not None and not isinstance(x, str) for x in v
+    )
+
+
 @settings(**_SETTINGS)
 @given(batch=st.lists(_frag_strings(_MIXED_FRAGS), min_size=1, max_size=40))
 def test_normalize_mixed_cell_matches_python_json(spark, batch):
     from movies_etl_spark.operators.normalize import normalize_mixed_cell
 
-    # skip inputs with non-string JSON elements the reference can't mirror
     got = _run_spark(spark, batch, normalize_mixed_cell)
     for s, g in zip(batch, got):
+        # skip inputs with non-string JSON elements the reference can't
+        # mirror (see _has_nonstring_elements)
+        if _has_nonstring_elements(s):
+            continue
         assert g == _ref_mixed_cell(s), (s, g, _ref_mixed_cell(s))
