@@ -148,6 +148,7 @@ HEADLINE = [
     "quantile_sketch_cdf",
     "hll_set_overlap",
     "bpe_pack_pipeline",
+    "cms_join_size_estimate",
 ]
 
 

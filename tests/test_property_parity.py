@@ -737,3 +737,28 @@ def test_hll_overlap_within_combined_error(spark, sf_dir):
     est_i, exact_i = rows["intersection"]
     bound = math.sqrt(3) * 3 * sigma * rows["union"][1]
     assert abs(est_i - exact_i) <= bound, (est_i, exact_i, bound)
+
+
+def test_cms_join_size_overestimates_within_bound(spark, sf_dir):
+    """Inner-product estimator contract: est ≥ true join size always
+    (min over rows of overestimating inner products), and the additive
+    error stays under e·|A|·|B|/w — checked against the true size
+    computed with a pandas groupby product (independent machinery)."""
+    import math
+
+    import pandas as pd
+
+    import __spark_entry__ as m
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_returnflag"]
+    )
+    fa = li.l_partkey.value_counts()
+    fb = li[li.l_returnflag == "R"].l_partkey.value_counts()
+    truth = int((fa * fb).dropna().sum())
+
+    row = m.queries()["cms_join_size_estimate"](spark, sf_dir).collect()[0]
+    assert row["exact_join_rows"] == truth
+    assert row["est_join_rows"] >= truth
+    bound = math.e * len(li) * (li.l_returnflag == "R").sum() / 65536
+    assert row["est_join_rows"] - truth <= bound, (row, truth, bound)
