@@ -149,6 +149,7 @@ HEADLINE = [
     "hll_set_overlap",
     "bpe_pack_pipeline",
     "cms_join_size_estimate",
+    "aqp_sampled_groupby",
 ]
 
 

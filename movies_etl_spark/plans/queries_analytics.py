@@ -1029,3 +1029,65 @@ def q_winsorize_robust_scale(spark, sf_dir):
         F.round(clamped, 6).alias("value_wins"),
         F.round((F.col("value") - F.col("p50")) / iqr_nz, 6).alias("robust_z"),
     )
+
+
+# ===========================================================================
+# Approximate query processing (sampled estimates with error bars)
+# ===========================================================================
+
+
+@query(
+    "aqp_sampled_groupby",
+    oracle="""
+    WITH s AS (SELECT l_returnflag, l_quantity FROM lineitem
+               WHERE CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+                                             || '-'
+                                             || CAST(l_linenumber AS VARCHAR)),
+                                         1, 12) AS BIGINT) % 10 = 0),
+    est AS (SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_sample,
+                   round(avg(l_quantity), 4) AS est_avg_qty,
+                   round(stddev_samp(l_quantity) / sqrt(count(*)), 4)
+                       AS stderr
+            FROM s GROUP BY l_returnflag),
+    ex AS (SELECT l_returnflag, round(avg(l_quantity), 4) AS exact_avg_qty
+           FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n_sample, est_avg_qty, stderr, exact_avg_qty
+    FROM est JOIN ex USING (l_returnflag)
+    """,
+)
+def q_aqp_sampled_groupby(spark, sf_dir):
+    """Approximate query processing (the BlinkDB recipe): grouped
+    averages estimated from a deterministic ~10% hash sample, with the
+    CLT standard error (s/√n) as the error bar a dashboard renders —
+    the latency/accuracy dial for interactive exploration of a 100 TB
+    table where even one full scan is too slow. The sample is the
+    engine-portable md5 row-hash (sample_hash's discipline, salted with
+    the line number so it is row-level, not order-level), so the SAME
+    rows are sampled on any engine, any run — estimates are
+    reproducible, unlike rand()-sampling. Exact averages ride along so
+    the estimation error is itself oracle-checked data; the witness
+    asserts every group's exact mean inside est ± 3·stderr. At scale
+    the sample is a stored 10% companion table (amortized across all
+    exploratory queries) and the error bars are what make it honest."""
+    li = _t(spark, sf_dir, "lineitem")
+    rowkey = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(rowkey), 1, 12), 16, 10).cast("long") % 10
+    )
+    s = li.filter(bucket == 0)
+    est = s.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.round(F.avg("l_quantity"), 4).alias("est_avg_qty"),
+        F.round(
+            F.stddev_samp("l_quantity") / F.sqrt(F.count(F.lit(1))), 4
+        ).alias("stderr"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_quantity"), 4).alias("exact_avg_qty")
+    )
+    return est.join(exact, "l_returnflag")

@@ -2007,3 +2007,35 @@ def test_bpe_pack_matches_independent_python(spark, sf_dir):
         for r in QUERIES["bpe_pack_pipeline"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_aqp_estimates_cover_exact_within_3_stderr(spark, sf_dir):
+    """AQP witness: the exact group means (recomputed with pandas, not
+    the query's own exact column) must sit inside est ± 3·stderr for
+    every group, and the sample must be the deterministic hash rows
+    (recomputed with hashlib)."""
+    import hashlib
+
+    import pandas as pd
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"],
+    )
+
+    def in_sample(r):
+        key = f"{r.l_orderkey}-{r.l_linenumber}"
+        return int(hashlib.md5(key.encode()).hexdigest()[:12], 16) % 10 == 0
+
+    mask = li.apply(in_sample, axis=1)
+    got = {
+        r["l_returnflag"]: r
+        for r in QUERIES["aqp_sampled_groupby"](spark, sf_dir).collect()
+    }
+    for flag, grp in li.groupby("l_returnflag"):
+        row = got[flag]
+        # sample membership is the deterministic hash set
+        assert row["n_sample"] == int(mask[li.l_returnflag == flag].sum())
+        exact = grp.l_quantity.mean()
+        assert abs(row["exact_avg_qty"] - exact) < 5e-4
+        assert abs(row["est_avg_qty"] - exact) <= 3 * row["stderr"], (flag, row, exact)
