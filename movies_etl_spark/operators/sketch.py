@@ -280,19 +280,29 @@ def cms_merge(partials: DataFrame) -> DataFrame:
     return partials.groupBy("seed", "cell").agg(F.sum("cnt").alias("cnt"))
 
 
-def cms_point_estimate(merged: DataFrame, candidates: DataFrame, key_col: str) -> DataFrame:
+def cms_point_estimate(
+    merged: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
     """Frequency estimate for each candidate key: min over the d hash
     rows of the key's cell count (absent cell ⇒ 0). The candidate set is
     broadcast (heavy-hitter shortlists are small by definition); the
-    sketch table is ≤ d·w rows, so the join is trivially local. Returns
-    (key_col, cms_est)."""
+    sketch table is ≤ d·w rows, so the join is trivially local.
+    ``width`` must match the width the sketch was BUILT with (probing a
+    65536-wide sketch with 1024-mod cells would silently read wrong
+    cells). Returns (key_col, cms_est)."""
     key = F.col(key_col)
     probes = candidates.select(
         key,
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(i).alias("seed"), _cms_cell(key, i).alias("cell"))
+                    F.struct(
+                        F.lit(i).alias("seed"),
+                        _cms_cell(key, i, width).alias("cell"),
+                    )
                     for i in range(CMS_DEPTH)
                 ]
             )

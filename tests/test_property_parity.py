@@ -762,3 +762,25 @@ def test_cms_join_size_overestimates_within_bound(spark, sf_dir):
     assert row["est_join_rows"] >= truth
     bound = math.e * len(li) * (li.l_returnflag == "R").sum() / 65536
     assert row["est_join_rows"] - truth <= bound, (row, truth, bound)
+
+
+def test_cms_point_estimate_width_must_match_sketch(spark):
+    """Probing a sketch with the width it was built with returns exact
+    counts on a collision-free keyspace; the same probe at a mismatched
+    width reads wrong cells (regression for the width passthrough)."""
+    from pyspark.sql import functions as F
+
+    from movies_etl_spark.operators import sketch as SK
+
+    data = spark.range(20).select(
+        F.concat(F.lit("key"), F.col("id").cast("string")).alias("k"),
+        F.lit(0).alias("s"),
+    )
+    merged = SK.cms_merge(SK.cms_partials(data, "k", "s", width=4096))
+    cands = data.select("k").distinct()
+    good = SK.cms_point_estimate(merged, cands, "k", width=4096)
+    assert all(r["cms_est"] >= 1 for r in good.collect())
+    # mismatched width: most probes miss their cells entirely -> zeros
+    bad = SK.cms_point_estimate(merged, cands, "k", width=1024)
+    zeros = sum(1 for r in bad.collect() if r["cms_est"] == 0)
+    assert zeros > 0
