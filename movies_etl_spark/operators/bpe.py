@@ -81,7 +81,14 @@ def apply_merge(syms: Column, a: str, b: str) -> Column:
 def pair_counts(words: DataFrame) -> DataFrame:
     """Frequency-weighted adjacent-pair counts over the symbol table:
     (sym_a, sym_b, cnt). Runs on the vocab-bounded table — the explode
-    is per distinct word, weighted by freq, never per corpus token."""
+    is per distinct word, weighted by freq, never per corpus token.
+
+    Fully-merged words (a single symbol — e.g. a 1-char word after its
+    char+EOW merge) contribute no pairs and MUST be filtered before the
+    transform: Spark's sequence(1, 0) is the DESCENDING [1, 0], whose
+    element_at(.., 0) throws under ANSI — while the oracle's
+    range(1, 1) is just empty. The filter makes both read the same."""
+    words = words.filter(F.size(F.split(F.col("syms"), " ")) >= 2)
     pairs = words.select(
         F.explode(
             F.expr(

@@ -784,3 +784,23 @@ def test_cms_point_estimate_width_must_match_sketch(spark):
     bad = SK.cms_point_estimate(merged, cands, "k", width=1024)
     zeros = sum(1 for r in bad.collect() if r["cms_est"] == 0)
     assert zeros > 0
+
+
+def test_bpe_survives_fully_merged_words(spark):
+    """A 1-char word collapses to a single symbol after its char+EOW
+    merge; the next iteration's pair scan must skip it (Spark's
+    sequence(1, 0) is DESCENDING and element_at(.., 0) throws under
+    ANSI — regression for the multi-symbol filter) and training must
+    stop early when no pairs remain."""
+    from movies_etl_spark.operators import bpe as B
+
+    wc = spark.createDataFrame([("a", 5), ("ab", 3)], "word string, freq bigint")
+    merges, vocab = B.bpe_train_with_vocab(spark, wc, n_merges=6)
+    rows = merges.collect()
+    # everything merges into whole-word tokens, then the corpus is dry
+    assert [(r["sym_a"], r["sym_b"]) for r in rows] == [
+        ("a", "</w>"), ("a", "b"), ("ab", "</w>")
+    ]
+    assert {r["word"]: r["syms"] for r in vocab.collect()} == {
+        "a": "a</w>", "ab": "ab</w>"
+    }
