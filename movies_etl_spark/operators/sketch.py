@@ -372,11 +372,24 @@ def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
     only, error ≤ |A|·|B|/w w.h.p. This is how an optimizer prices a
     join from STORED sketch metadata without touching either table:
     ≤ d·w-row tables join on (seed, cell), nothing else moves. Returns
-    one row (est)."""
+    one row (est).
+
+    A hash row whose cells don't overlap at all has inner product 0 —
+    the strongest evidence the true size is 0 — so the min runs over a
+    full seed spine with missing rows coalesced to 0, not only over
+    rows the join happened to produce (otherwise two DISJOINT key sets
+    would estimate NULL, or worse, the min would ignore a zero-reading
+    row and overestimate from collision noise alone)."""
     bb = b.select("seed", "cell", F.col("cnt").alias("cnt_b"))
     per_seed = (
         a.join(bb, ["seed", "cell"])
         .groupBy("seed")
         .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("ip"))
     )
-    return per_seed.agg(F.min("ip").alias("est"))
+    spine = a.sparkSession.range(CMS_DEPTH).select(
+        F.col("id").cast("int").alias("seed")
+    )
+    filled = spine.join(per_seed, "seed", "left").select(
+        F.coalesce(F.col("ip"), F.lit(0)).alias("ip")
+    )
+    return filled.agg(F.min("ip").alias("est"))

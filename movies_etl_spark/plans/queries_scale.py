@@ -2416,7 +2416,9 @@ _CMS_JOIN_ORACLE = """
            FROM lb, unnest(range(4)) r(seed) GROUP BY seed, cell),
     ip AS (SELECT seed, sum(ca.cnt * cb.cnt) AS ip
            FROM ca JOIN cb USING (seed, cell) GROUP BY seed),
-    est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_rows FROM ip),
+    spine AS (SELECT unnest(range(4)) AS seed),
+    est AS (SELECT CAST(min(coalesce(ip, 0)) AS BIGINT) AS est_join_rows
+            FROM spine LEFT JOIN ip USING (seed)),
     exact AS (SELECT CAST(sum(a.c * b.c) AS BIGINT) AS exact_join_rows
               FROM (SELECT l_partkey, count(*) c FROM lineitem
                     GROUP BY l_partkey) a

@@ -804,3 +804,26 @@ def test_bpe_survives_fully_merged_words(spark):
     assert {r["word"]: r["syms"] for r in vocab.collect()} == {
         "a": "a</w>", "ab": "ab</w>"
     }
+
+
+def test_cms_inner_product_disjoint_sets_estimate_zero(spark):
+    """Two sketches over DISJOINT key sets must estimate a 0-row join —
+    a hash row with no overlapping cells is inner product 0 and the min
+    must see it (regression for the seed-spine coalesce; without it the
+    estimate is NULL, or collision noise alone when some rows collide)."""
+    from pyspark.sql import functions as F
+
+    from movies_etl_spark.operators import sketch as SK
+
+    a = spark.range(5).select(
+        F.concat(F.lit("left"), F.col("id").cast("string")).alias("k"),
+        F.lit(0).alias("s"),
+    )
+    b = spark.range(5).select(
+        F.concat(F.lit("right"), F.col("id").cast("string")).alias("k"),
+        F.lit(0).alias("s"),
+    )
+    ca = SK.cms_merge(SK.cms_partials(a, "k", "s"))
+    cb = SK.cms_merge(SK.cms_partials(b, "k", "s"))
+    est = SK.cms_inner_product(ca, cb).collect()[0]["est"]
+    assert est == 0, est
