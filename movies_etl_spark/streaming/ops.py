@@ -671,6 +671,27 @@ def _load_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _merge_versioned_regs(
+    spark: SparkSession, work_dir: str, part: DataFrame, batch_id: int
+) -> None:
+    """Register-table sibling of _merge_versioned: merge a batch's
+    (day, register, rho) partials into version ``batch_id`` by
+    REGISTER-MAX against the largest on-disk version strictly below it
+    — the same retry-idempotence discipline (a retried batch
+    regenerates its version from the same prior instead of folding its
+    own output back in; max is idempotent anyway, but the discipline
+    also keeps readers off half-written versions)."""
+    prior = _agg_versions(work_dir, upto=batch_id)
+    if prior:
+        prev = spark.read.parquet(f"{work_dir}/agg/v={prior[-1]}")
+        part = (
+            prev.unionByName(part)
+            .groupBy("day", "register")
+            .agg(F.max("rho").alias("rho"))
+        )
+    part.write.mode("overwrite").parquet(f"{work_dir}/agg/v={batch_id}")
+
+
 def incremental_distinct_rollup(
     spark: SparkSession, sf_dir: str, work_dir: str, n_source_files: int = 4
 ) -> DataFrame:
@@ -713,15 +734,7 @@ def incremental_distinct_rollup(
         part = SK.hll_partials(batch_df, "user_id", "day").withColumnRenamed(
             "shard", "day"
         )
-        prior = _agg_versions(work_dir, upto=batch_id)
-        if prior:
-            prev = spark.read.parquet(f"{work_dir}/agg/v={prior[-1]}")
-            part = (
-                prev.unionByName(part)
-                .groupBy("day", "register")
-                .agg(F.max("rho").alias("rho"))
-            )
-        part.write.mode("overwrite").parquet(f"{work_dir}/agg/v={batch_id}")
+        _merge_versioned_regs(spark, work_dir, part, batch_id)
 
     q = (
         stream.writeStream.foreachBatch(upsert)

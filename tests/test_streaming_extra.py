@@ -187,3 +187,36 @@ def test_incremental_rollup_retry_does_not_double_count(spark, tmp_path):
     retried = spark.read.parquet(f"{work}/agg/v=1").collect()
     assert first == retried
     assert retried[0]["cnt"] == 5 and retried[0]["sum_cents"] == 150
+
+
+def test_hll_rollup_retry_regenerates_same_version(spark, tmp_path):
+    """Register-table sibling of the rollup retry test: a retried batch
+    must regenerate v=batch_id from the version strictly below it. Max
+    is idempotent arithmetic, so the sharper assertion is that the
+    retry reads the RIGHT prior (v=0, not its own v=1 output) and the
+    merged registers equal the max of both batches."""
+    from pyspark.sql import functions as F
+
+    from movies_etl_spark.streaming.ops import _merge_versioned_regs
+
+    work = str(tmp_path / "hllretry")
+    p0 = spark.createDataFrame(
+        [("2026-01-01", 7, 3), ("2026-01-01", 9, 5)],
+        "day STRING, register LONG, rho INT",
+    ).withColumn("day", F.col("day").cast("date"))
+    p1 = spark.createDataFrame(
+        [("2026-01-01", 7, 4), ("2026-01-01", 11, 2)],
+        "day STRING, register LONG, rho INT",
+    ).withColumn("day", F.col("day").cast("date"))
+    _merge_versioned_regs(spark, work, p0, 0)
+    _merge_versioned_regs(spark, work, p1, 1)
+    first = sorted(
+        (r["register"], r["rho"])
+        for r in spark.read.parquet(f"{work}/agg/v=1").collect()
+    )
+    _merge_versioned_regs(spark, work, p1, 1)  # retry after successful write
+    retried = sorted(
+        (r["register"], r["rho"])
+        for r in spark.read.parquet(f"{work}/agg/v=1").collect()
+    )
+    assert first == retried == [(7, 4), (9, 5), (11, 2)]
