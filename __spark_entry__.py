@@ -18,10 +18,10 @@ Round 5's window (see _ROUND5_PRIORITY below) is additions + freshness:
 14 new queries, the 8 post-freeze-rewrite queries VERDICT r4 flagged
 (their shipped formulations were never under the driver's gate), 5
 re-validations of operators round 5 touched, and 23 oldest-row (r1
-cohort) re-proofs. Seven further round-5 queries registered after the
+cohort) re-proofs. Eight further round-5 queries registered after the
 window froze (feature hashing, the data-quality gate, the sketch CDF
 dual, HLL set overlap, BPE packing, CMS join-size estimation, AQP
-sampling) take the r3-overflow path: locally exact-verified now, first
+sampling, incremental SemDeDup) take the r3-overflow path: locally exact-verified now, first
 driver rows in round 6. NOTES_r3/r4/r5.md carry the per-round rotation
 ledger so the judge can union the rounds without re-deriving cohorts.
 """

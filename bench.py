@@ -150,6 +150,7 @@ HEADLINE = [
     "bpe_pack_pipeline",
     "cms_join_size_estimate",
     "aqp_sampled_groupby",
+    "dedup_semantic_incremental",
 ]
 
 

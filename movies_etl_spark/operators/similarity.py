@@ -583,3 +583,38 @@ def rerank_topk(cands: DataFrame, k: int = 3) -> DataFrame:
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).filter(F.col("rank") <= k)
+
+
+def kmeans_train_assign(
+    train: DataFrame,
+    assign: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's with the train/assign SPLIT — the frozen-coarse-quantizer
+    production pattern: centroids are learned once on a base corpus and
+    daily batches are assigned to them in a single broadcast pass,
+    without retraining (retraining would silently reshuffle every
+    existing cell assignment and invalidate stored indexes). Training
+    follows kmeans_assign exactly (same seeds, same quantized-mean
+    iterations — kmeans_assign(c) ≡ kmeans_train_assign(c, c)); the
+    final training centroids then assign ``assign``'s vectors. Returns
+    (id, cell, d2 rounded 4)."""
+    vt = train.select(
+        id_col, F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd")
+    )
+    cents = vt.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cell"), F.col("vd").alias("centroid")
+    )
+    assigned = _assign_cells(vt, cents)
+    for _ in range(iters - 1):
+        cents = _recompute_centroids(assigned)
+        assigned = _assign_cells(vt, cents)
+    va = assign.select(
+        id_col, F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd")
+    )
+    return _assign_cells(va, cents).select(
+        id_col, "cell", F.round(F.col("d2"), 4).alias("d2")
+    )

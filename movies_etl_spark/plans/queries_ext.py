@@ -776,22 +776,27 @@ _D2_SQL = """
 """
 
 
-#: the two fixed Lloyd's iterations (k=4, seeds = first k ids) as a WITH
-#: body — shared verbatim by the kmeans_assign oracle and the SemDeDup
-#: composite's oracle (queries_scale.dedup_semantic_clusters), so both
-#: replay the IDENTICAL assignment.
-KMEANS_CTE = f"""
+def kmeans_cte(train_where: str = "TRUE", assign_from: str = "v") -> str:
+    """The two fixed Lloyd's iterations (k=4, seeds = first k ids) as a
+    WITH body — shared verbatim by the kmeans_assign oracle, the
+    SemDeDup composite's oracle (queries_scale), and the incremental
+    variant (which TRAINS on a base subset via ``train_where`` but
+    assigns the full table), so every consumer replays the IDENTICAL
+    iterations. ``a2`` assigns rows of ``assign_from`` to the final
+    centroids."""
+    return f"""
     v AS (SELECT vec_id,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
           FROM embeddings),
-    seeds AS (SELECT vec_id AS cell, vd AS centroid FROM v WHERE vec_id < 4),
+    vt AS (SELECT * FROM v WHERE {train_where}),
+    seeds AS (SELECT vec_id AS cell, vd AS centroid FROM vt WHERE vec_id < 4),
     a1 AS (
         SELECT vec_id, vd, cell FROM (
-            SELECT v.vec_id, v.vd, s.cell,
-                   row_number() OVER (PARTITION BY v.vec_id
-                       ORDER BY round({_D2_SQL.format(a="v.vd", b="s.centroid")}, 6),
+            SELECT vt.vec_id, vt.vd, s.cell,
+                   row_number() OVER (PARTITION BY vt.vec_id
+                       ORDER BY round({_D2_SQL.format(a="vt.vd", b="s.centroid")}, 6),
                                 s.cell) AS r
-            FROM v, seeds s) WHERE r = 1),
+            FROM vt, seeds s) WHERE r = 1),
     c10 AS (SELECT cell, i, round(avg(vd[i]), 6) AS m
             FROM a1, range(1, 65) t(i) GROUP BY cell, i),
     c1 AS (SELECT cell, list(m ORDER BY i) AS centroid FROM c10 GROUP BY cell),
@@ -802,8 +807,13 @@ KMEANS_CTE = f"""
                    row_number() OVER (PARTITION BY v.vec_id
                        ORDER BY round({_D2_SQL.format(a="v.vd", b="c.centroid")}, 6),
                                 c.cell) AS r
-            FROM v, c1 c) WHERE r = 1)
+            FROM {assign_from} v, c1 c) WHERE r = 1)
 """
+
+
+#: default instance (trained AND assigned on the full table) — byte-same
+#: semantics as the pre-refactor constant.
+KMEANS_CTE = kmeans_cte()
 
 
 @query(

@@ -2473,3 +2473,100 @@ def q_cms_join_size_estimate(spark, sf_dir):
         "exact_join_rows",
         (F.col("est_join_rows") - F.col("exact_join_rows")).alias("overest"),
     )
+
+
+def _semdedup_incremental_oracle() -> str:
+    from movies_etl_spark.plans.queries_ext import _COS_SQL, kmeans_cte
+
+    cos = _COS_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""
+    WITH {kmeans_cte(train_where="vec_id < 450")},
+    asg AS (SELECT vec_id, cell, round(d2, 4) AS d2 FROM a2),
+    m AS (SELECT g.vec_id, g.cell, g.d2, e.embedding
+          FROM asg g JOIN embeddings e USING (vec_id)),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 a.d2 AS d2_a, b.d2 AS d2_b
+          FROM m a JOIN m b
+            ON a.cell = b.cell
+           AND a.vec_id >= 450
+           AND a.vec_id <> b.vec_id
+           AND (b.vec_id < 450 OR a.vec_id < b.vec_id)
+          WHERE round({cos}, 6) >= {SEMDEDUP_TAU}),
+    victims AS (SELECT DISTINCT
+                    CASE WHEN id_b < 450 THEN id_a
+                         WHEN d2_a < d2_b THEN id_a
+                         ELSE id_b END AS vec_id
+                FROM p)
+    SELECT g.vec_id, g.cell, g.d2,
+           (v.vec_id IS NOT NULL) AS dropped
+    FROM asg g LEFT JOIN victims v USING (vec_id)
+    WHERE g.vec_id >= 450
+    """
+
+
+@query("dedup_semantic_incremental", oracle=_semdedup_incremental_oracle())
+def q_dedup_semantic_incremental(spark, sf_dir):
+    """Incremental SemDeDup — the embedding-side sibling of
+    dedup_incremental (exact hashes) and dedup_minhash_incremental
+    (lexical near-dup), completing the incremental-maintenance story
+    for all three dedup families: a daily embedding batch (vec_id ≥
+    450 plays the new arrivals) is gated against the existing corpus
+    WITHOUT retraining or re-comparing it. The coarse quantizer is
+    FROZEN (similarity.kmeans_train_assign: centroids learned on the
+    base only — retraining would reshuffle every existing cell and
+    invalidate stored indexes); the batch assigns in one broadcast
+    pass, and pairwise work is DELTA × cell-members only —
+    O(|delta|·cell size), never corpus² and never existing×existing
+    (which the base ingestion already decided).
+
+    Gate rule: a new doc near-duplicating EXISTING content (sim ≥ τ)
+    is dropped outright (the corpus is immutable — published decisions
+    don't reopen, the dedup_incremental anti-join semantics); among
+    the batch's own pairs the SemDeDup keep-the-atypical rule applies.
+    Output: the delta's verdicts. Oracle replays base-trained Lloyd's
+    via the parameterized kmeans_cte + the identical pair rule; the
+    numpy witness re-runs the chain."""
+    from movies_etl_spark.operators import dedup as D
+    from movies_etl_spark.operators import similarity as SIM
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") < 450)
+    asg = caching.tracked_persist(
+        SIM.kmeans_train_assign(base, e, k=4, iters=2)
+    )
+    v = e.select(
+        "vec_id", "embedding", D.l2norm(F.col("embedding")).alias("nrm")
+    )
+    m = asg.join(v, "vec_id")
+    a = m.filter(F.col("vec_id") >= 450).select(
+        F.col("vec_id").alias("id_a"),
+        "cell",
+        F.col("d2").alias("d2_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = m.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cell").alias("cell_b"),
+        F.col("d2").alias("d2_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = D.dot(F.col("va"), F.col("vb")) / (F.col("nrm_a") * F.col("nrm_b"))
+    pairs = a.join(
+        b,
+        (F.col("cell") == F.col("cell_b"))
+        & (F.col("id_a") != F.col("id_b"))
+        & ((F.col("id_b") < 450) | (F.col("id_a") < F.col("id_b"))),
+    ).filter(F.round(cos, 6) >= SEMDEDUP_TAU)
+    victims = pairs.select(
+        F.when(F.col("id_b") < 450, F.col("id_a"))
+        .when(F.col("d2_a") < F.col("d2_b"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("vec_id")
+    ).distinct()
+    return (
+        asg.filter(F.col("vec_id") >= 450)
+        .join(victims.withColumn("hit", F.lit(1)), "vec_id", "left")
+        .select("vec_id", "cell", "d2", F.col("hit").isNotNull().alias("dropped"))
+    )

@@ -2039,3 +2039,68 @@ def test_aqp_estimates_cover_exact_within_3_stderr(spark, sf_dir):
         exact = grp.l_quantity.mean()
         assert abs(row["exact_avg_qty"] - exact) < 5e-4
         assert abs(row["est_avg_qty"] - exact) <= 3 * row["stderr"], (flag, row, exact)
+
+
+def test_semdedup_incremental_matches_independent_numpy(spark, sf_dir):
+    """Incremental-SemDeDup witness: numpy re-runs the chain with the
+    frozen quantizer (Lloyd's trained on the base only, batch assigned
+    to the final centroids) and the two-part gate (drop a new doc
+    near-duplicating existing content outright; keep-the-atypical among
+    batch pairs) — the delta's verdicts must match exactly."""
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    V = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    ids = emb.vec_id.to_numpy()
+    cut = 450
+    base_mask = ids < cut
+    cents = {int(i): V[ids == i][0] for i in range(4)}
+
+    def assign(cmap, sel):
+        out = {}
+        for i, vid in enumerate(ids):
+            if not sel[i]:
+                continue
+            best = min(
+                cmap.items(),
+                key=lambda kv: (round(float(((V[i] - kv[1]) ** 2).sum()), 6), kv[0]),
+            )
+            out[int(vid)] = (best[0], round(float(((V[i] - best[1]) ** 2).sum()), 6))
+        return out
+
+    a1 = assign(cents, base_mask)
+    newc = {}
+    for c in sorted({v[0] for v in a1.values()}):
+        members = V[[base_mask[i] and a1[int(v)][0] == c for i, v in enumerate(ids)]]
+        newc[c] = np.round(members.mean(axis=0), 6)
+    # final training pass is on the base; the batch assigns to newc too
+    a2 = assign(newc, np.ones_like(base_mask, dtype=bool))
+    d2r = {vid: _round_half_up(d2, 4) for vid, (c, d2) in a2.items()}
+
+    idx = {int(v): i for i, v in enumerate(ids)}
+    nrm = np.sqrt((V * V).sum(axis=1))
+    victims = set()
+    delta = sorted(int(v) for v in ids if v >= cut)
+    allv = sorted(idx)
+    for da in delta:
+        for ob in allv:
+            if ob == da or a2[da][0] != a2[ob][0]:
+                continue
+            if ob >= cut and not (da < ob):
+                continue  # batch pairs counted once (id_a < id_b)
+            cos = float(V[idx[da]] @ V[idx[ob]] / (nrm[idx[da]] * nrm[idx[ob]]))
+            if _round_half_up(cos, 6) < 0.4:
+                continue
+            if ob < cut:
+                victims.add(da)  # corpus is immutable; the newcomer drops
+            else:
+                victims.add(da if d2r[da] < d2r[ob] else ob)
+
+    rows = QUERIES["dedup_semantic_incremental"](spark, sf_dir).collect()
+    assert len(rows) == len(delta)
+    got_dropped = {r["vec_id"] for r in rows if r["dropped"]}
+    got_cells = {r["vec_id"]: r["cell"] for r in rows}
+    assert got_cells == {v: a2[v][0] for v in delta}
+    assert got_dropped == victims
