@@ -351,24 +351,46 @@ def main() -> None:
     # wall-time so a regression can't hide in iteration count.
     from movies_etl_spark.operators import dedup
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-                "n_queries": len(timings),
-                "approx_rows_per_sec": round(rows_total / total) if total else None,
-                "cluster_propagation_rounds": dedup.LAST_CC_ROUNDS or None,
-                "calibration_sec": calibration,
-                "calibration_codegen_sec": calibration_codegen,
-                "calibration_stream_sec": calibration_stream,
-                "ann_recall_at_5": ann_recall or None,
-            }
-        )
+    full = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "n_queries": len(timings),
+        "approx_rows_per_sec": round(rows_total / total) if total else None,
+        "cluster_propagation_rounds": dedup.LAST_CC_ROUNDS or None,
+        "calibration_sec": calibration,
+        "calibration_codegen_sec": calibration_codegen,
+        "calibration_stream_sec": calibration_stream,
+        "ann_recall_at_5": ann_recall or None,
+    }
+    # Per-query detail goes to a committed file; stdout gets a COMPACT
+    # one-line headline whose "queries" holds only the top-10 slowest.
+    # The driver's tail capture holds ~2k chars — the 90-query detail
+    # line overflowed it in round 5 (BENCH_r05.json parsed: null), which
+    # made the artifact unreadable without the NOTES ledger. The compact
+    # line is the machine-readable record; BENCH_DETAIL.json carries the
+    # full per-query map for cross-round comparisons.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        detail_path = None
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    compact = dict(full)
+    compact["queries"] = slowest
+    compact["queries_are"] = "top10_slowest_of_n_queries"
+    compact["detail_file"] = (
+        os.path.basename(detail_path) if detail_path else None
+    )
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
