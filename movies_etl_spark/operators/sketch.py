@@ -29,6 +29,7 @@ global sketch, each step reading only centroid tables.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -161,6 +162,27 @@ HLL_W = 60 - HLL_P
 #: bias constant alpha_m for m ≥ 128 (Flajolet et al. 2007).
 HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 
+#: Linear-counting estimates m·ln(m/V) for every possible empty-register
+#: count V = 1..m, computed ONCE here and embedded as identical double
+#: literals in both the Spark plan and the DuckDB oracle SQL. The ln
+#: never evaluates inside either engine — libm transcendentals are not
+#: correctly rounded and can differ in the last ulp between the JVM and
+#: DuckDB, which on a .005 rounding boundary would flip the rounded
+#: estimate (ADVICE r5). Both engines parse the same decimal literal to
+#: the same IEEE double, so the estimate is now integer-deterministic in
+#: V. ``repr`` round-trips doubles exactly in both parsers.
+HLL_LINEAR_TABLE: tuple[float, ...] = tuple(
+    HLL_M * math.log(HLL_M / v) for v in range(1, HLL_M + 1)
+)
+
+
+def hll_linear_sql(v_zero_expr: str = "v_zero") -> str:
+    """DuckDB expression for the linear-counting estimate: the shared
+    literal table indexed (1-based) by the empty-register count. Callers
+    guard with ``v_zero > 0`` exactly like the Spark side."""
+    lits = ", ".join(repr(x) for x in HLL_LINEAR_TABLE)
+    return f"([{lits}])[CAST({v_zero_expr} AS INT)]"
+
 
 def hll_partials(df: DataFrame, key_col: str, shard_col) -> DataFrame:
     """Per-shard HLL register table — the PARTIAL a 100 TB pipeline
@@ -206,7 +228,9 @@ def hll_estimate(registers: DataFrame, group_cols: list[str] | None = None) -> D
     each, and the single float division happens once at the end — so
     the estimate is a deterministic function of the register table and
     replays bit-identically in the DuckDB oracle. Small-range
-    correction: linear counting m·ln(m/V) when E ≤ 2.5m and V > 0."""
+    correction: linear counting m·ln(m/V) when E ≤ 2.5m and V > 0, read
+    from the precomputed HLL_LINEAR_TABLE literals (never a live ln —
+    see the table's doc for the cross-engine ulp rationale)."""
     gcols = list(group_cols or [])
     term = F.expr(f"shiftleft(cast(1 as bigint), {HLL_W + 1} - rho)")
     agg = registers.groupBy(*gcols).agg(
@@ -220,10 +244,17 @@ def hll_estimate(registers: DataFrame, group_cols: list[str] | None = None) -> D
     sum_inv = s_total.cast("double") / full.cast("double")
     e_raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / sum_inv
     v_zero = (F.lit(HLL_M) - F.col("n_present")).cast("double")
-    e_corr = F.when(
-        (e_raw <= 2.5 * HLL_M) & (v_zero > 0),
-        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_zero),
-    ).otherwise(e_raw)
+    # CASE branches evaluate lazily, but guard the index anyway so a
+    # non-taken branch can never see index 0 under ANSI element_at
+    v_idx = F.greatest(
+        (F.lit(HLL_M) - F.col("n_present")).cast("int"), F.lit(1)
+    )
+    linear = F.element_at(
+        F.array(*[F.lit(x) for x in HLL_LINEAR_TABLE]), v_idx
+    )
+    e_corr = F.when((e_raw <= 2.5 * HLL_M) & (v_zero > 0), linear).otherwise(
+        e_raw
+    )
     return agg.select(*gcols, F.round(e_corr, 2).alias("est_distinct"))
 
 

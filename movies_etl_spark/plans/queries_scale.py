@@ -38,6 +38,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from movies_etl_spark.operators import caching
+from movies_etl_spark.operators.sketch import hll_linear_sql
 from movies_etl_spark.plans.registry import _scratch, _t, query
 
 # ===========================================================================
@@ -1328,7 +1329,7 @@ def q_quantile_sketch_merge(spark, sf_dir):
 # ===========================================================================
 
 
-_HLL_ORACLE = """
+_HLL_ORACLE = f"""
     WITH k AS (SELECT l_orderkey % 8 AS shard, l_partkey FROM lineitem),
     h AS (SELECT shard,
                  ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
@@ -1366,7 +1367,7 @@ _HLL_ORACLE = """
     fin AS (
         SELECT scope,
                CASE WHEN e_raw <= CAST(2.5 AS DOUBLE) * 512 AND v_zero > 0
-                    THEN CAST(512 AS DOUBLE) * ln(CAST(512 AS DOUBLE) / v_zero)
+                    THEN {hll_linear_sql()}
                     ELSE e_raw END AS est
         FROM e),
     ex AS (
@@ -1639,12 +1640,16 @@ def q_join_skew_salted(spark, sf_dir):
     plan shape and the modeled reducer balance."""
     from movies_etl_spark.operators.skew import salted_join_hot_keys
 
+    from movies_etl_spark.session import temp_confs
+
     target = _scratch("join_skew_salted", sf_dir)
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
+    with temp_confs(
+        spark,
+        {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
         li = _t(spark, sf_dir, "lineitem").select(
             F.when(F.col("l_orderkey") % 4 < 3, F.lit(0))
             .otherwise(F.col("l_orderkey") % 16)
@@ -1668,9 +1673,6 @@ def q_join_skew_salted(spark, sf_dir):
             .write.mode("overwrite")
             .parquet(target)
         )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
     return spark.read.parquet(target)
 
 
@@ -1706,22 +1708,18 @@ def q_bloom_join_prune(spark, sf_dir):
     executed plan. Semantics are untouched — blooms only ever
     false-positive, the join discards survivors exactly — so the oracle
     is the plain join."""
+    from movies_etl_spark.session import temp_confs
+
     target = _scratch("bloom_join_prune", sf_dir)
-    prev_bloom = spark.conf.get(
-        "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
-    )
-    prev_thresh = spark.conf.get(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-        "10GB",
-    )
-    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-        "0",
-    )
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
+    with temp_confs(
+        spark,
+        {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
         sel = (
             _t(spark, sf_dir, "orders")
             .filter(
@@ -1748,15 +1746,6 @@ def q_bloom_join_prune(spark, sf_dir):
             .write.mode("overwrite")
             .parquet(target)
         )
-    finally:
-        spark.conf.set(
-            "spark.sql.optimizer.runtime.bloomFilter.enabled", prev_bloom
-        )
-        spark.conf.set(
-            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-            prev_thresh,
-        )
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
     return spark.read.parquet(target)
 
 
@@ -1874,7 +1863,7 @@ def q_bpe_subword_stats(spark, sf_dir):
     )
 
 
-_STREAM_HLL_ORACLE = """
+_STREAM_HLL_ORACLE = f"""
     WITH e AS (SELECT CAST(date_trunc('day',
                       CAST(date_trunc('second', ts) AS TIMESTAMP)) AS DATE)
                         AS day,
@@ -1907,8 +1896,7 @@ _STREAM_HLL_ORACLE = """
            FROM est_in)
     SELECT day,
            round(CASE WHEN e_raw <= CAST(2.5 AS DOUBLE) * 512 AND v_zero > 0
-                      THEN CAST(512 AS DOUBLE) * ln(CAST(512 AS DOUBLE)
-                                                    / v_zero)
+                      THEN {hll_linear_sql()}
                       ELSE e_raw END, 2) AS est_distinct
     FROM e2
 """
@@ -2195,9 +2183,9 @@ def _hll_regs_sql(name: str, where: str) -> str:
         FROM {name}_h GROUP BY register)"""
 
 
-_HLL_EST_SQL = """
+_HLL_EST_SQL = f"""
         CASE WHEN e_raw <= CAST(2.5 AS DOUBLE) * 512 AND v_zero > 0
-             THEN CAST(512 AS DOUBLE) * ln(CAST(512 AS DOUBLE) / v_zero)
+             THEN {hll_linear_sql()}
              ELSE e_raw END
 """
 

@@ -1060,11 +1060,10 @@ def q_groupby_count_salted_aqe_off(spark, sf_dir):
     hashpartitioning exactly; this query puts the AQE-off execution under
     the driver's correctness gate."""
     from movies_etl_spark.operators.skew import salted_groupby_agg
+    from movies_etl_spark.session import temp_confs
 
     target = _scratch("salted_aqe_off", sf_dir)
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
+    with temp_confs(spark, {"spark.sql.adaptive.enabled": "false"}):
         li = _t(spark, sf_dir, "lineitem")
         out = salted_groupby_agg(
             li,
@@ -1075,8 +1074,6 @@ def q_groupby_count_salted_aqe_off(spark, sf_dir):
         out.select(
             "l_returnflag", "cnt", F.round(F.col("sum_qty_raw"), 2).alias("sum_qty")
         ).write.mode("overwrite").parquet(target)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
     return spark.read.parquet(target)
 
 

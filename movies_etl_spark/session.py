@@ -15,11 +15,41 @@ re-picks join strategies from real statistics) but not the code.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+@contextlib.contextmanager
+def temp_confs(spark: SparkSession, confs: dict[str, str]):
+    """Set runtime confs for the duration of a block, restoring TRUE
+    prior state on exit.
+
+    Prior state is read with no fallback default: a conf Spark can
+    resolve (user-set or engine default) restores by ``set``; a conf
+    with NO resolvable value (unset, no SQLConf default) restores by
+    ``unset``. The old per-site pattern — ``conf.get(key, <assumed
+    default>)`` then ``set`` in finally — pinned unset confs to a
+    hard-coded guess that silently diverges if a Spark upgrade or the
+    hosting session changes the real default (ADVICE r5)."""
+    prior: dict[str, str | None] = {}
+    for key, value in confs.items():
+        try:
+            prior[key] = spark.conf.get(key)
+        except Exception:
+            prior[key] = None
+        spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        for key, prev in prior.items():
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
 
 
 def get_spark(

@@ -1982,9 +1982,12 @@ def test_bpe_pack_matches_independent_python(spark, sf_dir):
     nsub = {w: len(syms) for w, syms in words.items()}
     doc_n = {}
     for _, row in docs.iterrows():
-        doc_n[int(row.doc_id)] = sum(
-            nsub[w] for w in row.text.split(" ") if w
-        )
+        n = sum(nsub[w] for w in row.text.split(" ") if w)
+        # the query's per-doc count rides an INNER join on non-empty
+        # words, so a zero-token doc yields no output row — skip it here
+        # too instead of fabricating a nonsense span (ADVICE r5)
+        if n > 0:
+            doc_n[int(row.doc_id)] = n
 
     def shard(doc_id):
         return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16) % 8
