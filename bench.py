@@ -151,6 +151,11 @@ HEADLINE = [
     "cms_join_size_estimate",
     "aqp_sampled_groupby",
     "dedup_semantic_incremental",
+    # r6 additions: clustered-fixture recall audit and the end-to-end
+    # LLM-corpus composite (quality gate -> exact dedup -> MinHash ->
+    # SemDeDup -> decontaminate -> BPE train/encode -> pack)
+    "ann_recall_clustered",
+    "llm_corpus_pipeline",
 ]
 
 
@@ -344,6 +349,23 @@ def main() -> None:
             ),
         }
         exact.unpersist()
+        # clustered fixture: the recall the same index reaches when the
+        # data HAS neighborhood structure (isotropic ≈ scan fraction is
+        # the ceiling above; see tests/test_ann_recall.py)
+        cl = SIM.clustered_fixture(emb).cache()
+        cl.count()
+        clq = cl.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+        cl_exact = SIM.topk_bruteforce(cl, clq, k=5)
+        ann_recall["lsh_h1_clustered"] = round(
+            SIM.recall_at_k(
+                cl_exact,
+                SIM.topk_multiprobe_lsh(
+                    cl, clq, k=5, offsets=SIM.MULTIPROBE_OFFSETS_H1
+                ),
+            ),
+            3,
+        )
+        cl.unpersist()
     except Exception:
         pass
 

@@ -340,6 +340,55 @@ MULTIPROBE_OFFSETS_H2: list[int] = (
     ]
 )
 
+#: Hamming-radius-1 probe set (1 + 8 = 9 of 256 buckets): the cheaper
+#: dial for CLUSTERED corpora, where a query's true neighbors share most
+#: signature bits and radius 1 already recovers them (measured on the
+#: clustered fixture below: recall@5 ≈ 0.97 at a ~14% scan, vs 0.35 at
+#: ~15% for radius 2 on isotropic vectors — tests/test_ann_recall.py).
+MULTIPROBE_OFFSETS_H1: list[int] = [0] + [1 << i for i in range(RP_N_PLANES)]
+
+#: clustered-fixture noise scale: cluster member = center + NOISE·self.
+#: At 0.12 the within-cluster cosine is ≈ 0.97 — tight clusters like
+#: real sentence embeddings, not the isotropic synthetic corpus where
+#: recall ≈ scan fraction is the information-theoretic ceiling.
+CLUSTER_FIXTURE_NOISE = 0.12
+CLUSTER_FIXTURE_K = 8
+
+
+def clustered_fixture(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = CLUSTER_FIXTURE_K,
+    noise: float = CLUSTER_FIXTURE_NOISE,
+) -> DataFrame:
+    """Deterministic planted-cluster corpus derived from an existing
+    embedding table: vector i is assigned to cluster ``i % n_clusters``
+    and becomes ``center + noise·self``, where the centers are the
+    first ``n_clusters`` vectors. Everything is float→double casts,
+    one multiply, and one add — correctly-rounded IEEE ops that replay
+    bit-identically in the DuckDB oracle (unlike any RNG-based
+    mixture), so recall measured on the fixture sits under the exact
+    value gate. This is the structured-data counterpart to the
+    isotropic corpus: the demonstration that the SAME index machinery
+    reaches high recall cheaply when structure exists."""
+    centers = corpus.filter(F.col(id_col) < n_clusters).select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")
+    )
+    lit = F.lit(float(noise))
+    return (
+        corpus.withColumn("__cid", F.col(id_col) % n_clusters)
+        .join(F.broadcast(centers), "__cid")
+        .select(
+            F.col(id_col),
+            F.zip_with(
+                "__cv",
+                vec_col,
+                lambda c, v: c.cast("double") + lit * v.cast("double"),
+            ).alias(vec_col),
+        )
+    )
+
 
 def rp_bucket(vec: Column) -> Column:
     """Sign-LSH bucket id in [0, 2^RP_N_PLANES): bit j is the sign of the

@@ -1894,6 +1894,102 @@ def q_ann_recall_eval(spark, sf_dir):
     )
 
 
+#: clustered fixture as SQL — the same float→double casts, one multiply,
+#: one add as similarity.clustered_fixture, so both engines build the
+#: identical doubles (noise literal CAST to DOUBLE: DuckDB parses bare
+#: decimals as DECIMAL).
+_CLUSTERED_FIXTURE_SQL = f"""
+    SELECT e.vec_id,
+           list_transform(list_zip(c.embedding, e.embedding),
+             x -> CAST(x[1] AS DOUBLE)
+                  + CAST({SIM.CLUSTER_FIXTURE_NOISE!r} AS DOUBLE)
+                    * CAST(x[2] AS DOUBLE)) AS embedding
+    FROM embeddings e
+    JOIN embeddings c ON c.vec_id = e.vec_id % {SIM.CLUSTER_FIXTURE_K}
+"""
+
+_ANN_RECALL_CLUSTERED_ORACLE = f"""
+    WITH cf AS ({_CLUSTERED_FIXTURE_SQL}),
+    b AS (SELECT vec_id, embedding,
+                 {_rp_bucket_sql("embedding")} AS bucket
+          FROM cf),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket
+          FROM b WHERE vec_id >= 8 AND vec_id < 16),
+    probes AS (
+        SELECT query_id, qvec, xor(qbucket, off) AS probe_bucket
+        FROM q, UNNEST({SIM.MULTIPROBE_OFFSETS_H1}) t(off)),
+    ann_scored AS (
+        SELECT p.query_id, e.vec_id AS neighbor_id,
+               round({_COS_SQL.format(a="p.qvec", b="e.embedding")}, 6) AS sim
+        FROM b e JOIN probes p
+          ON e.bucket = p.probe_bucket AND e.vec_id <> p.query_id),
+    ann AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS rank
+            FROM ann_scored)
+        WHERE rank <= 5),
+    ex_scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round({_COS_SQL.format(a="q.qvec", b="e.embedding")}, 6) AS sim
+        FROM cf e, q WHERE e.vec_id <> q.query_id),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS rank
+            FROM ex_scored)
+        WHERE rank <= 5)
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           round(count(a.neighbor_id) * 1.0 / count(*), 4) AS recall
+    FROM exact e
+    LEFT JOIN ann a ON a.query_id = e.query_id
+                   AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@query("ann_recall_clustered", oracle=_ANN_RECALL_CLUSTERED_ORACLE)
+def q_ann_recall_clustered(spark, sf_dir):
+    """Multi-probe LSH recall on a CLUSTERED corpus — the demonstration
+    that the honest isotropic floors (multiprobe 0.35 at ~15% scan) are
+    a property of structureless data, not of the index: on the planted
+    deterministic cluster fixture (similarity.clustered_fixture — every
+    vector pulled to one of 8 centers with 0.12 noise, within-cluster
+    cosine ≈ 0.97, the shape real sentence embeddings have), the SAME
+    machinery at the CHEAPER Hamming-1 probe set (9 of 256 buckets)
+    reaches recall@5 ≈ 0.97 while scanning ~14% of the corpus — equal
+    scan fraction to the isotropic radius-2 audit, ~3× the recall
+    (floors pinned in tests/test_ann_recall.py; fleet numbers in
+    bench.py's ann_recall_at_5).
+
+    The fixture is pure IEEE add/multiply on existing vectors — no RNG
+    — so exact top-k, probe tables, and the recall arithmetic all
+    replay bit-identically in the DuckDB oracle: the recall CLAIM
+    itself sits under the driver's value gate, like ann_recall_eval."""
+    e = _t(spark, sf_dir, "embeddings")
+    cl = SIM.clustered_fixture(e)
+    qset = cl.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+    exact = SIM.topk_bruteforce(cl, qset, k=5).select("query_id", "neighbor_id")
+    ann = SIM.topk_multiprobe_lsh(
+        cl, qset, k=5, offsets=SIM.MULTIPROBE_OFFSETS_H1
+    ).select(F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an"))
+    j = exact.join(
+        ann,
+        (F.col("query_id") == F.col("aq"))
+        & (F.col("neighbor_id") == F.col("an")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.count("an").cast("long").alias("n_hit"),
+        F.round(F.count("an") * 1.0 / F.count(F.lit(1)), 4).alias("recall"),
+    )
+
+
 @query(
     "dedup_containment",
     oracle=f"""
