@@ -771,3 +771,314 @@ def q_gopher_quality_flags(spark, sf_dir):
         & (F.col("alpha_frac") > 0.8)
         & (F.col("stop_hits") >= 2),
     )
+
+
+# ===========================================================================
+# End-to-end LLM-corpus composite (round 6)
+# ===========================================================================
+
+
+def _llm_corpus_oracle() -> str:
+    """Replay the ENTIRE chain — corpus planting, quality gate, exact
+    dedup, MinHash near-dedup, SemDeDup, decontamination, BPE training/
+    encoding, and sequence packing — as one generated CTE chain: every
+    stage reuses the fragment its standalone oracle uses (_NEAR_CORPUS /
+    shingle/sig/band/cand, the shared kmeans_cte, the parameterized
+    _bpe_oracle), so the composite pins the COMPOSITION, not new
+    machinery."""
+    from movies_etl_spark.plans.queries_ext import (
+        _BAND_COLS_SQL,
+        _CAND_UNION_SQL,
+        _COS_SQL,
+        _INT_SHINGLES_SQL,
+        _NEAR_CORPUS_SQL,
+        _SIG_COLS_SQL,
+        kmeans_cte,
+    )
+    from movies_etl_spark.plans.queries_scale import (
+        SEMDEDUP_TAU,
+        _bpe_oracle,
+        _bpe_pack_final,
+    )
+
+    ngram5 = (
+        "list_transform(generate_series(1, len(tk) - 4), "
+        "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' "
+        "|| tk[i+3] || ' ' || tk[i+4])"
+    )
+    cos = _COS_SQL.format(a="a.embedding", b="b.embedding")
+    # MATERIALIZED on the multi-referenced stage CTEs: DuckDB inlines
+    # CTEs by default, and the BPE w-chain references its predecessor
+    # twice per iteration — inlined, w8 re-expands the ENTIRE upstream
+    # dedup chain 2^8 times (measured: fd exhaustion from thousands of
+    # re-opened parquet scans). Materializing the stage boundaries makes
+    # the oracle evaluate each stage once, mirroring the Spark side's
+    # persisted checkpoints.
+    prelude = f"""corp AS MATERIALIZED (
+        {_NEAR_CORPUS_SQL}
+        UNION ALL
+        SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 73 = 0
+        UNION ALL
+        SELECT d.doc_id + 3000000,
+               array_to_string(list_slice(string_split(d.text, ' '), 1, 10),
+                               ' ')
+               || ' ' ||
+               array_to_string(list_slice(string_split(ev.text, ' '), 1, 5),
+                               ' ')
+        FROM documents d
+        JOIN documents ev ON ev.doc_id = 97 * ((d.doc_id // 83) % 6)
+        WHERE d.doc_id % 83 = 0
+          AND len(string_split(d.text, ' ')) >= 10),
+    qual AS (
+        SELECT doc_id, text
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM corp)
+        WHERE len(tk) >= 10
+          AND round(1.0 - CAST(len(list_distinct(tk)) AS DOUBLE)
+                    / CAST(len(tk) AS DOUBLE), 4) <= 0.5),
+    ex AS MATERIALIZED (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM qual) WHERE rn = 1),
+    shing AS ({_INT_SHINGLES_SQL.format(corpus="SELECT doc_id, text FROM ex")}),
+    sig0 AS (SELECT doc_id, shingles, {_SIG_COLS_SQL} FROM shing),
+    sig AS MATERIALIZED (SELECT *, {_BAND_COLS_SQL} FROM sig0),
+    cand AS ({_CAND_UNION_SQL}),
+    mh_drop AS (
+        SELECT DISTINCT c.id_b AS doc_id FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b
+        WHERE len(sa.shingles) > 0 AND len(sb.shingles) > 0
+          AND round(CAST(len(list_intersect(sa.shingles, sb.shingles))
+                         AS DOUBLE)
+                / CAST(len(list_distinct(sa.shingles || sb.shingles))
+                       AS DOUBLE), 4) >= 0.5),
+    mh AS MATERIALIZED (SELECT doc_id, text FROM ex
+           WHERE doc_id NOT IN (SELECT doc_id FROM mh_drop)),
+    {kmeans_cte()},
+    asg_r AS (SELECT vec_id, cell, round(d2, 4) AS d2 FROM a2),
+    memb AS MATERIALIZED (SELECT m.doc_id, g.cell, g.d2, e.embedding
+             FROM mh m JOIN asg_r g ON g.vec_id = m.doc_id
+                       JOIN embeddings e ON e.vec_id = m.doc_id),
+    sem_victims AS (
+        SELECT DISTINCT CASE WHEN a.d2 < b.d2 THEN a.doc_id
+                             ELSE b.doc_id END AS doc_id
+        FROM memb a JOIN memb b ON a.cell = b.cell AND a.doc_id < b.doc_id
+        WHERE round({cos}, 6) >= {SEMDEDUP_TAU}),
+    sem AS (SELECT doc_id, text FROM mh
+            WHERE doc_id NOT IN (SELECT doc_id FROM sem_victims)),
+    ev AS (SELECT DISTINCT unnest(gr) AS ng FROM (
+        SELECT CASE WHEN len(tk) >= 5 THEN {ngram5} ELSE [] END AS gr
+        FROM (SELECT string_split(text, ' ') AS tk FROM documents
+              WHERE doc_id % 97 = 0))),
+    noneval AS (SELECT doc_id, text FROM sem
+                WHERE doc_id NOT IN (SELECT doc_id FROM documents
+                                     WHERE doc_id % 97 = 0)),
+    g_corp AS (SELECT doc_id,
+                      CASE WHEN len(tk) >= 5 THEN {ngram5} ELSE [] END AS gr
+               FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                     FROM noneval)),
+    contaminated AS (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_id, unnest(gr) AS ng FROM g_corp) x
+        JOIN ev USING (ng)),
+    clean AS MATERIALIZED (SELECT doc_id, text FROM noneval
+              WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    """
+    return _bpe_oracle(
+        8,
+        final_select=_bpe_pack_final("clean"),
+        carry_word=True,
+        corpus_ref="clean",
+        prelude_ctes=prelude,
+    )
+
+
+@query("llm_corpus_pipeline", oracle=_llm_corpus_oracle())
+def q_llm_corpus_pipeline(spark, sf_dir):
+    """THE end-to-end LLM training-corpus build, as one oracle-paired
+    query: raw corpus (with planted exact AND near duplicates so every
+    dedup stage is non-vacuous) → row-level quality gate → exact dedup
+    (content-hash, keep first) → MinHash-LSH near-dedup (drop docs with
+    a verified smaller-id partner) → SemDeDup (frozen k-means quantizer
+    over the embedding table, within-cell cosine at τ, keep the
+    atypical exemplar) → benchmark decontamination (drop docs sharing a
+    word-5-gram with the eval slice) → BPE tokenizer TRAINED on the
+    surviving corpus → encode → pack into 512-SUBWORD sequences. The
+    output is the packed-sequence manifest a trainer's data loader
+    reads.
+
+    Every stage is the already-audited standalone operator; the
+    composite exists because stage ORDER and partition alignment are
+    where chained pipelines break (the curation_pipeline lesson,
+    extended through the r5 tokenizer/semantic stages). Scale shape:
+    map-only quality filters prune at scan speed; exact dedup is ONE
+    shuffle on the content hash; only survivors pay shingling/banding
+    (band equi-join, never n²); SemDeDup pairs exist only within
+    learned cells (guarded BLAS blocks); decontamination is a broadcast
+    semi-join; BPE's sole corpus-scale stage is the wordcount shuffle
+    (merge iterations run on the vocab-bounded table); packing is the
+    two-phase distributed prefix sum. Persisted stage boundaries (ex,
+    clean) are where a 100 TB run would checkpoint to storage. The
+    DuckDB oracle replays the whole chain from the standalone stages'
+    own fragments; the independent python witness re-runs it from
+    scratch (tests/test_ground_truth.py)."""
+    from movies_etl_spark.operators import bpe as B
+    from movies_etl_spark.operators import caching
+    from movies_etl_spark.operators import dedup as D
+    from movies_etl_spark.operators import similarity as SIM
+    from movies_etl_spark.operators import text as TX
+    from movies_etl_spark.plans.queries_ext import _near_corpus
+    from movies_etl_spark.plans.queries_scale import SEMDEDUP_TAU
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # planted corpus: near-duplicate truncations (the MinHash stage's
+    # prey), exact copies (the content-hash stage's), and CONTAMINATED
+    # docs — 10 own tokens + the first 5 tokens of a cycled eval doc, so
+    # each carries exactly the eval 5-grams the decontamination stage
+    # exists to catch while staying clear of every earlier stage's
+    # thresholds (unique text; ≤0.13 Jaccard between plants)
+    ev_pick = d.select(
+        F.col("doc_id").alias("__ek"), F.col("text").alias("__etext")
+    ).filter(F.col("__ek") % 97 == 0)
+    dtoks = TX.tokens(F.col("text"))
+    contaminated_plants = (
+        d.filter((F.col("doc_id") % 83 == 0) & (F.size(dtoks) >= 10))
+        .withColumn(
+            "__ek", F.floor(F.col("doc_id") / 83).cast("long") % 6 * 97
+        )
+        .join(F.broadcast(ev_pick), "__ek")
+        .select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.concat(
+                F.array_join(F.slice(dtoks, 1, 10), " "),
+                F.lit(" "),
+                F.array_join(F.slice(TX.tokens(F.col("__etext")), 1, 5), " "),
+            ).alias("text"),
+        )
+    )
+    corp = (
+        _near_corpus(spark, sf_dir)
+        .unionByName(
+            d.filter(F.col("doc_id") % 73 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(contaminated_plants)
+    )
+    # 1. quality gate (map-only: prune first, shrink everything after)
+    toks = TX.tokens(F.col("text"))
+    qual = corp.filter(
+        (F.size(toks) >= 10) & (C.duplicate_fraction(toks) <= 0.5)
+    )
+    # 2. exact dedup: keep the first doc per content hash (one shuffle)
+    w = Window.partitionBy(TX.content_hash(F.col("text"))).orderBy("doc_id")
+    ex = caching.tracked_persist(
+        qual.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # 3. MinHash-LSH near-dedup: banded candidates, Jaccard-verify, drop
+    #    the larger id of each verified pair
+    sh_all = caching.tracked_persist(D.shingled(ex, "text", "doc_id"))
+    pairs = D.candidate_pairs_minhash(sh_all, "doc_id")
+    sh = sh_all.filter(F.size("shingles") > 0)
+    verified = (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+        .filter(F.round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 4) >= 0.5)
+    )
+    mh = ex.join(
+        verified.select(F.col("id_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    # 4. SemDeDup: frozen quantizer (trained on the full embedding
+    #    table), within-cell cosine, drop the member closer to its
+    #    centroid (keep the atypical exemplar)
+    e = _t(spark, sf_dir, "embeddings")
+    asg = caching.tracked_persist(SIM.kmeans_assign(e, k=4, iters=2))
+    memb = (
+        mh.select("doc_id")
+        .join(asg.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        .join(e.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id")
+    )
+    sem_pairs = D.cosine_pairs_vectorized(
+        memb, id_col="doc_id", vec_col="embedding", block_col="cell",
+        threshold=SEMDEDUP_TAU,
+    )
+    d2s = memb.select("doc_id", "d2")
+    sem_victims = (
+        sem_pairs.join(
+            d2s.select(F.col("doc_id").alias("id_a"), F.col("d2").alias("d2_a")),
+            "id_a",
+        )
+        .join(
+            d2s.select(F.col("doc_id").alias("id_b"), F.col("d2").alias("d2_b")),
+            "id_b",
+        )
+        .select(
+            F.when(F.col("d2_a") < F.col("d2_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    sem = mh.join(sem_victims, "doc_id", "left_anti")
+    # 5. decontamination: the eval slice's distinct 5-grams broadcast
+    #    against the survivors; eval docs themselves leave the corpus
+    ev_ids = d.filter(F.col("doc_id") % 97 == 0)
+    ev = (
+        ev_ids.select(F.explode(C.word_ngrams(toks, 5)).alias("ng"))
+        .distinct()
+    )
+    noneval = sem.join(ev_ids.select("doc_id"), "doc_id", "left_anti")
+    contaminated = (
+        noneval.select("doc_id", F.explode(C.word_ngrams(toks, 5)).alias("ng"))
+        .join(F.broadcast(ev), "ng", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = caching.tracked_persist(
+        noneval.join(contaminated, "doc_id", "left_anti")
+    )
+    # 6. BPE train on the SURVIVING corpus -> encode -> count subwords
+    #    per doc -> pack into 512-subword sequences
+    wc = caching.tracked_persist(B.word_counts(clean, "text"))
+    _, encoded = B.bpe_train_with_vocab(spark, wc, n_merges=8)
+    nsub = encoded.select(
+        "word", F.size(F.split(F.col("syms"), " ")).cast("long").alias("ns")
+    )
+    dt = clean.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    cnt = (
+        dt.join(F.broadcast(nsub), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("ns").alias("n"))
+    )
+    keyed = cnt.select(
+        "doc_id",
+        "n",
+        C.hash_bucket(F.col("doc_id"), 8).alias("shard"),
+        C.hash_order(F.col("doc_id")).alias("h"),
+    )
+    off = C.global_running_offset(
+        keyed, "n", "shard", [F.col("h"), F.col("doc_id")]
+    )
+    cb = F.col("cum_before")
+    budget = 512
+    return off.select(
+        "doc_id",
+        F.col("n").alias("n_subwords"),
+        F.floor(cb / budget).cast("long").alias("seq_first"),
+        F.floor((cb + F.col("n") - 1) / budget).cast("long").alias("seq_last"),
+        (cb % budget).alias("bin_offset"),
+    )

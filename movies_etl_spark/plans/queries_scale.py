@@ -1758,6 +1758,8 @@ def _bpe_oracle(
     n_merges: int = 8,
     final_select: str | None = None,
     carry_word: bool = False,
+    corpus_ref: str = "documents",
+    prelude_ctes: str = "",
 ) -> str:
     """Replay the BPE training run: the same wordcount, the same
     (count DESC, pair) argmax, the same double-space replace merge —
@@ -1766,12 +1768,17 @@ def _bpe_oracle(
     encode query selects from the final w{n} symbol table instead);
     ``carry_word`` threads the word column through the iterations so
     the final table is the word→segmentation encoding map (the pack
-    query joins it back onto the corpus)."""
+    query joins it back onto the corpus). ``corpus_ref`` names the
+    (doc_id, text) relation to train on — a table or an earlier CTE —
+    and ``prelude_ctes`` ("name AS (...), " chain, trailing comma)
+    prepends the CTEs that build it, so composites (llm_corpus_pipeline)
+    train the tokenizer on a FILTERED corpus; defaults keep the emitted
+    SQL byte-identical to the pre-parameterized form."""
     wcol = "word, " if carry_word else ""
     wcol_w = "w.word, " if carry_word else ""
     parts = [
-        f"""wc AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
-         FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        f"""{prelude_ctes}wc AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+         FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM {corpus_ref})
          WHERE tok <> '' GROUP BY tok),
     w0 AS (SELECT {wcol}array_to_string(string_split(word, ''), ' ') || ' </w>'
                   AS syms, freq
@@ -2303,11 +2310,17 @@ def q_hll_set_overlap(spark, sf_dir):
     return base.select("scope", "est", "exact").unionByName(inter)
 
 
-_BPE_PACK_FINAL = """, nsub AS (
+def _bpe_pack_final(corpus_ref: str = "documents") -> str:
+    """Pack-stage tail of the generated BPE oracle (count per-doc
+    subwords via the encoded vocab, then the hash-sharded prefix-sum
+    layout); ``corpus_ref`` must match the ``_bpe_oracle`` corpus so the
+    packed docs are the trained-on docs. Default output is byte-same as
+    the pre-parameterized constant."""
+    return f""", nsub AS (
         SELECT word, CAST(len(string_split(syms, ' ')) AS BIGINT) AS ns
         FROM w8),
     dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-           FROM documents),
+           FROM {corpus_ref}),
     cnt AS (SELECT doc_id, CAST(sum(ns) AS BIGINT) AS n
             FROM dt JOIN nsub USING (word)
             WHERE word <> '' GROUP BY doc_id),
@@ -2328,6 +2341,9 @@ _BPE_PACK_FINAL = """, nsub AS (
            (cum_before + n - 1) // 512 AS seq_last,
            cum_before % 512 AS bin_offset
     FROM c"""
+
+
+_BPE_PACK_FINAL = _bpe_pack_final()
 
 
 @query(

@@ -2107,3 +2107,223 @@ def test_semdedup_incremental_matches_independent_numpy(spark, sf_dir):
     got_cells = {r["vec_id"]: r["cell"] for r in rows}
     assert got_cells == {v: a2[v][0] for v in delta}
     assert got_dropped == victims
+
+
+def test_llm_corpus_pipeline_matches_independent_python(spark, sf_dir):
+    """End-to-end composite witness: plain python/numpy re-runs the
+    ENTIRE chain — corpus planting, quality gate, content-hash exact
+    dedup, MinHash-LSH banding + Jaccard verification with the
+    drop-the-larger-id rule, frozen-quantizer SemDeDup, eval removal +
+    5-gram decontamination, Counter-based BPE training, list-walk
+    encoding, and the concat-and-chunk packing — and the final manifest
+    must match the query row-for-row. Additionally asserts every planted
+    family dies at ITS stage (exact copies at exact dedup, truncations
+    at MinHash, contaminated plants at decontamination), so no stage is
+    vacuously green."""
+    import hashlib
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    from movies_etl_spark.operators.dedup import (
+        MINHASH_P,
+        MINHASH_SEEDS,
+        N_BANDS,
+        N_MINHASH,
+        SHINGLE_C1,
+        SHINGLE_C2,
+    )
+    from movies_etl_spark.plans.queries_scale import SEMDEDUP_TAU
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    base = {int(r.doc_id): r.text for r in docs.itertuples()}
+    corpus = dict(base)
+    for d, t in base.items():
+        toks = t.split(" ")
+        if d % 50 == 0 and len(toks) >= 20:
+            corpus[d + 1000000] = " ".join(toks[: len(toks) - 10])
+    for d, t in base.items():
+        if d % 73 == 0:
+            corpus[d + 2000000] = t
+    for d, t in base.items():
+        toks = t.split(" ")
+        if d % 83 == 0 and len(toks) >= 10:
+            ev_id = 97 * ((d // 83) % 6)
+            corpus[d + 3000000] = (
+                " ".join(toks[:10]) + " " + " ".join(base[ev_id].split(" ")[:5])
+            )
+
+    # 1. quality gate
+    def dup_frac(toks):
+        return round(1.0 - len(set(toks)) / len(toks), 4) if toks else 0.0
+
+    qual = {
+        d: t
+        for d, t in corpus.items()
+        if len(t.split(" ")) >= 10 and dup_frac(t.split(" ")) <= 0.5
+    }
+
+    # 2. exact dedup: keep the smallest doc_id per content hash
+    first_by_hash: dict = {}
+    for d in sorted(qual):
+        first_by_hash.setdefault(hashlib.md5(qual[d].encode()).hexdigest(), d)
+    ex = {d: qual[d] for d in first_by_hash.values()}
+    exact_casualties = set(qual) - set(ex)
+    assert any(d >= 2000000 for d in exact_casualties), "exact stage vacuous"
+
+    # 3. MinHash-LSH near-dedup: drop the larger id of each verified pair
+    def shingles(text):
+        th = [
+            int(hashlib.md5(t.encode()).hexdigest()[:12], 16) % MINHASH_P
+            for t in text.split(" ")
+        ]
+        return (
+            [
+                (th[i] * SHINGLE_C1 + th[i + 1] * SHINGLE_C2 + th[i + 2])
+                % MINHASH_P
+                for i in range(len(th) - 2)
+            ]
+            if len(th) >= 3
+            else []
+        )
+
+    sh = {d: shingles(t) for d, t in ex.items()}
+    bands: dict = {}
+    for d, s in sh.items():
+        if not s:
+            continue
+        sig = [
+            min((a * h + b) % MINHASH_P for h in s)
+            for a, b in MINHASH_SEEDS[:N_MINHASH]
+        ]
+        for bi in range(N_BANDS):
+            bands.setdefault((bi, f"{sig[2 * bi]}|{sig[2 * bi + 1]}"), []).append(d)
+    mh_drops = set()
+    for members in bands.values():
+        for a, b in itertools.combinations(sorted(members), 2):
+            sa, sb = set(sh[a]), set(sh[b])
+            if sa and sb and round(len(sa & sb) / len(sa | sb), 4) >= 0.5:
+                mh_drops.add(b)
+    mh = {d: t for d, t in ex.items() if d not in mh_drops}
+    assert mh_drops, "minhash stage vacuous"
+
+    # 4. SemDeDup with the frozen quantizer (same numpy kmeans as the
+    #    standalone SemDeDup witness, trained on the FULL table)
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values(
+        "vec_id"
+    ).reset_index(drop=True)
+    V = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    ids = emb.vec_id.to_numpy()
+    cents = {int(i): V[ids == i][0] for i in range(4)}
+
+    def assign(cmap):
+        out = {}
+        for i, vid in enumerate(ids):
+            best = min(
+                cmap.items(),
+                key=lambda kv: (round(float(((V[i] - kv[1]) ** 2).sum()), 6), kv[0]),
+            )
+            out[int(vid)] = (best[0], round(float(((V[i] - best[1]) ** 2).sum()), 6))
+        return out
+
+    a1 = assign(cents)
+    newc = {}
+    for c in sorted({v[0] for v in a1.values()}):
+        members = V[[a1[int(v)][0] == c for v in ids]]
+        newc[c] = np.round(members.mean(axis=0), 6)
+    a2 = assign(newc)
+    d2r = {vid: _round_half_up(d2, 4) for vid, (c, d2) in a2.items()}
+    idx = {int(v): i for i, v in enumerate(ids)}
+    nrm = np.sqrt((V * V).sum(axis=1))
+    sem_members = sorted(d for d in mh if d in idx)
+    sem_victims = set()
+    for i, va in enumerate(sem_members):
+        for vb in sem_members[i + 1:]:
+            if a2[va][0] != a2[vb][0]:
+                continue
+            cos = float(V[idx[va]] @ V[idx[vb]] / (nrm[idx[va]] * nrm[idx[vb]]))
+            if _round_half_up(cos, 6) >= SEMDEDUP_TAU:
+                sem_victims.add(va if d2r[va] < d2r[vb] else vb)
+    sem = {d: t for d, t in mh.items() if d not in sem_victims}
+    assert sem_victims, "semdedup stage vacuous"
+
+    # 5. eval removal + 5-gram decontamination
+    def grams5(text):
+        toks = text.split(" ")
+        return (
+            {" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)}
+            if len(toks) >= 5
+            else set()
+        )
+
+    ev_ids = {d for d in base if d % 97 == 0}
+    ev = set().union(*(grams5(base[d]) for d in ev_ids))
+    clean = {
+        d: t
+        for d, t in sem.items()
+        if d not in ev_ids and not (grams5(t) & ev)
+    }
+    decon_drops = {d for d in sem if d not in ev_ids and (grams5(sem[d]) & ev)}
+    assert any(d >= 3000000 for d in decon_drops), "decontamination vacuous"
+
+    # 6. BPE train on the SURVIVING corpus, encode, count, pack
+    from collections import Counter
+
+    wc: Counter = Counter()
+    for t in clean.values():
+        for w in t.split(" "):
+            if w:
+                wc[w] += 1
+    words = {w: tuple(list(w) + ["</w>"]) for w in wc}
+
+    def merge_word(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    for _ in range(8):
+        pc: Counter = Counter()
+        for w, syms in words.items():
+            f = wc[w]
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += f
+        if not pc:
+            break
+        (a, b), _cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        words = {w: merge_word(syms, a, b) for w, syms in words.items()}
+
+    nsub = {w: len(syms) for w, syms in words.items()}
+    doc_n = {}
+    for d, t in clean.items():
+        n = sum(nsub[w] for w in t.split(" ") if w)
+        if n > 0:
+            doc_n[d] = n
+
+    def shard(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16) % 8
+
+    order = sorted(
+        doc_n,
+        key=lambda d: (shard(d), hashlib.md5(str(d).encode()).hexdigest(), d),
+    )
+    want = {}
+    cum = 0
+    for d in order:
+        n = doc_n[d]
+        want[d] = (n, cum // 512, (cum + n - 1) // 512, cum % 512)
+        cum += n
+
+    got = {
+        r["doc_id"]: (
+            r["n_subwords"], r["seq_first"], r["seq_last"], r["bin_offset"]
+        )
+        for r in QUERIES["llm_corpus_pipeline"](spark, sf_dir).collect()
+    }
+    assert got == want
