@@ -44,9 +44,90 @@ N_MOVIES = 45_000
 OUT = "/tmp/movies_etl_scratch/reference_scale"
 
 
+def synth_ratings(spark, rows: int, hot_fraction: float = 0.0):
+    """The deterministic 26M-row ratings fact; ``hot_fraction`` > 0
+    plants a hot movieId (id 0 receives that share of ALL rows) — the
+    head-key shape of a production feed (one viral title)."""
+    from movies_etl_spark.operators.ratings import RATING_BUCKETS
+
+    buckets = F.array(*[F.lit(b) for b in RATING_BUCKETS])
+    spread = F.pmod(F.col("id") * 2_654_435_761, F.lit(N_MOVIES))
+    movie = (
+        F.when(F.col("id") % 10 < int(hot_fraction * 10), F.lit(0)).otherwise(spread)
+        if hot_fraction > 0
+        else spread
+    )
+    return spark.range(rows).select(
+        (F.col("id") % 270_000).alias("userId"),
+        movie.alias("movieId"),
+        F.element_at(buckets, (F.col("id") % 10 + 1).cast("int")).alias("rating"),
+    )
+
+
+def skewed_reference_join(spark, fact, salted: bool):
+    """The big-big join variant of the reference pipeline's J2: fact ⋈
+    movies dimension WITHOUT broadcast (at 100 TB the dimension often
+    doesn't fit / isn't chosen — stale stats, UDF-opaque sizes), so the
+    join is sort-merge on movieId and a hot key lands on one reducer.
+    ``salted=True`` runs operators.skew.salted_join_hot_keys instead —
+    the hot key fans over 32 salt sub-keys while the dimension
+    replicates only those 32 rows."""
+    from movies_etl_spark.operators.skew import salted_join_hot_keys
+
+    movies = spark.range(N_MOVIES).select(
+        F.col("id").alias("movieId"),
+        F.concat(F.lit("movie_"), F.col("id")).alias("title"),
+    )
+    if salted:
+        joined = salted_join_hot_keys(
+            fact, movies, "movieId", hot_keys=[0], n_salts=32,
+            broadcast_small=False,
+        )
+    else:
+        joined = fact.join(movies, "movieId")
+    return joined.groupBy("rating").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def bench_skew_suite(spark, rows: int) -> dict:
+    """Skew-stress at reference scale, with the optimizer's safety nets
+    OFF (adaptive skew-splitting would mask the imbalance; broadcast
+    would dodge the shuffle): wall-clock for the uniform join, the same
+    join with 30% of rows on one movieId, and the salted rewrite of the
+    skewed join. The headline pipeline itself is skew-IMMUNE (map-side
+    partial aggregation collapses the hot key per task; the dimension
+    join broadcasts), so the stress targets the big-big join shape where
+    salting is the only defense. Numbers recorded in SCALE.md."""
+    from movies_etl_spark.session import temp_confs
+
+    out = {}
+    with temp_confs(
+        spark,
+        {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        for name, hot, salted in [
+            ("join_uniform_unsalted", 0.0, False),
+            ("join_hot30_unsalted", 0.3, False),
+            ("join_hot30_salted", 0.3, True),
+        ]:
+            fact = synth_ratings(spark, rows, hot_fraction=hot)
+            t0 = time.perf_counter()
+            skewed_reference_join(spark, fact, salted=salted).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            out[name] = round(time.perf_counter() - t0, 2)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=REFERENCE_ROWS)
+    ap.add_argument(
+        "--skip-skew", action="store_true",
+        help="skip the skew-stress join suite",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="bench_reference_scale")
@@ -95,6 +176,7 @@ def main() -> None:
     mr = spark.read.parquet(f"{OUT}/movies_ratings").count()
 
     wiki_rows, wiki_elapsed = bench_wiki_parse(spark)
+    skew = {} if args.skip_skew else bench_skew_suite(spark, args.rows)
 
     print(
         json.dumps(
@@ -113,6 +195,7 @@ def main() -> None:
                 "wiki_parse_rows": wiki_rows,
                 "wiki_parse_sec": round(wiki_elapsed, 2),
                 "wiki_parse_rows_per_sec": round(wiki_rows / wiki_elapsed),
+                "skew_suite": skew or None,
             }
         )
     )

@@ -698,3 +698,38 @@ def test_zorder_layout_actually_prunes_row_groups(spark, sf_dir, tmp_path):
     assert rand_scanned == total
     # z-ordered: min/max stats must discard at least half the rows
     assert zord_scanned <= rand_scanned / 2, (zord_scanned, rand_scanned)
+
+
+def test_reference_scale_skew_join_plan(spark):
+    """The skew-stress variant of the reference pipeline's join
+    (bench_reference_scale.skewed_reference_join): with AQE and
+    broadcast off — the state where salting is the only defense — the
+    salted path must plan as a SortMergeJoin keyed on (movieId, salt)
+    with no broadcast and no adaptive node, and the unsalted plan must
+    show the plain single-key SMJ it degrades through. Pins the plan the
+    measured 26M-row numbers in SCALE.md rode on."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench_reference_scale as BRS
+
+    from movies_etl_spark.session import temp_confs
+
+    with temp_confs(
+        spark,
+        {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        fact = BRS.synth_ratings(spark, 10_000, hot_fraction=0.3)
+        salted = BRS.skewed_reference_join(spark, fact, salted=True)
+        plan = _formatted(spark, salted)
+        assert "SortMergeJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+        assert "AdaptiveSparkPlan" not in plan
+        assert "__salt__" in plan
+        plain = BRS.skewed_reference_join(spark, fact, salted=False)
+        plan2 = _formatted(spark, plain)
+        assert "SortMergeJoin" in plan2
+        assert "__salt__" not in plan2
