@@ -14,7 +14,7 @@ Scale design (the whole point of these operators):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from movies_etl_spark.operators.caching import tracked_persist
@@ -154,14 +154,80 @@ def jaccard(a: Column, b: Column) -> Column:
     ).cast("double")
 
 
-def candidate_pairs_minhash(sh_df: DataFrame, id_col: str) -> DataFrame:
+#: hard cap on rows per LSH band bucket: a b-row bucket emits ~b²/2
+#: candidate pairs from the band self-join, so 10k rows → ~5·10⁷ pairs
+#: from ONE bucket — the same per-task pairwise ceiling as
+#: MAX_COSINE_BLOCK_ROWS. A bucket past this cap means the corpus has a
+#: duplicate family LSH banding cannot bound (boilerplate-heavy scrape:
+#: one viral template repeated millions of times lands in one bucket and
+#: the self-join squares it); the fix is upstream — exact-dedup first so
+#: identical docs collapse to one bucket row, raise ROWS_PER_BAND so
+#: bands are more selective, or sub-split the bucket — never a bigger
+#: cluster.
+MAX_BAND_BUCKET_ROWS = 10_000
+
+
+def guard_band_buckets(
+    bands: DataFrame, max_bucket_rows: int = MAX_BAND_BUCKET_ROWS
+) -> DataFrame:
+    """Distributed hard-fail when any (band_id, band_key) bucket exceeds
+    ``max_bucket_rows`` rows — the banding mirror of the cosine path's
+    ``MAX_COSINE_BLOCK_ROWS`` contract (cosine_pairs_vectorized):
+    executed inside the plan (window count + raise_error), costing zero
+    extra jobs, so an oversized bucket can never silently square itself
+    into the candidate join. Passing rows flow through unchanged.
+
+    The window count shuffles on exactly the key the candidate self-join
+    shuffles on, so downstream exchange reuse keeps the guard's marginal
+    cost to the per-bucket sort. The failure message carries the
+    remediation (see MAX_BAND_BUCKET_ROWS)."""
+    w = Window.partitionBy("band_id", "band_key")
+    counted = bands.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+    msg = F.concat_ws(
+        "",
+        F.lit("LSH band bucket (band_id="),
+        F.col("band_id").cast("string"),
+        F.lit(", band_key="),
+        F.substring(F.col("band_key"), 1, 64),
+        F.lit(") holds "),
+        F.col("__bucket_n").cast("string"),
+        F.lit(
+            f" rows (cap {max_bucket_rows}): the band self-join would "
+            "square this bucket into an unboundable candidate set. "
+            "Exact-dedup identical documents first, raise ROWS_PER_BAND "
+            "for more selective bands, or sub-split the bucket key."
+        ),
+    )
+    # The guard lives in a FILTER whose predicate is a non-foldable
+    # when/raise_error — Catalyst cannot constant-fold it away (unlike
+    # `assert_true(...).isNull()`, which NullPropagation may rewrite),
+    # and predicate pushdown cannot move it below the window it reads.
+    ok = F.when(
+        F.col("__bucket_n") > F.lit(max_bucket_rows),
+        F.raise_error(msg).cast("boolean"),
+    ).otherwise(F.lit(True))
+    return counted.filter(ok).drop("__bucket_n")
+
+
+def candidate_pairs_minhash(
+    sh_df: DataFrame,
+    id_col: str,
+    max_bucket_rows: int = MAX_BAND_BUCKET_ROWS,
+) -> DataFrame:
     """LSH candidate pairs (id_a < id_b), deduplicated across bands.
-    Cost: one shuffle on band_key; bucket sizes bound the join fan-out.
-    ``sh_df`` is a (id, shingles) frame — persist it if verification will
-    reuse the shingles. The exploded band table is persisted here because
-    the self-join consumes it twice (Spark would otherwise execute the
+    Cost: one shuffle on band_key; bucket sizes bound the join fan-out,
+    and that bound is ENFORCED — guard_band_buckets hard-fails any
+    bucket past ``max_bucket_rows`` with remediation, so a
+    boilerplate-heavy corpus cannot square its hottest bucket (the
+    100 TB failure mode exact tests never see). ``sh_df`` is a
+    (id, shingles) frame — persist it if verification will reuse the
+    shingles. The exploded band table is persisted here (post-guard, so
+    the cap is checked exactly once at cache fill) because the
+    self-join consumes it twice (Spark would otherwise execute the
     signature computation once per side)."""
-    ex = tracked_persist(with_minhash_bands(sh_df, id_col))
+    ex = tracked_persist(
+        guard_band_buckets(with_minhash_bands(sh_df, id_col), max_bucket_rows)
+    )
     a = ex.select(
         F.col(id_col).alias("id_a"), "band_id", "band_key"
     )
@@ -175,7 +241,10 @@ def candidate_pairs_minhash(sh_df: DataFrame, id_col: str) -> DataFrame:
 
 
 def incremental_candidate_pairs(
-    index_bands: DataFrame, delta_bands: DataFrame, id_col: str
+    index_bands: DataFrame,
+    delta_bands: DataFrame,
+    id_col: str,
+    max_bucket_rows: int = MAX_BAND_BUCKET_ROWS,
 ) -> DataFrame:
     """Candidate pairs INTRODUCED by an append-only delta, given the
     persisted band index of the corpus so far: delta × (index ∪ delta)
@@ -192,13 +261,22 @@ def incremental_candidate_pairs(
     pairs; proven by the full-recompute oracle and
     tests/test_ground_truth.py witness).
 
-    Scale shape: the join shuffles on (band_id, band_key) only; when the
-    delta is small relative to the corpus Catalyst broadcasts the delta
-    side, making the index scan shuffle-free. Returns (id_a, id_b)
+    Scale shape: the join shuffles on (band_id, band_key) only; the
+    index side is first semi-joined down to the buckets the delta
+    actually touches (semantically a no-op — untouched buckets cannot
+    produce pairs — but it keeps the bucket-size guard O(matched
+    buckets) instead of re-scanning the whole index), then
+    guard_band_buckets enforces the same ``max_bucket_rows`` cap as the
+    batch path, so an append landing in an already-hot boilerplate
+    bucket fails loudly instead of squaring it. Returns (id_a, id_b)
     normalized id_a < id_b, distinct across bands."""
-    all_bands = index_bands.unionByName(delta_bands)
+    touched = delta_bands.select("band_id", "band_key").distinct()
+    matched = index_bands.unionByName(delta_bands).join(
+        touched, ["band_id", "band_key"], "left_semi"
+    )
+    guarded = guard_band_buckets(matched, max_bucket_rows)
     d = delta_bands.select(F.col(id_col).alias("id_d"), "band_id", "band_key")
-    o = all_bands.select(F.col(id_col).alias("id_o"), "band_id", "band_key")
+    o = guarded.select(F.col(id_col).alias("id_o"), "band_id", "band_key")
     pairs = d.join(o, ["band_id", "band_key"]).filter(
         F.col("id_d") != F.col("id_o")
     )

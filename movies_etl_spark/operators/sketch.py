@@ -179,8 +179,15 @@ HLL_LINEAR_TABLE: tuple[float, ...] = tuple(
 def hll_linear_sql(v_zero_expr: str = "v_zero") -> str:
     """DuckDB expression for the linear-counting estimate: the shared
     literal table indexed (1-based) by the empty-register count. Callers
-    guard with ``v_zero > 0`` exactly like the Spark side."""
-    lits = ", ".join(repr(x) for x in HLL_LINEAR_TABLE)
+    guard with ``v_zero > 0`` exactly like the Spark side.
+
+    Literals are emitted as STRING-cast doubles ('…'::DOUBLE), not bare
+    decimals: DuckDB types a bare 17-digit decimal literal DECIMAL(19,15)
+    and its DECIMAL→DOUBLE cast is not correctly rounded (measured: 99 of
+    512 table entries land 1 ulp off the IEEE double the same literal
+    parses to in the JVM/Python), whereas the VARCHAR→DOUBLE cast is an
+    exact strtod round-trip of repr's shortest form (ADVICE r6)."""
+    lits = ", ".join(f"'{x!r}'::DOUBLE" for x in HLL_LINEAR_TABLE)
     return f"([{lits}])[CAST({v_zero_expr} AS INT)]"
 
 

@@ -34,22 +34,43 @@ def temp_confs(spark: SparkSession, confs: dict[str, str]):
     ``unset``. The old per-site pattern — ``conf.get(key, <assumed
     default>)`` then ``set`` in finally — pinned unset confs to a
     hard-coded guess that silently diverges if a Spark upgrade or the
-    hosting session changes the real default (ADVICE r5)."""
-    prior: dict[str, str | None] = {}
-    for key, value in confs.items():
-        try:
-            prior[key] = spark.conf.get(key)
-        except Exception:
-            prior[key] = None
-        spark.conf.set(key, value)
+    hosting session changes the real default (ADVICE r5).
+
+    Only the SPECIFIC cannot-resolve error maps to "unset" — a transient
+    ``conf.get`` failure (py4j hiccup) on a user-set conf must propagate,
+    not silently schedule an unset of the user's value; and the apply
+    loop itself is rollback-protected, so a ``set`` failing mid-loop
+    restores the keys already applied (ADVICE r6)."""
     try:
-        yield
-    finally:
-        for key, prev in prior.items():
+        from pyspark.errors import SparkNoSuchElementException as _NoConf
+    except ImportError:  # older PySpark: Py4J-wrapped NoSuchElementException
+        _NoConf = Exception
+    prior: dict[str, str | None] = {}
+    applied: list[str] = []
+
+    def _restore() -> None:
+        for key in reversed(applied):
+            prev = prior[key]
             if prev is None:
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, prev)
+
+    try:
+        for key, value in confs.items():
+            try:
+                prior[key] = spark.conf.get(key)
+            except _NoConf:
+                prior[key] = None
+            spark.conf.set(key, value)
+            applied.append(key)
+    except BaseException:
+        _restore()
+        raise
+    try:
+        yield
+    finally:
+        _restore()
 
 
 def get_spark(

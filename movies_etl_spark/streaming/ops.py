@@ -612,7 +612,16 @@ def lsh_dedup_stream(
         else:
             index_bands = bands_b.limit(0)
             index_sh = sh_b.limit(0)
-        all_bands = index_bands.unionByName(bands_b)
+        # batch-touched buckets only (untouched index buckets cannot
+        # pair with this batch), then the same bucket-size hard-fail as
+        # the batch path — a viral template accumulating in one band
+        # bucket fails loudly instead of squaring the candidate join.
+        touched = bands_b.select("band_id", "band_key").distinct()
+        all_bands = D.guard_band_buckets(
+            index_bands.unionByName(bands_b).join(
+                touched, ["band_id", "band_key"], "left_semi"
+            )
+        )
         bnew = bands_b.select(F.col("doc_id").alias("id_b"), "band_id", "band_key")
         aold = all_bands.select(F.col("doc_id").alias("id_a"), "band_id", "band_key")
         cand = (

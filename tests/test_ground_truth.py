@@ -2150,9 +2150,12 @@ def test_llm_corpus_pipeline_matches_independent_python(spark, sf_dir):
         toks = t.split(" ")
         if d % 83 == 0 and len(toks) >= 10:
             ev_id = 97 * ((d // 83) % 6)
-            corpus[d + 3000000] = (
-                " ".join(toks[:10]) + " " + " ".join(base[ev_id].split(" ")[:5])
-            )
+            # mirror the query/oracle inner-join semantics: a missing
+            # eval doc silently drops the plant, it doesn't error
+            if ev_id in base:
+                corpus[d + 3000000] = (
+                    " ".join(toks[:10]) + " " + " ".join(base[ev_id].split(" ")[:5])
+                )
 
     # 1. quality gate
     def dup_frac(toks):

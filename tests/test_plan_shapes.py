@@ -709,8 +709,9 @@ def test_reference_scale_skew_join_plan(spark):
     show the plain single-key SMJ it degrades through. Pins the plan the
     measured 26M-row numbers in SCALE.md rode on."""
     import sys
+    from pathlib import Path
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
     import bench_reference_scale as BRS
 
     from movies_etl_spark.session import temp_confs
