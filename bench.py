@@ -253,6 +253,90 @@ def _calibration_stream_sec(spark) -> float:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _calibration_shuffle_sec(spark) -> float:
+    """Shuffle-floor probe: an 8M-row range through a 100k-key hash
+    aggregate (map-side combine + one exchange + final agg). The
+    pure-CPU fold probe is single-stage and cannot see exchange-path
+    contention (serialization, fetch, disk), which is a large share of
+    what drifts between captures on a shared machine — r6's probe said
+    0.95× while the untouched-query median ran 1.17× (VERDICT r6 #3).
+    Median of 3."""
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 8_000_000, 1, 32)
+            .groupBy((F.col("id") % 100_000).alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+            .agg(F.sum("n"), F.bit_xor("s"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        runs.append(time.perf_counter() - t0)
+    return round(sorted(runs)[1], 3)
+
+
+def _calibration_scan_sec(spark) -> float:
+    """Parquet-scan probe: a projected, lightly-filtered pass over the
+    largest fact table at the bench SF — page-cache and decode pressure,
+    the other ambient axis the CPU probe misses. Median of 3 (the first
+    run also warms the cache so the median reflects steady state, like
+    every timed query after the suite's warmup)."""
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            .select("l_orderkey", "l_quantity")
+            .filter(F.col("l_quantity") > 0)
+            .agg(F.count(F.lit(1)), F.sum("l_quantity"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        runs.append(time.perf_counter() - t0)
+    return round(sorted(runs)[1], 3)
+
+
+def _cal_reference() -> dict:
+    """Pinned calibration-battery reference (BENCH_CAL_REF.json): the
+    probe timings of the last DRIVER capture, committed and re-pinned
+    once per round. Read-only from here — normalizing against the
+    mutable BENCH_DETAIL.json would make 'prev' whatever local rerun
+    happened last instead of the round's recorded capture. Falls back
+    to BENCH_DETAIL.json if the ref is missing (first run)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname in ("BENCH_CAL_REF.json", "BENCH_DETAIL.json"):
+        try:
+            with open(os.path.join(here, fname)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            continue
+    return {}
+
+
+def _drift_vs_ref(prev: dict, cal_now: dict[str, float]) -> float | None:
+    """Ambient drift factor vs the pinned reference capture: ratio of
+    the calibration-battery totals over the PROBE KEYS BOTH RAN (the
+    battery can grow across rounds without breaking comparability).
+    > 1 means this machine is currently slower than the reference."""
+    shared = [
+        k
+        for k, v in cal_now.items()
+        if isinstance(prev.get(k), (int, float)) and v
+    ]
+    if not shared:
+        return None
+    now = sum(cal_now[k] for k in shared)
+    before = sum(prev[k] for k in shared)
+    return round(now / before, 4) if before else None
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(os.path.normpath(sf_dir))
     try:
@@ -277,9 +361,13 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    calibration = _calibration_sec(spark)
-    calibration_codegen = _calibration_codegen_sec(spark)
-    calibration_stream = _calibration_stream_sec(spark)
+    cal = {
+        "calibration_sec": _calibration_sec(spark),
+        "calibration_codegen_sec": _calibration_codegen_sec(spark),
+        "calibration_stream_sec": _calibration_stream_sec(spark),
+        "calibration_shuffle_sec": _calibration_shuffle_sec(spark),
+        "calibration_scan_sec": _calibration_scan_sec(spark),
+    }
 
     timings: dict[str, float] = {}
     rows_total = 0
@@ -373,18 +461,33 @@ def main() -> None:
     # wall-time so a regression can't hide in iteration count.
     from movies_etl_spark.operators import dedup
 
+    # Drift-normalized per-query values (VERDICT r6 #5): take the
+    # calibration-battery ratio vs the pinned reference capture
+    # (BENCH_CAL_REF.json) as the ambient drift and emit
+    # queries_normalized = raw / drift — "reference-ambient-equivalent
+    # seconds". An untouched query's normalized value should sit ~1.0×
+    # its reference-round raw value, so cross-round comparison no
+    # longer needs judge-side reconstruction.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    drift = _drift_vs_ref(_cal_reference(), cal)
+    normalized = (
+        {q: round(t / drift, 3) for q, t in timings.items()} if drift else None
+    )
+
     full = {
         "metric": "headline_suite_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_normalized": normalized,
+        "calibration_drift_vs_ref": drift,
         "sf": _sf_from_dir(SF_DIR),
         "n_queries": len(timings),
         "approx_rows_per_sec": round(rows_total / total) if total else None,
         "cluster_propagation_rounds": dedup.LAST_CC_ROUNDS or None,
-        "calibration_sec": calibration,
-        "calibration_codegen_sec": calibration_codegen,
-        "calibration_stream_sec": calibration_stream,
+        **cal,
         "ann_recall_at_5": ann_recall or None,
     }
     # Per-query detail goes to a committed file; stdout gets a COMPACT
@@ -394,9 +497,6 @@ def main() -> None:
     # made the artifact unreadable without the NOTES ledger. The compact
     # line is the machine-readable record; BENCH_DETAIL.json carries the
     # full per-query map for cross-round comparisons.
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
     try:
         with open(detail_path, "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
@@ -408,6 +508,9 @@ def main() -> None:
     )
     compact = dict(full)
     compact["queries"] = slowest
+    # the full normalized map lives in the detail file only — the
+    # compact stdout line must stay inside the driver's ~2k tail capture
+    compact.pop("queries_normalized", None)
     compact["queries_are"] = "top10_slowest_of_n_queries"
     compact["detail_file"] = (
         os.path.basename(detail_path) if detail_path else None
