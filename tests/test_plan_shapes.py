@@ -734,3 +734,29 @@ def test_reference_scale_skew_join_plan(spark):
         plan2 = _formatted(spark, plain)
         assert "SortMergeJoin" in plan2
         assert "__salt__" not in plan2
+
+
+def test_minhash_guard_plan(spark, sf_dir):
+    """The batch band-bucket guard must be the broadcast form: the
+    hot-bucket check rides a BroadcastHashJoin carrying raise_error, and
+    NO Window node exists in the candidate-pair plan (the window form
+    would shuffle+sort the full band table a third time — the de-opt
+    this pin exists to catch). The incremental path keeps its window
+    form by design (small delta-touched subset, single lineage eval)."""
+    from movies_etl_spark.operators import dedup as D
+    from movies_etl_spark.sources import readers
+
+    docs = readers.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    sh = D.shingled(docs, "text", "doc_id")
+    pairs = D.candidate_pairs_minhash(sh, "doc_id")
+    jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = pairs._jdf.queryExecution().explainString(jvm_mode)
+    assert "raise_error" in plan  # guard present in the plan
+    assert _nodes(plan, "Window") == 0  # no full-table window shuffle
+    assert _nodes(plan, "BroadcastHashJoin") >= 1  # guard probe is broadcast
+    # guard's hot-bucket aggregate exists (count over the band key)
+    assert "__bucket_n" in plan
