@@ -177,7 +177,9 @@ def hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sessionize(
+    spark: SparkSession, sf_dir: str, state_partitions: int | None = 8
+) -> DataFrame:
     """Custom stateful operator: per-user session windows with a 30-minute
     inactivity gap, via ``applyInPandasWithState``.
 
@@ -185,6 +187,17 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     The state handle carries the open-session accumulator between
     micro-batches; with an unbounded source the same function emits
     completed sessions incrementally and times out idle users.
+
+    ``state_partitions`` sizes the stateful stage's shuffle — which IS
+    the state-store partition count, frozen into the checkpoint at first
+    run. Size it to KEY parallelism (distinct users ÷ target keys per
+    store), never inherit the scan-sized session default: every
+    partition pays a state-store open/commit per micro-batch even when
+    empty, so over-provisioning is a pure per-batch tax (measured at
+    sf0.1: 32 inherited partitions 3.2 s → 8 partitions 2.2 s, identical
+    sessions; the remaining gap to the native session_window twin is the
+    Arrow+Python state transfer itself — see SCALE.md "Streaming").
+    None = inherit the session setting.
 
     The pandas function is a self-contained closure (Python workers never
     import this package)."""
@@ -220,7 +233,14 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(sessions, "append")
+    from movies_etl_spark.session import temp_confs
+
+    if state_partitions is None:
+        return _run_to_memory(sessions, "append")
+    with temp_confs(
+        spark, {"spark.sql.shuffle.partitions": str(state_partitions)}
+    ):
+        return _run_to_memory(sessions, "append")
 
 
 def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
