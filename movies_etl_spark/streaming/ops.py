@@ -544,6 +544,7 @@ def lsh_dedup_stream(
     corpus: DataFrame,
     work_dir: str,
     n_chunks: int = 4,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Streaming MinHash-LSH NEAR-dedup at ingest: the gate between the
     exact-hash ``dedup_stream`` and the batch ``dedup_minhash_lsh`` — a
@@ -640,7 +641,10 @@ def lsh_dedup_stream(
         all_bands = D.guard_band_buckets(
             index_bands.unionByName(bands_b).join(
                 touched, ["band_id", "band_key"], "left_semi"
-            )
+            ),
+            max_bucket_rows
+            if max_bucket_rows is not None
+            else D.MAX_BAND_BUCKET_ROWS,
         )
         bnew = bands_b.select(F.col("doc_id").alias("id_b"), "band_id", "band_key")
         aold = all_bands.select(F.col("doc_id").alias("id_a"), "band_id", "band_key")

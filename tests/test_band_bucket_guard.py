@@ -154,3 +154,40 @@ def test_broadcast_guard_matches_window_guard(spark):
             D.guard_band_buckets_broadcast(bands, max_bucket_rows=4).count()
     finally:
         bands.unpersist()
+
+
+def test_streaming_guard_trips_when_index_bucket_goes_hot(spark, tmp_path):
+    """End-to-end through the real foreachBatch stream: a template
+    family accumulating in the band index must trip the guard once the
+    delta-touched bucket crosses the cap — the ingest-time form of the
+    viral-boilerplate failure."""
+    from movies_etl_spark.streaming import ops as S
+
+    corpus = _docs(spark, n_dups=24, n_distinct=2)
+    with pytest.raises(Exception, match="band bucket"):
+        S.lsh_dedup_stream(
+            spark,
+            corpus,
+            str(tmp_path / "lsh_trip"),
+            n_chunks=3,
+            max_bucket_rows=10,
+        )
+
+
+def test_streaming_guard_passes_under_cap(spark, tmp_path):
+    """Same stream with the cap above the family size: completes and the
+    near-dup family still collapses to its first-arrived member."""
+    from movies_etl_spark.streaming import ops as S
+
+    corpus = _docs(spark, n_dups=6, n_distinct=3)
+    out = S.lsh_dedup_stream(
+        spark,
+        corpus,
+        str(tmp_path / "lsh_pass"),
+        n_chunks=2,
+        max_bucket_rows=50,
+    )
+    survivors = {r.doc_id for r in out.collect()}
+    assert 0 in survivors  # first template doc survives
+    assert not (survivors & set(range(1, 6)))  # later copies dropped
+    assert {6, 7, 8} <= survivors  # distinct docs untouched
