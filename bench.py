@@ -321,20 +321,29 @@ def _cal_reference() -> dict:
 
 
 def _drift_vs_ref(prev: dict, cal_now: dict[str, float]) -> float | None:
-    """Ambient drift factor vs the pinned reference capture: ratio of
-    the calibration-battery totals over the PROBE KEYS BOTH RAN (the
+    """Ambient drift factor vs the pinned reference capture: the MEDIAN
+    of per-probe now/ref ratios over the PROBE KEYS BOTH RAN (the
     battery can grow across rounds without breaking comparability).
-    > 1 means this machine is currently slower than the reference."""
-    shared = [
-        k
+    Median-of-ratios, not ratio-of-sums: the sum weights probes by
+    their absolute duration, so the 2.5 s stream probe dominates and
+    one probe misbehaving (the codegen probe swings several-fold with
+    JIT state) drags the whole estimate — observed as a 1.148 battery
+    read against a ~1.0 query median in the same capture. > 1 means
+    this machine is currently slower than the reference."""
+    ratios = sorted(
+        v / prev[k]
         for k, v in cal_now.items()
-        if isinstance(prev.get(k), (int, float)) and v
-    ]
-    if not shared:
+        if isinstance(prev.get(k), (int, float)) and prev[k] and v
+    )
+    if not ratios:
         return None
-    now = sum(cal_now[k] for k in shared)
-    before = sum(prev[k] for k in shared)
-    return round(now / before, 4) if before else None
+    n = len(ratios)
+    mid = (
+        ratios[n // 2]
+        if n % 2
+        else (ratios[n // 2 - 1] + ratios[n // 2]) / 2
+    )
+    return round(mid, 4)
 
 
 def _sf_from_dir(sf_dir: str) -> float:
