@@ -17,7 +17,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from movies_etl_spark.operators.caching import tracked_persist
 from movies_etl_spark.operators.text import token_hash, tokens
 
 # MinHash configuration: 8 hashes, 4 bands × 2 rows.
@@ -200,11 +199,14 @@ def guard_band_buckets(
     the right guard for frames whose lineage must not be recomputed and
     is not persisted — the incremental/streaming paths' delta-touched
     index subsets, which are also small enough that the window's
-    shuffle+sort is negligible. For the full-corpus batch path, where
-    that extra full-table shuffle is real money, use
-    :func:`guard_band_buckets_broadcast` over a PERSISTED band table
-    instead (measured 1.13× cheaper end-to-end at sf0.1). The failure
-    message carries the remediation (see MAX_BAND_BUCKET_ROWS)."""
+    shuffle+sort is negligible. The full-corpus batch path needs NO
+    standalone guard at all: :func:`candidate_pairs_minhash` (r8) fuses
+    the cap check into the collect_list aggregate candidate generation
+    already requires, so the guard there costs one `count` column. To
+    guard a PERSISTED band table without generating pairs (e.g. when
+    publishing the incremental band index), use
+    :func:`guard_band_buckets_broadcast`. The failure message carries
+    the remediation (see MAX_BAND_BUCKET_ROWS)."""
     w = Window.partitionBy("band_id", "band_key")
     counted = bands.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
     # The guard lives in a FILTER whose predicate is a non-foldable
@@ -223,16 +225,22 @@ def guard_band_buckets(
 def guard_band_buckets_broadcast(
     cached_bands: DataFrame, max_bucket_rows: int = MAX_BAND_BUCKET_ROWS
 ) -> DataFrame:
-    """The batch-path twin of :func:`guard_band_buckets`: same hard-fail
-    contract, but instead of window-counting (which shuffles and sorts
-    the ENTIRE band table once more than the candidate join needs), it
+    """Standalone guard for a PERSISTED band table (e.g. validating the
+    incremental band index before publishing an append) — same
+    hard-fail contract as :func:`guard_band_buckets`, but instead of
+    window-counting (which shuffles and sorts the ENTIRE band table) it
     aggregates per-bucket counts, keeps only the VIOLATING buckets —
     empty on every healthy corpus — and broadcast-left-joins them back;
     a row landing in a broadcast-matched bucket raises with the same
     remediation. Healthy-path cost: one map-side-combinable count
     aggregate plus an empty broadcast — no extra full-table shuffle, no
     sort (measured 1.13× cheaper end-to-end than the window form at
-    sf0.1, identical pair sets).
+    sf0.1, identical pair sets). The batch CANDIDATE path no longer
+    routes through this function: :func:`candidate_pairs_minhash` (r8)
+    fuses the same cap into the collect_list aggregate it needs anyway,
+    which beat this guard-then-self-join shape by a further 0.7× —
+    this form remains for guarding a band table you are NOT about to
+    pair-expand.
 
     ``cached_bands`` MUST be persisted (or otherwise cheap to re-read):
     the hot-bucket aggregate is a second consumer of it, and an
@@ -267,32 +275,53 @@ def candidate_pairs_minhash(
     id_col: str,
     max_bucket_rows: int = MAX_BAND_BUCKET_ROWS,
 ) -> DataFrame:
-    """LSH candidate pairs (id_a < id_b), deduplicated across bands.
-    Cost: one shuffle on band_key; bucket sizes bound the join fan-out,
-    and that bound is ENFORCED — the broadcast bucket guard hard-fails
-    any bucket past ``max_bucket_rows`` with remediation, so a
+    """LSH candidate pairs (id_a < id_b), deduplicated across bands,
+    with the band-bucket size cap ENFORCED — a bucket past
+    ``max_bucket_rows`` hard-fails with remediation, so a
     boilerplate-heavy corpus cannot square its hottest bucket (the
-    100 TB failure mode exact tests never see). ``sh_df`` is a
-    (id, shingles) frame — persist it if verification will reuse the
-    shingles. The exploded band table is persisted here because the
-    self-join consumes it twice (Spark would otherwise execute the
-    signature computation once per side) and the guard's hot-bucket
-    aggregate is a third consumer of the same cache — see
-    guard_band_buckets_broadcast for why the guard hangs ABOVE the
-    persist, not below it."""
-    ex = guard_band_buckets_broadcast(
-        tracked_persist(with_minhash_bands(sh_df, id_col)), max_bucket_rows
+    100 TB failure mode exact tests never see).
+
+    FUSED single-shuffle form (r8, cost-iterated from the r7
+    self-join + broadcast-probe guard): ONE ``groupBy(band_id,
+    band_key)`` collects each bucket's id list AND its count — the
+    guard reads the count on the very aggregate that candidate
+    generation needs, and pairs are emitted map-side by a double
+    explode of the (cap-bounded) id list. Replaces the r7 shape's
+    THREE consumers of a persisted band table (hot-bucket count
+    aggregate + both self-join sides → two more exchanges + sort)
+    with one exchange on the band key total; measured 0.7× the
+    join form on the sf0.1 candidate path with identical pair sets,
+    and the band table no longer needs a persist at all.
+
+    Scale shape: collect_list partial-aggregates map-side
+    (ObjectHashAggregate), and every bucket list is bounded by the
+    enforced cap — 10k bigint ids ≈ 80 KB per bucket row, far under
+    any executor's row budget; the n²/2 explode fan-out per bucket is
+    identical to the self-join's per-bucket fan-out, just without the
+    second shuffle. ``sh_df`` is a (id, shingles) frame — persist it
+    if verification will reuse the shingles."""
+    bands = with_minhash_bands(sh_df, id_col)
+    g = bands.groupBy("band_id", "band_key").agg(
+        F.collect_list(id_col).alias("__ids"),
+        F.count(F.lit(1)).alias("__bucket_n"),
     )
-    a = ex.select(
-        F.col(id_col).alias("id_a"), "band_id", "band_key"
+    # Guard in a FILTER whose predicate is a non-foldable when/
+    # raise_error over the aggregate count (same anti-constant-folding
+    # reasoning as guard_band_buckets); singleton buckets can produce
+    # no pairs and are dropped before the explode.
+    ok = F.when(
+        F.col("__bucket_n") > F.lit(max_bucket_rows),
+        F.raise_error(_bucket_overflow_message(max_bucket_rows)).cast(
+            "boolean"
+        ),
+    ).otherwise(F.lit(True))
+    g = g.filter(ok).filter(F.col("__bucket_n") >= 2)
+    pairs = (
+        g.select(F.explode("__ids").alias("id_a"), "__ids")
+        .select("id_a", F.explode("__ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
     )
-    b = ex.select(
-        F.col(id_col).alias("id_b"), "band_id", "band_key"
-    )
-    pairs = a.join(b, ["band_id", "band_key"]).filter(
-        F.col("id_a") < F.col("id_b")
-    )
-    return pairs.select("id_a", "id_b").distinct()
+    return pairs.distinct()
 
 
 def incremental_candidate_pairs(
@@ -491,11 +520,21 @@ def connected_components(
     # 465 KB explain string). With leaf plans every round optimizes a
     # constant-size tree. On a fault-tolerant cluster use checkpoint(dir)
     # instead — localCheckpoint blocks don't survive executor loss.
-    both = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .localCheckpoint(eager=False)
-    )
+    # Materialize the edge list ONCE before the bidirectional union: the
+    # union embeds `edges`' lineage in BOTH branches, and a lazy
+    # checkpoint of the union still evaluates each branch independently
+    # on first action — for LSH-verified edges that means the candidate
+    # self-join + Jaccard verify + bucket guard run twice (the r7 bench
+    # showed exactly this: every connected_components consumer paid the
+    # new guard twice, pushing dedup_survivors to 1.85× and
+    # curation_pipeline to 1.59× of r6). The eager checkpoint costs one
+    # job and evaluates the expensive lineage exactly once; the union of
+    # two leaf scans is then constant-size and needs no checkpoint of
+    # its own.
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
+    both = e.union(e.select(F.col("v"), F.col("u")))
     labels = (
         both.select(F.col("u").alias("node"))
         .distinct()

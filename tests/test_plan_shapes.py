@@ -737,12 +737,17 @@ def test_reference_scale_skew_join_plan(spark):
 
 
 def test_minhash_guard_plan(spark, sf_dir):
-    """The batch band-bucket guard must be the broadcast form: the
-    hot-bucket check rides a BroadcastHashJoin carrying raise_error, and
-    NO Window node exists in the candidate-pair plan (the window form
-    would shuffle+sort the full band table a third time — the de-opt
-    this pin exists to catch). The incremental path keeps its window
-    form by design (small delta-touched subset, single lineage eval)."""
+    """The batch candidate path must be the FUSED single-shuffle form
+    (r8): ONE exchange on the band key feeding a collect_list+count
+    ObjectHashAggregate (with a map-side partial), the bucket guard's
+    raise_error in a Filter over that aggregate's count, pairs emitted
+    by map-side explodes, and exactly one more exchange for the final
+    distinct. NO Window node (the window-guard form would shuffle+sort
+    the band table again) and NO join at all (the r7 self-join +
+    broadcast-probe shape paid two extra exchanges over a persisted
+    band table — the de-opt this pin exists to catch). The
+    incremental/streaming paths keep the window guard by design (small
+    delta-touched subset, single lineage eval)."""
     from movies_etl_spark.operators import dedup as D
     from movies_etl_spark.sources import readers
 
@@ -757,6 +762,11 @@ def test_minhash_guard_plan(spark, sf_dir):
     plan = pairs._jdf.queryExecution().explainString(jvm_mode)
     assert "raise_error" in plan  # guard present in the plan
     assert _nodes(plan, "Window") == 0  # no full-table window shuffle
-    assert _nodes(plan, "BroadcastHashJoin") >= 1  # guard probe is broadcast
-    # guard's hot-bucket aggregate exists (count over the band key)
+    assert _nodes(plan, "Join") == 0  # fused form: no self-join at all
+    # exactly two shuffles: band-key aggregate + final pair distinct
+    assert _nodes(plan, "Exchange") == 2
+    # candidate generation and guard ride ONE aggregate: partial + final
+    # ObjectHashAggregate around the single band-key exchange
+    assert _nodes(plan, "ObjectHashAggregate") == 2
+    # guard's bucket count exists (count over the band key)
     assert "__bucket_n" in plan
