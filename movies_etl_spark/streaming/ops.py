@@ -178,7 +178,7 @@ def hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sessionize(
-    spark: SparkSession, sf_dir: str, state_partitions: int | None = 8
+    spark: SparkSession, sf_dir: str, state_partitions: int | None = None
 ) -> DataFrame:
     """Custom stateful operator: per-user session windows with a 30-minute
     inactivity gap, via ``applyInPandasWithState``.
@@ -190,14 +190,20 @@ def sessionize(
 
     ``state_partitions`` sizes the stateful stage's shuffle — which IS
     the state-store partition count, frozen into the checkpoint at first
-    run. Size it to KEY parallelism (distinct users ÷ target keys per
-    store), never inherit the scan-sized session default: every
-    partition pays a state-store open/commit per micro-batch even when
-    empty, so over-provisioning is a pure per-batch tax (measured at
-    sf0.1: 32 inherited partitions 3.2 s → 8 partitions 2.2 s, identical
-    sessions; the remaining gap to the native session_window twin is the
-    Arrow+Python state transfer itself — see SCALE.md "Streaming").
-    None = inherit the session setting.
+    run — and defaults to None = inherit the session setting, so a
+    wide-cluster caller's tuning is never silently overridden (r7
+    hard-coded 8 here; ADVICE r7 flagged that, and the r8 steady-state
+    re-measurement showed the claimed 3.2→2.2 s win was a cold-vs-warm
+    artifact: interleaved warm A/B at sf0.1 reads 8-partition 2.0-2.2 s
+    vs inherited-32 1.8-2.0 s — within noise, slight edge to 32 on a
+    32-core box). The knob remains the real production control for a
+    LONG-RUNNING stream: the state-store count is frozen into the
+    checkpoint at first run, and every partition pays a store
+    open/commit per micro-batch even when empty, so size it to key
+    parallelism (distinct users ÷ target keys per store) when creating
+    a checkpoint, not to the scan-sized shuffle default. The remaining
+    gap to the native session_window twin is the Arrow+Python state
+    transfer itself — see SCALE.md "Streaming".
 
     The pandas function is a self-contained closure (Python workers never
     import this package)."""
