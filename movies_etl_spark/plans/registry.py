@@ -1459,20 +1459,85 @@ def q_string_functions(spark, sf_dir):
     )
 
 
-@query("approx_stats")
+@query(
+    "approx_stats",
+    oracle="""
+    SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           true AS orders_within_2pct,
+           true AS parts_within_2pct,
+           true AS median_within_rank_eps
+    FROM lineitem
+    """,
+)
 def q_approx_stats(spark, sf_dir):
     """The at-scale swap for exact statistics (SCALE.md): HyperLogLog++
     distinct counts and t-digest quantiles — mergeable sketch partials,
     constant memory per group, one shuffle of sketches not values.
-    Rows-only driver check (sketch results are engine-specific by
-    nature); bounds vs exact values are asserted in tests."""
+
+    ERROR-BOUNDS ORACLE (r8, VERDICT r7 #6 — previously the union's one
+    rows-only row, because raw sketch estimates are engine-specific):
+    the query emits the EXACT statistics (cross-engine comparable)
+    alongside boolean verdicts asserting each estimate sits inside its
+    published bound — HLL++ at rsd=0.01 within ±2% (two standard
+    errors) of the exact distinct count, and the percentile_approx
+    median within rank error ε=0.001 of rank 0.5 (the sketch guarantees
+    1/accuracy = 1e-4; ε adds 10× slack for duplicate-value rank
+    plateaus). The oracle replays the exact values and literal `true`
+    verdicts, so an estimate drifting outside its bound flips a
+    CORRECTNESS row, not just a unit test.
+
+    Cost note: the exact distincts + the rank audit are the AUDIT
+    apparatus, not the production path — a 100 TB run uses the sketches
+    precisely to avoid them; this query exists to prove the bounds the
+    production path relies on. Two passes over lineitem: one combined
+    exact+sketch aggregate, then a broadcast of the 1-row stats back
+    over the column for the median's rank."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.round(
-            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 2
-        ).alias("approx_median_price"),
+    st = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("a_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("a_parts"),
+        F.percentile_approx(
+            "l_extendedprice", F.lit(0.5), F.lit(10000)
+        ).alias("a_median"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranked = (
+        li.select("l_extendedprice")
+        .join(F.broadcast(st))
+        .agg(
+            F.first("exact_orders").alias("exact_orders"),
+            F.first("exact_parts").alias("exact_parts"),
+            F.first("a_orders").alias("a_orders"),
+            F.first("a_parts").alias("a_parts"),
+            F.first("n").alias("n"),
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("a_median")).cast("long")
+            ).alias("rank_le"),
+            F.sum(
+                (F.col("l_extendedprice") < F.col("a_median")).cast("long")
+            ).alias("rank_lt"),
+        )
+    )
+    rel = lambda a, e: F.abs(a - F.col(e)).cast("double") / F.col(e).cast(
+        "double"
+    )
+    eps = 0.001
+    return ranked.select(
+        "exact_orders",
+        "exact_parts",
+        (rel(F.col("a_orders"), "exact_orders") <= 0.02).alias(
+            "orders_within_2pct"
+        ),
+        (rel(F.col("a_parts"), "exact_parts") <= 0.02).alias(
+            "parts_within_2pct"
+        ),
+        (
+            (F.col("rank_le").cast("double") / F.col("n") >= 0.5 - eps)
+            & (F.col("rank_lt").cast("double") / F.col("n") <= 0.5 + eps)
+        ).alias("median_within_rank_eps"),
     )
 
 
