@@ -303,21 +303,29 @@ def _calibration_scan_sec(spark) -> float:
     return round(sorted(runs)[1], 3)
 
 
-def _cal_reference() -> dict:
+def _cal_reference() -> tuple[dict, str]:
     """Pinned calibration-battery reference (BENCH_CAL_REF.json): the
     probe timings of the last DRIVER capture, committed and re-pinned
     once per round. Read-only from here — normalizing against the
     mutable BENCH_DETAIL.json would make 'prev' whatever local rerun
     happened last instead of the round's recorded capture. Falls back
-    to BENCH_DETAIL.json if the ref is missing (first run)."""
+    to BENCH_DETAIL.json if the ref is missing (first run) or
+    unreadable, and SAYS SO: returns (ref, source_tag), and the output
+    carries drift_ref=source_tag — a capture normalized against a
+    local rerun's own probes (drift ≈ 1.0, normalization silently
+    disabled) must be distinguishable from one normalized against the
+    pinned round reference (ADVICE r7)."""
     here = os.path.dirname(os.path.abspath(__file__))
-    for fname in ("BENCH_CAL_REF.json", "BENCH_DETAIL.json"):
+    for fname, tag in (
+        ("BENCH_CAL_REF.json", "pinned"),
+        ("BENCH_DETAIL.json", "detail-fallback"),
+    ):
         try:
             with open(os.path.join(here, fname)) as f:
-                return json.load(f)
+                return json.load(f), tag
         except (OSError, ValueError):
             continue
-    return {}
+    return {}, "none"
 
 
 def _drift_vs_ref(prev: dict, cal_now: dict[str, float]) -> float | None:
@@ -480,7 +488,8 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
-    drift = _drift_vs_ref(_cal_reference(), cal)
+    cal_ref, cal_ref_source = _cal_reference()
+    drift = _drift_vs_ref(cal_ref, cal)
     normalized = (
         {q: round(t / drift, 3) for q, t in timings.items()} if drift else None
     )
@@ -492,6 +501,7 @@ def main() -> None:
         "queries": timings,
         "queries_normalized": normalized,
         "calibration_drift_vs_ref": drift,
+        "drift_ref": cal_ref_source,
         "sf": _sf_from_dir(SF_DIR),
         "n_queries": len(timings),
         "approx_rows_per_sec": round(rows_total / total) if total else None,

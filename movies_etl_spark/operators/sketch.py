@@ -225,21 +225,29 @@ def hll_merge(partials: DataFrame) -> DataFrame:
     return partials.groupBy("register").agg(F.max("rho").alias("rho"))
 
 
-#: per-session cache of the 512-row linear-counting lookup frame —
-#: building it is driver-side work (createDataFrame of HLL_M rows) that
-#: would otherwise repeat on every hll_estimate call.
-_LINEAR_LUT_CACHE: dict[int, DataFrame] = {}
+#: Most-recent-session cache of the 512-row linear-counting lookup
+#: frame — building it is driver-side work (createDataFrame of HLL_M
+#: rows) that would otherwise repeat on every hll_estimate call. A
+#: single (session, frame) slot, compared by object IDENTITY: the old
+#: id(spark)-keyed dict pinned every session it ever saw for the
+#: process lifetime and its safety silently depended on that retention
+#: (a collected session's id could be reused — ADVICE r7). One slot
+#: serves the realistic shape (one live session per process) and a
+#: NEW session simply rebuilds the 512-row frame, releasing the old
+#: session's entry.
+_LINEAR_LUT_CACHE: list[tuple[object, DataFrame]] = []
 
 
 def _linear_lookup(registers: DataFrame) -> DataFrame:
     spark = registers.sparkSession
-    key = id(spark)
-    if key not in _LINEAR_LUT_CACHE:
-        _LINEAR_LUT_CACHE[key] = spark.createDataFrame(
-            [(i + 1, x) for i, x in enumerate(HLL_LINEAR_TABLE)],
-            "v_idx int, linear double",
-        )
-    return _LINEAR_LUT_CACHE[key]
+    if _LINEAR_LUT_CACHE and _LINEAR_LUT_CACHE[0][0] is spark:
+        return _LINEAR_LUT_CACHE[0][1]
+    lut = spark.createDataFrame(
+        [(i + 1, x) for i, x in enumerate(HLL_LINEAR_TABLE)],
+        "v_idx int, linear double",
+    )
+    _LINEAR_LUT_CACHE[:] = [(spark, lut)]
+    return lut
 
 
 def hll_estimate(registers: DataFrame, group_cols: list[str] | None = None) -> DataFrame:

@@ -40,11 +40,10 @@ def temp_confs(spark: SparkSession, confs: dict[str, str]):
     ``conf.get`` failure (py4j hiccup) on a user-set conf must propagate,
     not silently schedule an unset of the user's value; and the apply
     loop itself is rollback-protected, so a ``set`` failing mid-loop
-    restores the keys already applied (ADVICE r6)."""
-    try:
-        from pyspark.errors import SparkNoSuchElementException as _NoConf
-    except ImportError:  # older PySpark: Py4J-wrapped NoSuchElementException
-        _NoConf = Exception
+    restores the keys already applied (ADVICE r6). On PySpark builds
+    without ``SparkNoSuchElementException`` the classifier matches the
+    Py4J-wrapped ``java.util.NoSuchElementException`` by class name
+    rather than re-widening to every exception (ADVICE r7)."""
     prior: dict[str, str | None] = {}
     applied: list[str] = []
 
@@ -60,8 +59,11 @@ def temp_confs(spark: SparkSession, confs: dict[str, str]):
         for key, value in confs.items():
             try:
                 prior[key] = spark.conf.get(key)
-            except _NoConf:
-                prior[key] = None
+            except Exception as exc:
+                if _is_unset_conf_error(exc):
+                    prior[key] = None
+                else:
+                    raise
             spark.conf.set(key, value)
             applied.append(key)
     except BaseException:
@@ -71,6 +73,35 @@ def temp_confs(spark: SparkSession, confs: dict[str, str]):
         yield
     finally:
         _restore()
+
+
+def _is_unset_conf_error(exc: Exception) -> bool:
+    """True iff ``exc`` is the specific "conf has no resolvable value"
+    error from ``spark.conf.get`` — the only error temp_confs may map to
+    "restore by unset". Modern PySpark raises the typed
+    ``SparkNoSuchElementException``; older builds surface the raw
+    Py4J-wrapped ``java.util.NoSuchElementException``, identified here
+    by the wrapped Java class name (never by catching bare Exception,
+    which would classify a transient py4j failure as "unset" and
+    schedule the silent removal of a user-set value)."""
+    try:
+        from pyspark.errors import SparkNoSuchElementException
+    except ImportError:
+        SparkNoSuchElementException = None  # type: ignore[assignment]
+    if SparkNoSuchElementException is not None and isinstance(
+        exc, SparkNoSuchElementException
+    ):
+        return True
+    jexc = getattr(exc, "java_exception", None)  # Py4JJavaError shape
+    if jexc is not None:
+        try:
+            return (
+                jexc.getClass().getName()
+                == "java.util.NoSuchElementException"
+            )
+        except Exception:
+            return False
+    return False
 
 
 def get_spark(
