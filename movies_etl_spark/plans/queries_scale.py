@@ -1515,6 +1515,29 @@ def q_heavy_hitters_cms(spark, sf_dir):
     )
 
 
+@query("streaming_cms_freq", oracle=_CMS_ORACLE)
+def q_streaming_cms_freq(spark, sf_dir):
+    """Streaming incremental frequency-sketch maintenance: the CMS cell
+    table of heavy_hitters_cms kept continuously merged per micro-batch
+    by cell-SUM in foreachBatch (streaming/ops.incremental_cms_rollup)
+    — the frequency sibling of streaming_hll_distinct, closing the
+    sketch family's batch/streaming symmetry (NOTES_r5's one deferred
+    sketch twin). Same oracle as the batch query: the additive merge is
+    associative and the md5 cell hashing deterministic, so the
+    post-stream cell table equals the one-shot whole-corpus sketch
+    EXACTLY and the top-20 point estimates replay bit-for-bit.
+
+    The twin's distinct lesson: sum-merge is NOT idempotent (register-
+    max is), so the batch-id-versioned state discipline — each version
+    regenerated from the largest strictly-earlier version — is what
+    makes a retried batch safe instead of double-counted; the HLL twin
+    would survive sloppier state handling, this one would not."""
+    from movies_etl_spark.streaming import ops
+
+    work = _scratch("stream_cms", sf_dir)
+    return ops.incremental_cms_rollup(spark, sf_dir, work)
+
+
 #: SemDeDup similarity threshold: pairs at or above (on the rounded
 #: value) are semantic duplicates; the member closer to its cluster
 #: centroid is dropped (keep the atypical exemplar). 0.4 yields a ~5%

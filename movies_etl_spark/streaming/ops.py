@@ -785,3 +785,107 @@ def incremental_distinct_rollup(
     last = _agg_versions(work_dir)[-1]
     regs = spark.read.parquet(f"{work_dir}/agg/v={last}")
     return SK.hll_estimate(regs, ["day"])
+
+
+def _merge_versioned_cells(
+    spark: SparkSession, work_dir: str, part: DataFrame, batch_id: int
+) -> None:
+    """CMS sibling of _merge_versioned_regs: merge a batch's
+    (seed, cell, cnt) partials into version ``batch_id`` by CELL-SUM
+    against the largest on-disk version strictly below it. For the
+    additive merge this versioning discipline is LOAD-BEARING, not just
+    tidy: max (HLL) is idempotent, so re-folding a retried batch into
+    its own output would still be correct there — but sum is NOT, and a
+    retried batch that folded into state containing its own prior
+    attempt would double-count. Regenerating version v from the largest
+    version < v makes the retry produce the identical file instead."""
+    prior = _agg_versions(work_dir, upto=batch_id)
+    if prior:
+        prev = spark.read.parquet(f"{work_dir}/agg/v={prior[-1]}")
+        part = (
+            prev.unionByName(part)
+            .groupBy("seed", "cell")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    part.write.mode("overwrite").parquet(f"{work_dir}/agg/v={batch_id}")
+
+
+def incremental_cms_rollup(
+    spark: SparkSession, sf_dir: str, work_dir: str, n_source_files: int = 4
+) -> DataFrame:
+    """Incremental FREQUENCY-sketch maintenance: a foreachBatch sink
+    keeps a count-min cell table continuously merged as corpus batches
+    arrive — the streaming twin of heavy_hitters_cms, closing the
+    sketch-family symmetry (HLL has hll_distinct_shards +
+    streaming_hll_distinct; CMS previously had only the batch side —
+    NOTES_r5's deferred item, VERDICT r7 #7).
+
+    Each micro-batch reduces to its own ≤ d·w-row (seed, cell, cnt)
+    table (sketch.cms_partials — bounded regardless of batch size) and
+    merges into the previous state by CELL-SUM, written
+    batch-id-versioned. Unlike the HLL twin's register-max, the
+    additive merge is NOT idempotent, so the versioned-state
+    discipline (regenerate version v from the largest version < v;
+    readers see only complete versions) is what makes retries safe —
+    see _merge_versioned_cells. Because md5 cell hashing is
+    deterministic and summation associative, the post-stream cell
+    table equals the one-shot whole-corpus sketch EXACTLY, so the
+    point estimates match the batch oracle's replay bit-for-bit — the
+    maintenance invariant under the driver's gate.
+
+    Scale shape: per batch the work is one map-side-combinable
+    aggregate of the batch (O(batch rows)) plus a ≤ d·w + d·w row
+    merge (O(1) in corpus size) — frequency dashboards stay current
+    without ever re-scanning history. The returned frame joins the
+    exact top-20 candidates (computed once, batch-side, from the same
+    materialized source) against the streamed sketch's estimates,
+    exposing the overestimate-only error contract as data."""
+    from movies_etl_spark.operators import sketch as SK
+    from movies_etl_spark.sources import readers
+
+    d = (
+        readers.load_table(spark, sf_dir, "documents")
+        .select(F.split(F.col("text"), " ").alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    bg = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "p -> concat(element_at(toks, p), ' ', element_at(toks, p + 1)))"
+            )
+        ).alias("bigram")
+    )
+    src = f"{work_dir}/src"
+    bg.repartition(n_source_files).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("bigram STRING")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(src)
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        part = SK.cms_partials(batch_df, "bigram", F.lit(0)).drop("shard")
+        _merge_versioned_cells(spark, work_dir, part, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{work_dir}/_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    last = _agg_versions(work_dir)[-1]
+    merged = spark.read.parquet(f"{work_dir}/agg/v={last}")
+    bgb = spark.read.parquet(src)
+    exact = bgb.groupBy("bigram").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    cands = exact.orderBy(F.col("exact_cnt").desc(), "bigram").limit(20)
+    est = SK.cms_point_estimate(merged, cands.select("bigram"), "bigram")
+    return cands.join(est, "bigram").select(
+        "bigram",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overest"),
+    )

@@ -220,3 +220,50 @@ def test_hll_rollup_retry_regenerates_same_version(spark, tmp_path):
         for r in spark.read.parquet(f"{work}/agg/v=1").collect()
     )
     assert first == retried == [(7, 4), (9, 5), (11, 2)]
+
+
+def test_cms_rollup_retry_regenerates_same_version(spark, tmp_path):
+    """CMS sibling of the HLL retry test, where the discipline is
+    LOAD-BEARING: sum-merge is not idempotent, so a retry that folded
+    into its own prior output would double-count. The retried version
+    must equal the first write exactly (regenerated from v=0)."""
+    from movies_etl_spark.streaming.ops import _merge_versioned_cells
+
+    work = str(tmp_path / "cmsretry")
+    p0 = spark.createDataFrame(
+        [(0, 5, 10), (1, 7, 4)], "seed INT, cell BIGINT, cnt BIGINT"
+    )
+    p1 = spark.createDataFrame(
+        [(0, 5, 3), (2, 9, 6)], "seed INT, cell BIGINT, cnt BIGINT"
+    )
+    _merge_versioned_cells(spark, work, p0, 0)
+    _merge_versioned_cells(spark, work, p1, 1)
+    first = sorted(
+        (r["seed"], r["cell"], r["cnt"])
+        for r in spark.read.parquet(f"{work}/agg/v=1").collect()
+    )
+    _merge_versioned_cells(spark, work, p1, 1)  # retry after a write
+    retried = sorted(
+        (r["seed"], r["cell"], r["cnt"])
+        for r in spark.read.parquet(f"{work}/agg/v=1").collect()
+    )
+    assert first == retried == [(0, 5, 13), (1, 7, 4), (2, 9, 6)]
+
+
+def test_streaming_cms_equals_batch_sketch(spark, sf_dir):
+    """Maintenance invariant, engine-side (no oracle replay): the
+    streamed, per-batch sum-merged cell table must produce the same
+    top-20 estimates as the one-shot batch heavy_hitters_cms sketch —
+    associativity of the additive merge made observable."""
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    streamed = {
+        r["bigram"]: (r["exact_cnt"], r["cms_est"])
+        for r in qs["streaming_cms_freq"](spark, sf_dir).collect()
+    }
+    batch = {
+        r["bigram"]: (r["exact_cnt"], r["cms_est"])
+        for r in qs["heavy_hitters_cms"](spark, sf_dir).collect()
+    }
+    assert streamed == batch and len(streamed) == 20
