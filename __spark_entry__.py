@@ -24,7 +24,12 @@ sketch plumbing round 6 touched, and 14 oldest r2 rows — closing the
 union at 212/212. Round 7's window (_ROUND7_PRIORITY below) is pure
 freshness + re-validation: the 26 r2-stale rows, the 13 queries whose
 banding/HLL-oracle/conf plumbing round 7 touched, and the 11 oldest r3
-rows.
+rows. Round 8's window (_ROUND8_PRIORITY below): curation_pipeline +
+the 8 other consumers of the r8-rewritten candidate generator /
+connected-components path, the newly oracle-gated approx_stats, the
+one r8 addition (streaming_cms_freq), the re-defaulted
+streaming_sessionize, the remaining 34 r3-latest rows, and the 4
+oldest r4 rows — after r8 no union row is older than r4.
 
 REGISTRATION POLICY (codified after three rounds of overflow debt):
 new queries register ONLY while the round's window has open slots and
@@ -57,7 +62,88 @@ from movies_etl_spark.plans import queries_scale  # noqa: E402,F401
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
-# Round-7 window (exactly 50; registered total stays 212 — the surface
+# Round-8 window (exactly 50; registered total 213 after the one r8
+# addition; NOTES_r8.md carries the ledger):
+#   1:     curation_pipeline — VERDICT r7 #1: the one consumer of the
+#          guarded banding path whose driver row (r3) predated the r7
+#          guard; it now ALSO consumes the r8 fused candidate
+#          generator, so this row certifies both rewrites.
+#   2-9:   the other banding-machinery consumers, re-validated because
+#          round 8 rewrote candidate_pairs_minhash (fused single-
+#          shuffle collect_list form) and connected_components (eager
+#          edge checkpoint) under all of them.
+#   10:    approx_stats — first driver row under its new error-bounds
+#          oracle (VERDICT r7 #6; previously the union's only
+#          rows-only row).
+#   11:    streaming_cms_freq — the r8 addition (streaming CMS twin,
+#          VERDICT r7 #7), first driver row.
+#   12:    streaming_sessionize — state_partitions default changed to
+#          inherit (ADVICE r7 #4 + the VERDICT #3 reconciliation).
+#   13-46: the remaining 34 r3-latest rows (registration order) — after
+#          this round no union row is older than r4.
+#   47-50: the 4 oldest r4-latest rows (registration order) — starts
+#          the 42-name r4 cohort; the rest queue for r9.
+_ROUND8_PRIORITY = [
+    # banding-machinery re-validation (fused candidate generator +
+    # eager CC checkpoint, r8) — curation_pipeline leads per VERDICT #1
+    "curation_pipeline",
+    "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
+    "dedup_containment",
+    "dedup_survivors",
+    "dedup_cluster_components",
+    "minhash_jaccard_estimate",
+    "streaming_lsh_dedup",
+    "llm_corpus_pipeline",
+    # new-oracle / new-query / changed-default rows
+    "approx_stats",
+    "streaming_cms_freq",
+    "streaming_sessionize",
+    # remaining r3-latest cohort (registration order)
+    "scan_jsonl",
+    "scan_text",
+    "scan_binary_files",
+    "sink_dynamic_partition_overwrite",
+    "upsert_merge",
+    "scd2_intervals",
+    "skew_report",
+    "funnel_analysis",
+    "retention_cohorts",
+    "zscore_outliers",
+    "gapfill_daily",
+    "quantile_bucket",
+    "snapshot_diff",
+    "fuzzy_join_levenshtein",
+    "inverted_index",
+    "bm25_rank",
+    "concurrency_sweep",
+    "time_weighted_avg",
+    "rolling_range_window",
+    "domain_mix_sample",
+    "sequence_pack",
+    "kmeans_assign",
+    "similarity_topk_vectorized",
+    "streaming_stream_join",
+    "event_transitions",
+    "session_paths",
+    "vocab_topk",
+    "bigram_lm_counts",
+    "span_dedup",
+    "table_fingerprint",
+    "partition_stats",
+    "mad_outliers",
+    "data_profile",
+    "compact_small_files",
+    # oldest r4-latest rows (registration order) — r4 cohort begins
+    "hierarchy_recursive_cte",
+    "json_typed_roundtrip",
+    "sink_jdbc_roundtrip",
+    "scan_error_checked",
+]
+
+# Round-7 window retained for the ledger (NOTES_r7.md references it);
+# _ordered() consumes _ROUND8_PRIORITY.
+# (exactly 50; registered total stays 212 — the surface
 # is saturated at 46/46 and VERDICT r6 ranked the round as freshness +
 # the band-bucket scale guard, so no new registrations; NOTES_r7.md
 # carries the ledger):
@@ -472,9 +558,9 @@ _ROUND3_PRIORITY = [
 
 
 def _ordered(names: dict) -> list[str]:
-    """Priority cohort first (in _ROUND7_PRIORITY order), then everything
+    """Priority cohort first (in _ROUND8_PRIORITY order), then everything
     else in registration order."""
-    prioritized = [n for n in _ROUND7_PRIORITY if n in names]
+    prioritized = [n for n in _ROUND8_PRIORITY if n in names]
     rest = [n for n in names if n not in set(prioritized)]
     return prioritized + rest
 

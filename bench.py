@@ -142,6 +142,8 @@ HEADLINE = [
     "bpe_train_merges",
     "bpe_subword_stats",
     "streaming_hll_distinct",
+    # r8: the CMS streaming twin (sum-merged versioned cell state)
+    "streaming_cms_freq",
     "quantile_sketch_by_group",
     "feature_hash_vectorize",
     "data_quality_gate",

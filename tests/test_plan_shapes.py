@@ -770,3 +770,23 @@ def test_minhash_guard_plan(spark, sf_dir):
     assert _nodes(plan, "ObjectHashAggregate") == 2
     # guard's bucket count exists (count over the band key)
     assert "__bucket_n" in plan
+
+
+def test_verified_edges_single_band_exchange(spark, sf_dir):
+    """Composite-level pin (VERDICT r7 #2): the LSH edge builder the
+    dedup composites share (verified_edges: candidates + Jaccard
+    verify) must shuffle on the band key exactly ONCE. The r7 shape
+    exchanged the band table for the guard count and again for each
+    self-join side; the fused generator leaves a single hashpartitioning
+    over (band_id, band_key) in the whole edge plan."""
+    from movies_etl_spark.plans.queries_ext import _near_corpus, verified_edges
+
+    edges = verified_edges(_near_corpus(spark, sf_dir))
+    plan = _formatted(spark, edges)
+    band_exchanges = [
+        line
+        for line in plan.splitlines()
+        if "hashpartitioning" in line and "band_key" in line
+    ]
+    assert len(band_exchanges) == 1, band_exchanges
+    assert "raise_error" in plan  # the fused guard rides that aggregate
