@@ -61,12 +61,17 @@ def _nullif_empty(c: Column) -> Column:
 _GSEP = "\x01"
 
 
-def _extract_groups(c: Column, alternation: str, n_groups: int) -> list[Column]:
-    """Single-pass multi-group extraction: ONE regexp_replace canonicalizes
-    the first match of ``alternation`` into all its capture groups at once,
-    where chained ``regexp_extract(c, pat, i)`` calls would re-run the same
-    pattern over the full string once per group — the dominant cost of the
+def _extract_groups_bound(
+    c: Column, alternation: str, n_groups: int, builder
+) -> Column:
+    """Single-pass multi-group extraction, BOUND to one per-row regex
+    evaluation: ONE regexp_replace canonicalizes the first match of
+    ``alternation`` into all its capture groups at once, where chained
+    ``regexp_extract(c, pat, i)`` calls would re-run the same pattern
+    over the full string once per group — the dominant cost of the
     parsing operators at scale (regex time ∝ passes × string length).
+    ``builder`` receives a list of the captured-group columns ('' is
+    normalized to null) and returns the final expression.
 
     The pattern wraps the alternation as ``^(?:[\\s\\S]*?(?:ALTS))?[\\s\\S]*$``:
     the optional shell means the replace ALWAYS applies (a no-match row
@@ -75,12 +80,34 @@ def _extract_groups(c: Column, alternation: str, n_groups: int) -> list[Column]:
     one replacement, and the lazy prefix preserves regexp_extract's
     leftmost-first match semantics. ``[\\s\\S]`` rather than ``(?s)`` +
     ``.`` so any ``.`` INSIDE the alternation keeps its default
-    doesn't-match-newline meaning. Returns the n_groups captured columns,
-    '' normalized to null."""
+    doesn't-match-newline meaning.
+
+    Why binding matters (r8, measured): Spark's subexpression
+    elimination deliberately skips CONDITIONALLY-evaluated subtrees —
+    every `when` arm and every `coalesce` operand re-evaluates any
+    shared subexpression it references. A fused-extract result consumed
+    from 6 branch positions therefore re-ran the whole
+    regexp_replace+split per position, which quietly rebuilt the exact
+    multi-pass cost the fusion was designed to remove
+    (parse_money_column measured 3.15 s at sf0.1; bound form 0.65 s,
+    identical results; parse_date_column 1.19 → 0.57 s). Spark has no
+    let-expression, so the binding rides a higher-order function: the
+    split array becomes the element of a 1-element array literal and
+    ``builder`` runs under ``transform``, whose lambda variable IS the
+    once-evaluated value — branch arms then read the bound variable,
+    not the regex lineage. Cost: one 1-element array allocation per
+    row."""
     pat = rf"^(?:[\s\S]*?(?:{alternation}))?[\s\S]*$"
     repl = _GSEP.join(f"${i}" for i in range(1, n_groups + 1))
     parts = F.split(F.regexp_replace(c, pat, repl), _GSEP)
-    return [_nullif_empty(F.element_at(parts, i)) for i in range(1, n_groups + 1)]
+
+    def run(p):
+        groups = [
+            _nullif_empty(F.element_at(p, i)) for i in range(1, n_groups + 1)
+        ]
+        return builder(groups)
+
+    return F.element_at(F.transform(F.array(parts), run), 1)
 
 
 # ---------------------------------------------------------------------------
@@ -160,7 +187,7 @@ def parse_dollars(c: Column) -> Column:
 #: fused F5+F6 alternation: the same two money forms as extract_money, with
 #: the branch-deciding pieces captured — (1) form-one number, (2) form-one
 #: unit letter, (3) form-two digit string. ``(?i)`` is scoped by Java to the
-#: enclosing group _extract_groups wraps the alternation in. Alternation
+#: enclosing group _extract_groups_bound wraps the alternation in. Alternation
 #: order (form one first) matches extract_money; leftmost match still wins
 #: across forms, exactly like regexp_extract.
 _MONEY_FUSED = (
@@ -175,7 +202,7 @@ def parse_money_column(c: Column) -> Column:
     extract the money expression, convert to a double.
 
     Single-pass form (VERDICT r1 #4): one range-strip regexp_replace plus
-    ONE fused extraction via :func:`_extract_groups` — where the naive
+    ONE fused extraction via :func:`_extract_groups_bound` — where the naive
     composition ``parse_dollars(extract_money(...))`` costs four more regex
     passes over the full string (extract + unit-extract + rlike + digit
     strip). Branch dispatch then happens on the short captured groups:
@@ -183,16 +210,26 @@ def parse_money_column(c: Column) -> Column:
     million/billion branches, challenge.py:104-112), a non-null comma
     group ⇔ form two (challenge.py:113-116). try_cast null-safes the
     reference's ``float()``-raises quirk on mixed separators like
-    "1.234.567" identically to the composed form (SURVEY §7.3.2)."""
-    g_num, g_unit, g_comma = _extract_groups(strip_money_ranges(c), _MONEY_FUSED, 3)
-    num = g_num.try_cast("double")
-    unit = F.lower(g_unit)
-    plain = F.regexp_replace(g_comma, ",", "").try_cast("double")
-    return (
-        F.when(unit == "m", num * F.lit(1e6))
-        .when(unit == "b", num * F.lit(1e9))
-        .when(g_comma.isNotNull(), plain)
-        .otherwise(F.lit(None).cast("double"))
+    "1.234.567" identically to the composed form (SURVEY §7.3.2).
+    The extraction is BOUND to one evaluation (r8): the branch
+    dispatch references the groups from 6 conditional positions, and
+    unbound that re-ran the fused regex per position — see
+    :func:`_extract_groups_bound` (3.15 → 0.65 s at sf0.1)."""
+
+    def build(g):
+        g_num, g_unit, g_comma = g
+        num = g_num.try_cast("double")
+        unit = F.lower(g_unit)
+        plain = F.regexp_replace(g_comma, ",", "").try_cast("double")
+        return (
+            F.when(unit == "m", num * F.lit(1e6))
+            .when(unit == "b", num * F.lit(1e9))
+            .when(g_comma.isNotNull(), plain)
+            .otherwise(F.lit(None).cast("double"))
+        )
+
+    return _extract_groups_bound(
+        strip_money_ranges(c), _MONEY_FUSED, 3, build
     )
 
 
@@ -235,7 +272,7 @@ def parse_date_column(c: Column) -> Column:
     (challenge.py:155-162).
 
     Single-pass form (VERDICT r1 #4): ONE fused extraction via
-    :func:`_extract_groups` with one capture group per date shape, then a
+    :func:`_extract_groups_bound` with one capture group per date shape, then a
     per-form ``try_to_timestamp`` — the matched form is known from which
     group participated, so each row attempts exactly one format instead of
     the composed version's up-to-four-format coalesce chain.
@@ -246,14 +283,22 @@ def parse_date_column(c: Column) -> Column:
     ``[123]\\d`` day quirk admits invalid days) is not parseable by any
     OTHER format on the full string either, so the cross-format fallbacks
     in the coalesce chain never fire across forms (asserted by the
-    equivalence corpus in tests/test_expr_unit.py)."""
-    g1, g2, g3, g4 = _extract_groups(c, _DATE_FUSED, 4)
-    return F.coalesce(
-        F.try_to_timestamp(g1, F.lit("MMMM d, yyyy")).cast("date"),
-        F.try_to_timestamp(g2, F.lit("yyyy-MM-dd")).cast("date"),
-        F.try_to_timestamp(g3, F.lit("MMMM yyyy")).cast("date"),
-        F.try_to_timestamp(g4, F.lit("yyyy")).cast("date"),
-    )
+    equivalence corpus in tests/test_expr_unit.py). The extraction is
+    BOUND to one evaluation (r8): coalesce operands are conditionally
+    evaluated, so unbound the fused regex re-ran once per still-null
+    operand — see :func:`_extract_groups_bound` (1.19 → 0.57 s at
+    sf0.1)."""
+
+    def build(g):
+        g1, g2, g3, g4 = g
+        return F.coalesce(
+            F.try_to_timestamp(g1, F.lit("MMMM d, yyyy")).cast("date"),
+            F.try_to_timestamp(g2, F.lit("yyyy-MM-dd")).cast("date"),
+            F.try_to_timestamp(g3, F.lit("MMMM yyyy")).cast("date"),
+            F.try_to_timestamp(g4, F.lit("yyyy")).cast("date"),
+        )
+
+    return _extract_groups_bound(c, _DATE_FUSED, 4, build)
 
 
 def to_date_std(c: Column) -> Column:
@@ -278,7 +323,7 @@ def parse_running_time(c: Column) -> Column:
     hours, bare-minutes). The reference coerces each to numeric, fills NaN
     with 0, then computes ``g1*60 + g2 if g3 == 0 else g3`` row-wise; here
     that is a single native expression."""
-    # Deliberately NOT fused through _extract_groups: measured 2× slower
+    # Deliberately NOT fused through _extract_groups_bound: measured 2× slower
     # here (10.9 s vs 5.3 s at sf0.1) — on very short inputs the wrapped
     # replace+split+element_at machinery costs more than the two extra
     # find() passes it saves. Fusion pays off only when pattern passes over
