@@ -28,8 +28,10 @@ rows. Round 8's window (_ROUND8_PRIORITY below): curation_pipeline +
 the 8 other consumers of the r8-rewritten candidate generator /
 connected-components path, the newly oracle-gated approx_stats, the
 one r8 addition (streaming_cms_freq), the re-defaulted
-streaming_sessionize, the remaining 34 r3-latest rows, and the 4
-oldest r4 rows — after r8 no union row is older than r4.
+streaming_sessionize, the 5 consumers of the r8 fused-extraction
+binding (expr.py rewrite), and 33 of the 34 remaining r3-latest rows
+— after r8 one r3-latest name (compact_small_files) plus the r4
+cohort queue for r9.
 
 REGISTRATION POLICY (codified after three rounds of overflow debt):
 new queries register ONLY while the round's window has open slots and
@@ -79,10 +81,19 @@ SF_SMOKE_DIR = "/root/testdata/sf0.001"
 #          VERDICT r7 #7), first driver row.
 #   12:    streaming_sessionize — state_partitions default changed to
 #          inherit (ADVICE r7 #4 + the VERDICT #3 reconciliation).
-#   13-46: the remaining 34 r3-latest rows (registration order) — after
-#          this round no union row is older than r4.
-#   47-50: the 4 oldest r4-latest rows (registration order) — starts
-#          the 42-name r4 cohort; the rest queue for r9.
+#   13-17: the 5 consumers of the r8-rewritten fused-extraction binding
+#          (_extract_groups_bound, functions/expr.py — parse_money /
+#          parse_date_multiform plans changed directly; validated_cast
+#          and the two movies composites consume parse_date_column /
+#          parse_money_column). Same rotation rule as slot 1: a row
+#          recorded against pre-rewrite code must not survive the
+#          round that rewrote the code under it.
+#   18-50: 33 of the 34 remaining r3-latest rows (registration order).
+#          The slots the expr re-validations took displace the last-
+#          registered r3 name (compact_small_files) and the 4 oldest
+#          r4 rows to the front of the r9 queue — re-validating
+#          rewritten-code consumers outranks pure freshness (the
+#          VERDICT r7 #1 lesson).
 _ROUND8_PRIORITY = [
     # banding-machinery re-validation (fused candidate generator +
     # eager CC checkpoint, r8) — curation_pipeline leads per VERDICT #1
@@ -99,7 +110,15 @@ _ROUND8_PRIORITY = [
     "approx_stats",
     "streaming_cms_freq",
     "streaming_sessionize",
-    # remaining r3-latest cohort (registration order)
+    # consumers of the r8 fused-extraction binding (expr.py rewrite)
+    "parse_money",
+    "parse_date_multiform",
+    "validated_cast",
+    "movies_etl_movies",
+    "movies_etl_movies_ratings",
+    # remaining r3-latest cohort (registration order; the last-registered
+    # name, compact_small_files, queues for r9 — displaced by the expr
+    # re-validations above)
     "scan_jsonl",
     "scan_text",
     "scan_binary_files",
@@ -133,12 +152,6 @@ _ROUND8_PRIORITY = [
     "partition_stats",
     "mad_outliers",
     "data_profile",
-    "compact_small_files",
-    # oldest r4-latest rows (registration order) — r4 cohort begins
-    "hierarchy_recursive_cte",
-    "json_typed_roundtrip",
-    "sink_jdbc_roundtrip",
-    "scan_error_checked",
 ]
 
 # Round-7 window retained for the ledger (NOTES_r7.md references it);
