@@ -270,6 +270,26 @@ def guard_band_buckets_broadcast(
     return joined.filter(ok).select(*cached_bands.columns)
 
 
+def _bucket_overflow_message_capped(max_bucket_rows: int) -> Column:
+    """Failure text for the capped fused form: the row_number cap stops
+    counting at ``max_bucket_rows + 1``, so the exact bucket size is
+    unknowable by design — the message says "at least" instead."""
+    return F.concat_ws(
+        "",
+        F.lit("LSH band bucket (band_id="),
+        F.col("band_id").cast("string"),
+        F.lit(", band_key="),
+        F.substring(F.col("band_key"), 1, 64),
+        F.lit(f") holds at least {max_bucket_rows + 1}"),
+        F.lit(
+            f" rows (cap {max_bucket_rows}): the band self-join would "
+            "square this bucket into an unboundable candidate set. "
+            "Exact-dedup identical documents first, raise ROWS_PER_BAND "
+            "for more selective bands, or sub-split the bucket key."
+        ),
+    )
+
+
 def candidate_pairs_minhash(
     sh_df: DataFrame,
     id_col: str,
@@ -281,27 +301,40 @@ def candidate_pairs_minhash(
     boilerplate-heavy corpus cannot square its hottest bucket (the
     100 TB failure mode exact tests never see).
 
-    FUSED single-shuffle form (r8, cost-iterated from the r7
-    self-join + broadcast-probe guard): ONE ``groupBy(band_id,
-    band_key)`` collects each bucket's id list AND its count — the
-    guard reads the count on the very aggregate that candidate
-    generation needs, and pairs are emitted map-side by a double
-    explode of the (cap-bounded) id list. Replaces the r7 shape's
-    THREE consumers of a persisted band table (hot-bucket count
-    aggregate + both self-join sides → two more exchanges + sort)
-    with one exchange on the band key total; measured 0.7× the
-    join form on the sf0.1 candidate path with identical pair sets,
-    and the band table no longer needs a persist at all.
+    FUSED CAPPED form (r9, hardening the r8 fused shape per ADVICE r8):
+    still ONE exchange on the band key feeding candidate generation,
+    but the cap is now enforced BEFORE any aggregation buffer exists —
+    a ``row_number() ≤ cap+1`` window filter truncates every bucket at
+    the shuffle boundary, so the ``collect_list`` that follows can
+    never buffer more than ``cap+1`` ids per bucket. The r8 shape
+    aggregated first and guarded after: correct results, but an
+    over-cap mega-bucket (the exact failure mode the guard exists for)
+    materialized its FULL id list in the ObjectHashAggregate buffer
+    before the guard filter ever evaluated — an executor OOM instead
+    of the intended raise_error. Here the only structure that sees the
+    full bucket is the window's row buffer, which is an
+    ExternalAppendOnlyUnsafeRowBuffer — it SPILLS; aggregate buffers
+    don't. Overflow detection rides the post-cap count: a bucket
+    counting ``cap+1`` rows was truncated, so the guard raises with
+    the "at least cap+1" message (the exact size is unknowable by
+    design — the cap exists so it is never computed).
 
-    Scale shape: collect_list partial-aggregates map-side
-    (ObjectHashAggregate), and every bucket list is bounded by the
-    enforced cap — 10k bigint ids ≈ 80 KB per bucket row, far under
-    any executor's row budget; the n²/2 explode fan-out per bucket is
-    identical to the self-join's per-bucket fan-out, just without the
-    second shuffle. ``sh_df`` is a (id, shingles) frame — persist it
-    if verification will reuse the shingles."""
+    Scale shape: one exchange on (band_id, band_key) + a spillable
+    in-partition sort (the window's cost — measured ~1.0–1.1× the r8
+    aggregate-first shape on the sf0.1 candidate path, identical pair
+    sets; tools/proto_fused.py is the frozen three-arm A/B), the
+    guarded aggregate reuses the window's partitioning (no second
+    band exchange), pairs emit map-side via double explode of the
+    cap-bounded list (10k bigint ids ≈ 80 KB per bucket row), and the
+    final pair ``distinct`` is the only other exchange. ``sh_df`` is a
+    (id, shingles) frame — persist it if verification will reuse the
+    shingles."""
     bands = with_minhash_bands(sh_df, id_col)
-    g = bands.groupBy("band_id", "band_key").agg(
+    w = Window.partitionBy("band_id", "band_key").orderBy(id_col)
+    capped = bands.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= F.lit(max_bucket_rows + 1)
+    )
+    g = capped.groupBy("band_id", "band_key").agg(
         F.collect_list(id_col).alias("__ids"),
         F.count(F.lit(1)).alias("__bucket_n"),
     )
@@ -311,9 +344,9 @@ def candidate_pairs_minhash(
     # no pairs and are dropped before the explode.
     ok = F.when(
         F.col("__bucket_n") > F.lit(max_bucket_rows),
-        F.raise_error(_bucket_overflow_message(max_bucket_rows)).cast(
-            "boolean"
-        ),
+        F.raise_error(
+            _bucket_overflow_message_capped(max_bucket_rows)
+        ).cast("boolean"),
     ).otherwise(F.lit(True))
     g = g.filter(ok).filter(F.col("__bucket_n") >= 2)
     pairs = (

@@ -347,6 +347,129 @@ MULTIPROBE_OFFSETS_H2: list[int] = (
 #: ~15% for radius 2 on isotropic vectors — tests/test_ann_recall.py).
 MULTIPROBE_OFFSETS_H1: list[int] = [0] + [1 << i for i in range(RP_N_PLANES)]
 
+
+def rp_planes_n(n_planes: int, dim: int = RP_DIM) -> list[list[float]]:
+    """First ``n_planes`` hyperplanes of the md5-derived family — plane
+    j is independent of how many planes are requested, so planes 0..7
+    are exactly :data:`RP_PLANES` and a sweep over plane counts varies
+    only signature LENGTH, never the planes themselves (each config's
+    signature is a prefix of the next — the property that makes the
+    recall frontier a clean one-variable comparison)."""
+    return [[_rp_value(j, i) for i in range(dim)] for j in range(n_planes)]
+
+
+def multiprobe_offsets(n_planes: int, radius: int) -> list[int]:
+    """Every XOR probe mask over ``n_planes`` bits with ≤ ``radius``
+    bits set (Hamming ball of the query's own signature), enumerated
+    deterministically — generalizes MULTIPROBE_OFFSETS_H1/H2 to the
+    (planes × radius) grid the frontier sweep walks. Count is
+    Σ_{{m≤radius}} C(n_planes, m)."""
+    from itertools import combinations
+
+    return [
+        sum(1 << b for b in bits)
+        for r in range(radius + 1)
+        for bits in combinations(range(n_planes), r)
+    ]
+
+
+def rp_bucket_n(vec: Column, n_planes: int) -> Column:
+    """Parametrized sign-LSH bucket in [0, 2^n_planes) over the shared
+    md5 plane family — :func:`rp_bucket` is the n_planes=8 member (same
+    rounding discipline: projection rounded to 6 before the sign test).
+    Pure per-row map, same scale shape as rp_bucket."""
+    from movies_etl_spark.operators.dedup import dot
+
+    bucket = F.lit(0)
+    for j, plane in enumerate(rp_planes_n(n_planes)):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(
+            F.round(dot(vec, lit_plane), 6) >= 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_candidates_param(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_planes: int,
+    radius: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scored multi-probe candidates (query_id, neighbor_id, sim) for
+    an arbitrary (planes, radius) point on the recall-vs-scan frontier
+    — the candidate stage of :func:`topk_multiprobe_lsh`, parametrized
+    and exposed so the frontier sweep can meter SCAN WORK (candidate
+    row count) separately from result quality (recall of the top-k cut).
+
+    Same scale shape as topk_multiprobe_lsh: probes are queries ×
+    Σ C(n_planes, ≤radius) XOR offsets — still a broadcast-sized frame
+    — and candidate generation is a pure equi-join on the probe bucket;
+    the corpus is bucketed in its own scan and never shuffled. At scale
+    the bucket is the layout partition key, so a probe set prunes to
+    its buckets at the FILE level regardless of (planes, radius)."""
+    from movies_etl_spark.operators.dedup import dot, l2norm
+
+    offs = multiprobe_offsets(n_planes, radius)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        rp_bucket_n(F.col(vec_col), n_planes).cast("int").alias("bucket"),
+        l2norm(F.col(vec_col)).alias("cnrm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        rp_bucket_n(F.col(vec_col), n_planes).cast("int").alias("qbucket"),
+        l2norm(F.col(vec_col)).alias("qnrm"),
+    )
+    probes = q.withColumn(
+        "off", F.explode(F.array(*[F.lit(o) for o in offs]))
+    ).select(
+        "query_id",
+        "qvec",
+        "qnrm",
+        F.col("qbucket").bitwiseXOR(F.col("off")).cast("int").alias("probe_bucket"),
+    )
+    sim = F.round(
+        dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")), 6
+    )
+    return (
+        c.join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("probe_bucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+
+
+def topk_multiprobe_lsh_param(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_planes: int,
+    radius: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k cut of :func:`lsh_candidates_param` — the tunable
+    operating-point form of :func:`topk_multiprobe_lsh` (which is the
+    frozen n_planes=8/radius=2 member). The ISOTROPIC operating point
+    the r9 frontier sweep selected: n_planes=8, radius=3 — recall@5
+    0.625 at a 37% scan budget (0.675 at 39% for 10/4; see SCALE.md's
+    frontier table and the ann_frontier_sweep query) — against the
+    honest isotropic ceiling where recall-per-scan caps near ~1.7×;
+    clustered corpora reach 0.97@5 at 14% with radius 1."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        lsh_candidates_param(corpus, queries, n_planes, radius, id_col, vec_col)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
 #: clustered-fixture noise scale: cluster member = center + NOISE·self.
 #: At 0.12 the within-cluster cosine is ≈ 0.97 — tight clusters like
 #: real sentence embeddings, not the isotropic synthetic corpus where

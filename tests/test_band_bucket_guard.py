@@ -57,6 +57,19 @@ def test_guard_message_carries_remediation(spark):
         pairs.count()
 
 
+def test_guard_message_reports_truncated_count(spark):
+    """The r9 capped form truncates every bucket at cap+1 rows BEFORE
+    the aggregate (so the collect_list buffer is bounded at aggregation
+    time — ADVICE r8 medium); the exact over-cap size is therefore
+    unknowable by design and the failure message must say "at least
+    cap+1", never a fabricated exact count."""
+    corpus = _docs(spark, n_dups=30, n_distinct=0)
+    sh = D.shingled(corpus, "text", "doc_id")
+    pairs = D.candidate_pairs_minhash(sh, "doc_id", max_bucket_rows=4)
+    with pytest.raises(Exception, match="at least 5"):
+        pairs.count()
+
+
 def test_guard_passes_under_cap_with_identical_pairs(spark):
     """At or under the cap the guard is a row-preserving no-op: the
     guarded pair set equals a guard-free recompute of the same join."""

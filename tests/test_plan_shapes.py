@@ -737,17 +737,21 @@ def test_reference_scale_skew_join_plan(spark):
 
 
 def test_minhash_guard_plan(spark, sf_dir):
-    """The batch candidate path must be the FUSED single-shuffle form
-    (r8): ONE exchange on the band key feeding a collect_list+count
-    ObjectHashAggregate (with a map-side partial), the bucket guard's
-    raise_error in a Filter over that aggregate's count, pairs emitted
-    by map-side explodes, and exactly one more exchange for the final
-    distinct. NO Window node (the window-guard form would shuffle+sort
-    the band table again) and NO join at all (the r7 self-join +
-    broadcast-probe shape paid two extra exchanges over a persisted
-    band table — the de-opt this pin exists to catch). The
-    incremental/streaming paths keep the window guard by design (small
-    delta-touched subset, single lineage eval)."""
+    """The batch candidate path must be the FUSED CAPPED single-shuffle
+    form (r9): ONE exchange on the band key feeding a row_number cap
+    window (the spillable pre-aggregation truncation ADVICE r8 asked
+    for) whose partitioning the collect_list+count ObjectHashAggregate
+    REUSES (partial+final with no second band exchange), the bucket
+    guard's raise_error in a Filter over the post-cap count, pairs
+    emitted by map-side explodes, and exactly one more exchange for the
+    final distinct. Exactly ONE Window node — the cap; a second would
+    mean the old standalone window guard got stacked on top — and NO
+    join at all (the r7 self-join + broadcast-probe shape paid two
+    extra exchanges over a persisted band table — the de-opt this pin
+    exists to catch; tools/proto_fused.py keeps both retired arms
+    frozen for re-measurement). The incremental/streaming paths keep
+    the standalone window guard by design (small delta-touched subset,
+    single lineage eval)."""
     from movies_etl_spark.operators import dedup as D
     from movies_etl_spark.sources import readers
 
@@ -761,14 +765,18 @@ def test_minhash_guard_plan(spark, sf_dir):
     )
     plan = pairs._jdf.queryExecution().explainString(jvm_mode)
     assert "raise_error" in plan  # guard present in the plan
-    assert _nodes(plan, "Window") == 0  # no full-table window shuffle
+    # exactly ONE window: the pre-aggregation row_number cap (bounds
+    # the collect_list buffer at shuffle time; its row buffer spills)
+    assert _nodes(plan, "Window") == 1
     assert _nodes(plan, "Join") == 0  # fused form: no self-join at all
-    # exactly two shuffles: band-key aggregate + final pair distinct
+    # exactly two shuffles: band-key window+aggregate + pair distinct
     assert _nodes(plan, "Exchange") == 2
     # candidate generation and guard ride ONE aggregate: partial + final
-    # ObjectHashAggregate around the single band-key exchange
+    # ObjectHashAggregate REUSING the window's band-key partitioning
     assert _nodes(plan, "ObjectHashAggregate") == 2
-    # guard's bucket count exists (count over the band key)
+    # the cap filter runs BEFORE the aggregate; the guard's post-cap
+    # bucket count exists
+    assert "__rn" in plan
     assert "__bucket_n" in plan
 
 

@@ -1,6 +1,25 @@
 #!/usr/bin/env python
-"""Prototype A/B: fused collect_list candidate generation (+guard riding
-the same aggregate) vs the shipped self-join + broadcast-probe guard."""
+"""Frozen three-arm A/B for the LSH candidate-generation shape — the
+de-opt canary VERDICT r8 #6 asked for (the r8 version of this tool lost
+its baseline when the join form was deleted from dedup.py).
+
+Arms (the first two are FROZEN copies of retired shapes, kept here so
+the comparison stays meaningful even as dedup.py evolves):
+  joinform   — the r7 shape: persisted band table + broadcast-probe
+               guard + band self-join (three consumers of the persist,
+               two extra exchanges).
+  fused_hash — the r8 shape: one collect_list+count aggregate, guard
+               riding the count. Fast, but the aggregate buffers a
+               mega-bucket's FULL id list before the guard filter
+               evaluates (ADVICE r8 medium: OOM instead of raise_error
+               on the exact input the guard exists for).
+  shipped    — dedup.candidate_pairs_minhash at HEAD (r9: row_number
+               cap BEFORE the aggregate; the window's spillable row
+               buffer is the only structure that sees the full bucket).
+
+Pair sets must be identical across all three; the timing loop is
+interleaved with per-rep GC like bench.py.
+"""
 from __future__ import annotations
 
 import os
@@ -14,10 +33,25 @@ from pyspark.sql import functions as F
 from movies_etl_spark.operators import caching, dedup as D
 from movies_etl_spark.session import get_spark
 
-SF = "/root/testdata/sf0.1"
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def fused_pairs(sh_df, id_col, cap=D.MAX_BAND_BUCKET_ROWS):
+def joinform_pairs(sh_df, id_col, cap=D.MAX_BAND_BUCKET_ROWS):
+    """FROZEN r7 shape (dedup.py @ e580622): persisted band table,
+    broadcast hot-bucket guard, band self-join."""
+    ex = D.guard_band_buckets_broadcast(
+        caching.tracked_persist(D.with_minhash_bands(sh_df, id_col)), cap
+    )
+    a = ex.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
+    b = ex.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
+    pairs = a.join(b, ["band_id", "band_key"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    return pairs.select("id_a", "id_b").distinct()
+
+
+def fused_hash_pairs(sh_df, id_col, cap=D.MAX_BAND_BUCKET_ROWS):
+    """FROZEN r8 shape: aggregate-first collect_list+count, guard after."""
     bands = D.with_minhash_bands(sh_df, id_col)
     g = bands.groupBy("band_id", "band_key").agg(
         F.collect_list(id_col).alias("__ids"),
@@ -36,6 +70,13 @@ def fused_pairs(sh_df, id_col, cap=D.MAX_BAND_BUCKET_ROWS):
     return pairs.distinct()
 
 
+ARMS = [
+    ("joinform", joinform_pairs),
+    ("fused_hash", fused_hash_pairs),
+    ("shipped", D.candidate_pairs_minhash),
+]
+
+
 def main() -> None:
     spark = get_spark(app_name="proto_fused")
     from movies_etl_spark.plans.queries_ext import _near_corpus
@@ -44,22 +85,33 @@ def main() -> None:
     sh_all = caching.tracked_persist(D.shingled(corpus, "text", "doc_id"))
     sh_all.count()
 
+    # pair-set identity across all three arms (exceptAll both ways)
+    frames = {name: fn(sh_all, "doc_id") for name, fn in ARMS}
+    base = frames["shipped"]
+    for name, df in frames.items():
+        if name == "shipped":
+            continue
+        diff = df.exceptAll(base).count() + base.exceptAll(df).count()
+        print(f"pair-set diff shipped vs {name}: {diff}")
+    print("n pairs:", base.count())
+
     def run(fn):
         spark._jvm.System.gc()
         t0 = time.perf_counter()
         n = fn(sh_all, "doc_id").count()
         return round(time.perf_counter() - t0, 3), n
 
-    # verify identical pair sets once
-    a = fused_pairs(sh_all, "doc_id")
-    b = D.candidate_pairs_minhash(sh_all, "doc_id")
-    diff = a.exceptAll(b).count() + b.exceptAll(a).count()
-    print("pair-set diff:", diff, "n:", a.count())
-    caching.release_tracked.__call__  # keep caches; timing below interleaved
     for rep in range(4):
-        tf, nf = run(fused_pairs)
-        tj, nj = run(D.candidate_pairs_minhash)
-        print(f"rep{rep}: fused {tf}s ({nf})  joinform {tj}s ({nj})")
+        line = []
+        for name, fn in ARMS:
+            t, _ = run(fn)
+            line.append(f"{name} {t}s")
+        print(f"rep{rep}: " + "  ".join(line))
+        caching.release_tracked()
+        sh_all = caching.tracked_persist(
+            D.shingled(_near_corpus(spark, SF), "text", "doc_id")
+        )
+        sh_all.count()
 
 
 if __name__ == "__main__":
