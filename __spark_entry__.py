@@ -31,7 +31,11 @@ one r8 addition (streaming_cms_freq), the re-defaulted
 streaming_sessionize, the 5 consumers of the r8 fused-extraction
 binding (expr.py rewrite), and 33 of the 34 remaining r3-latest rows
 — after r8 one r3-latest name (compact_small_files) plus the r4
-cohort queue for r9.
+cohort queue for r9. Round 9's window (_ROUND9_PRIORITY below): the 7
+consumers of the r9-rewritten capped candidate generator, the one r9
+addition (ann_frontier_sweep), compact_small_files, the 4 displaced r4
+names, and 37 of the 38 remaining r4-latest rows (similarity_topk
+queues for r10).
 
 REGISTRATION POLICY (codified after three rounds of overflow debt):
 new queries register ONLY while the round's window has open slots and
@@ -64,7 +68,91 @@ from movies_etl_spark.plans import queries_scale  # noqa: E402,F401
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
-# Round-8 window (exactly 50; registered total 213 after the one r8
+# Round-9 window (exactly 50; registered total 214 after the one r9
+# addition; NOTES_r9.md carries the ledger):
+#   1-7:   the consumers of the r9-rewritten candidate_pairs_minhash
+#          (the fused CAPPED form — row_number cap ahead of the
+#          aggregate bounds the collect_list buffer at shuffle time,
+#          ADVICE r8 medium). Exactly the registered queries whose
+#          plans route through dedup.candidate_pairs_minhash;
+#          dedup_minhash_incremental / streaming_lsh_dedup ride the
+#          UNCHANGED incremental/window-guard paths and keep their r8
+#          rows. Re-validating rewritten-code consumers outranks pure
+#          freshness (the established rule).
+#   8:     ann_frontier_sweep — the r9 addition (recall-vs-scan
+#          frontier, VERDICT r8 #3), first driver row; registered
+#          inside the window per the registration policy.
+#   9:     compact_small_files — the union's sole r3-latest row.
+#   10-13: the 4 r4 names the r8 expr re-validations displaced
+#          (VERDICT r8 next-round #1).
+#   14-50: the 42-name r4-latest cohort minus the 4 displaced, in
+#          registration order (_ROUND4_PRIORITY positions), first 37 —
+#          the last-registered name (similarity_topk, r4 slot 50)
+#          queues for r10: 7 re-validations + 1 new registration out-
+#          rank one freshness slot, same arithmetic as r8's
+#          displacement. After r9 the union's oldest rows are
+#          similarity_topk (r4) and the r5 cohort.
+_ROUND9_PRIORITY = [
+    # consumers of the r9 capped candidate generator
+    "curation_pipeline",
+    "llm_corpus_pipeline",
+    "dedup_minhash_lsh",
+    "dedup_cluster_components",
+    "dedup_survivors",
+    "minhash_jaccard_estimate",
+    "dedup_containment",
+    # r9 addition
+    "ann_frontier_sweep",
+    # sole r3-latest row
+    "compact_small_files",
+    # the 4 displaced r4 names (VERDICT r8 #1)
+    "hierarchy_recursive_cte",
+    "json_typed_roundtrip",
+    "sink_jdbc_roundtrip",
+    "scan_error_checked",
+    # r4-latest cohort, registration order (first 37 of 38)
+    "streaming_dedup_watermark",
+    "streaming_foreach_batch_sink",
+    "weighted_sample_topk",
+    "pivot_dynamic",
+    "fk_violations",
+    "similarity_ann_lsh",
+    "zorder_key",
+    "rolling_distinct_users",
+    "bigram_perplexity",
+    "topic_tag_rules",
+    "cooccurrence_topk",
+    "group_rare_collapse",
+    "scan_schema_evolution",
+    "rollup_cascade",
+    "streaming_incremental_rollup",
+    "chunk_sliding_window",
+    "oov_rate",
+    "embedding_dim_stats",
+    "copurchase_pairs",
+    "conditional_agg",
+    "pagerank_parts",
+    "week_over_week",
+    "dedup_survivor_policy",
+    "embedding_block_guard",
+    "degree_distribution",
+    "hopping_window_agg",
+    "winsorize_robust_scale",
+    "similarity_ivf_nprobe",
+    "dedup_exact_normalized",
+    "gopher_quality_flags",
+    "stratified_kfold_assign",
+    "streaming_hopping_window",
+    "lang_id_confusion",
+    "ann_recall_eval",
+    "dedup_embedding_cosine_vectorized",
+    "dedup_embedding_cosine",
+    "similarity_ann_ivf",
+]
+
+# Round-8 window retained for the ledger (NOTES_r8.md references it);
+# _ordered() consumes _ROUND9_PRIORITY.
+# (exactly 50; registered total 213 after the one r8
 # addition; NOTES_r8.md carries the ledger):
 #   1:     curation_pipeline — VERDICT r7 #1: the one consumer of the
 #          guarded banding path whose driver row (r3) predated the r7
@@ -571,9 +659,9 @@ _ROUND3_PRIORITY = [
 
 
 def _ordered(names: dict) -> list[str]:
-    """Priority cohort first (in _ROUND8_PRIORITY order), then everything
+    """Priority cohort first (in _ROUND9_PRIORITY order), then everything
     else in registration order."""
-    prioritized = [n for n in _ROUND8_PRIORITY if n in names]
+    prioritized = [n for n in _ROUND9_PRIORITY if n in names]
     rest = [n for n in names if n not in set(prioritized)]
     return prioritized + rest
 

@@ -158,6 +158,9 @@ HEADLINE = [
     # SemDeDup -> decontaminate -> BPE train/encode -> pack)
     "ann_recall_clustered",
     "llm_corpus_pipeline",
+    # r9 addition: the whole recall-vs-scan frontier as one query
+    # (8 configs over one shared max-width signature scan)
+    "ann_frontier_sweep",
 ]
 
 
@@ -446,6 +449,15 @@ def main() -> None:
             ),
             "lsh_multiprobe_h2": round(
                 SIM.recall_at_k(exact, SIM.topk_multiprobe_lsh(emb, qset, k=5)), 3
+            ),
+            # the r9 frontier-selected isotropic operating point
+            # (planes=8, radius=3: ≥0.6@5 at a ~37% scan budget)
+            "lsh_multiprobe_8p_r3": round(
+                SIM.recall_at_k(
+                    exact,
+                    SIM.topk_multiprobe_lsh_param(emb, qset, 8, 3, k=5),
+                ),
+                3,
             ),
             "ivf_nprobe1": round(
                 SIM.recall_at_k(exact, SIM.topk_ivf(emb, qset, k=5)), 3

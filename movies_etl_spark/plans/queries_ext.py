@@ -565,13 +565,15 @@ def q_similarity_ann_ivf(spark, sf_dir):
     return SIM.topk_ivf(e, e.filter(F.col("vec_id") < 8), k=3)
 
 
-def _rp_bucket_sql(vec: str) -> str:
+def _rp_bucket_sql(vec: str, planes: list[list[float]] | None = None) -> str:
     """DuckDB replica of operators.similarity.rp_bucket: the hyperplane
     constants are Python-computed decimal literals shared verbatim by
     both engines (no in-engine RNG), and each projection folds
-    left-to-right exactly like the Spark side."""
+    left-to-right exactly like the Spark side. ``planes`` defaults to
+    the 8-plane family (rp_bucket); the frontier sweep passes longer
+    prefixes of the same md5-derived family (rp_planes_n)."""
     terms = []
-    for j, plane in enumerate(SIM.RP_PLANES):
+    for j, plane in enumerate(SIM.RP_PLANES if planes is None else planes):
         arr = "[" + ", ".join(repr(v) for v in plane) + "]"
         dot = (
             f"list_reduce([CAST(0 AS DOUBLE)] || "
@@ -1988,6 +1990,221 @@ def q_ann_recall_clustered(spark, sf_dir):
         F.count("an").cast("long").alias("n_hit"),
         F.round(F.count("an") * 1.0 / F.count(F.lit(1)), 4).alias("recall"),
     )
+
+
+#: The (planes × Hamming radius) grid the ANN frontier sweep walks —
+#: spans the high-recall end (8/4), the selected isotropic operating
+#: point (8/3: recall@5 0.625 at a 37% scan budget at sf0.1), and the
+#: high-efficiency end (16/3: best recall-per-scan ≈ 4.9×, low absolute
+#: recall) so the published table shows the WHOLE trade, not one point.
+ANN_FRONTIER_CONFIGS: list[tuple[int, int]] = [
+    (8, 1), (8, 2), (8, 3), (8, 4), (10, 2), (10, 4), (12, 3), (16, 3),
+]
+
+
+def _ann_frontier_oracle() -> str:
+    """Generated DuckDB replay of the whole frontier sweep. The md5
+    plane family makes every config's signature a PREFIX of the widest
+    one, so the corpus is bucketed ONCE at max width and each config's
+    bucket is a modulus (bucket % 2^p ≡ the low-p-bit prefix) — the
+    same single-scan shape as the Spark side. Shares the exact-top-5
+    CTE across configs like the Spark side shares the persisted exact
+    frame."""
+    max_p = max(p for p, _ in ANN_FRONTIER_CONFIGS)
+    bucket = _rp_bucket_sql("embedding", SIM.rp_planes_n(max_p))
+    ctes = [
+        f"bmax AS (SELECT vec_id, embedding, {bucket} AS bucket "
+        "FROM embeddings)",
+        "qmax AS (SELECT vec_id AS query_id, embedding AS qvec, "
+        "bucket AS qbucket FROM bmax WHERE vec_id < 8)",
+        "nq AS (SELECT CAST(count(*) AS BIGINT) AS v FROM qmax)",
+        "ncorp AS (SELECT CAST(count(*) AS BIGINT) AS v FROM embeddings)",
+        f"""ex_scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round({_COS_SQL.format(a="q.qvec", b="e.embedding")}, 6) AS sim
+        FROM embeddings e, qmax q WHERE e.vec_id <> q.query_id)""",
+        """exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS rank
+            FROM ex_scored)
+        WHERE rank <= 5)""",
+    ]
+    rows = []
+    for p, r in ANN_FRONTIER_CONFIGS:
+        offs = SIM.multiprobe_offsets(p, r)
+        tag = f"{p}_{r}"
+        ctes.append(
+            f"""cand_{tag} AS (
+        SELECT pr.query_id, e.vec_id AS neighbor_id,
+               round({_COS_SQL.format(a="pr.qvec", b="e.embedding")}, 6) AS sim
+        FROM bmax e JOIN (
+            SELECT query_id, qvec,
+                   xor(qbucket % {1 << p}, off) AS probe_bucket
+            FROM qmax, UNNEST({offs}) t(off)) pr
+          ON e.bucket % {1 << p} = pr.probe_bucket
+         AND e.vec_id <> pr.query_id)"""
+        )
+        ctes.append(
+            f"""ann_{tag} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS rank
+            FROM cand_{tag})
+        WHERE rank <= 5)"""
+        )
+        rows.append(
+            f"""SELECT {p} AS n_planes, {r} AS radius,
+               {len(offs)} AS n_probes,
+               (SELECT CAST(count(*) AS BIGINT) FROM cand_{tag})
+                   AS n_candidates,
+               round(CAST((SELECT count(*) FROM cand_{tag}) AS DOUBLE)
+                     / ((SELECT v FROM nq)
+                        * ((SELECT v FROM ncorp) - 1)), 6)
+                   AS scan_fraction,
+               (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+               (SELECT CAST(count(*) AS BIGINT) FROM exact e
+                 JOIN ann_{tag} a ON a.query_id = e.query_id
+                              AND a.neighbor_id = e.neighbor_id) AS n_hit,
+               round(CAST((SELECT count(*) FROM exact e
+                       JOIN ann_{tag} a ON a.query_id = e.query_id
+                                    AND a.neighbor_id = e.neighbor_id)
+                     AS DOUBLE)
+                     / (SELECT count(*) FROM exact), 4) AS recall"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    "
+        + "\n    UNION ALL ".join(rows)
+    )
+
+
+@query("ann_frontier_sweep", oracle=_ann_frontier_oracle())
+def q_ann_frontier_sweep(spark, sf_dir):
+    """The ANN recall-vs-scan FRONTIER, as one oracle-gated query
+    (VERDICT r8 #3): for every (planes, Hamming radius) config in
+    ANN_FRONTIER_CONFIGS, the multi-probe sign-LSH index is evaluated
+    against the exact brute-force top-5 on the ISOTROPIC embeddings,
+    emitting (n_probes, n_candidates, scan_fraction, recall@5) — the
+    table an index user reads to pick an operating point, sitting
+    under the driver's exact-value gate so a plane-family or probe
+    regression fails CORRECTNESS.
+
+    What the frontier shows (sf0.1, SCALE.md carries the table): on
+    structureless isotropic vectors recall-per-scan is information-
+    theoretically capped — the sweep measures the cap at ~1.7× around
+    the usable operating point — and the selected point is planes=8,
+    radius=3: recall@5 = 0.625 at a 37% scan budget (10/4 reaches
+    0.675 at 39%); more planes raise recall-PER-SCAN (16/3 ≈ 4.9×)
+    but lower absolute recall at bounded probe count. Clustered data
+    is where the same machinery earns its keep (0.97@5 at 14% scan,
+    ann_recall_clustered); isotropic ≥0.6@5 simply COSTS ~37% scan,
+    and the honest alternative at lower budgets is IVF-nprobe
+    (similarity_ivf_nprobe) or brute force.
+
+    Plan shape: the plane family is PREFIX-NESTED (rp_planes_n), so
+    the corpus is signed ONCE at the sweep's max width and persisted;
+    each config's bucket is a modulus of that shared signature (the
+    low-p-bit prefix) — 8 configs, ONE signature computation, exactly
+    like a production index would store the widest signature and let
+    readers choose their precision. The exact top-5 frame is likewise
+    computed once and persisted (8 consumers). Each config is then a
+    broadcast probe equi-join over the persisted frame → two 1-row
+    aggregates (candidate meter + recall meter) cross-joined into its
+    frontier row (the bounded 1-row crossJoin class); the 8 rows
+    union. No collects, no corpus shuffles."""
+    from movies_etl_spark.operators import caching
+    from movies_etl_spark.operators.dedup import dot, l2norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    qset = e.filter(F.col("vec_id") < 8)
+    exact = caching.tracked_persist(
+        SIM.topk_bruteforce(e, qset, k=5).select("query_id", "neighbor_id")
+    )
+    denom = qset.agg(F.count(F.lit(1)).alias("__nq")).crossJoin(
+        e.agg(F.count(F.lit(1)).alias("__nc"))
+    )
+    max_p = max(p for p, _ in ANN_FRONTIER_CONFIGS)
+    c_all = caching.tracked_persist(
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cvec"),
+            SIM.rp_bucket_n(F.col("embedding"), max_p)
+            .cast("int")
+            .alias("bucket"),
+            l2norm(F.col("embedding")).alias("cnrm"),
+        )
+    )
+    q_all = c_all.filter(F.col("neighbor_id") < 8).select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("cvec").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+        F.col("cnrm").alias("qnrm"),
+    )
+    sim = F.round(
+        dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")),
+        6,
+    )
+    rows = None
+    for p, r in ANN_FRONTIER_CONFIGS:
+        offs = SIM.multiprobe_offsets(p, r)
+        probes = q_all.withColumn(
+            "off", F.explode(F.array(*[F.lit(o) for o in offs]))
+        ).select(
+            "query_id",
+            "qvec",
+            "qnrm",
+            (F.col("qbucket") % F.lit(1 << p))
+            .bitwiseXOR(F.col("off"))
+            .cast("int")
+            .alias("probe_bucket"),
+        )
+        cand = c_all.join(
+            F.broadcast(probes),
+            ((F.col("bucket") % F.lit(1 << p)) == F.col("probe_bucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        ).select("query_id", "neighbor_id", sim.alias("sim"))
+        n_cand = cand.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("neighbor_id")
+        )
+        ann = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+        )
+        rec = (
+            exact.join(ann, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_exact"),
+                F.count("__hit").cast("long").alias("n_hit"),
+            )
+        )
+        row = (
+            n_cand.crossJoin(rec)
+            .crossJoin(denom)
+            .select(
+                F.lit(p).alias("n_planes"),
+                F.lit(r).alias("radius"),
+                F.lit(len(offs)).alias("n_probes"),
+                "n_candidates",
+                F.round(
+                    F.col("n_candidates").cast("double")
+                    / (F.col("__nq") * (F.col("__nc") - 1)),
+                    6,
+                ).alias("scan_fraction"),
+                "n_exact",
+                "n_hit",
+                F.round(
+                    F.col("n_hit").cast("double") / F.col("n_exact"), 4
+                ).alias("recall"),
+            )
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
 
 
 @query(

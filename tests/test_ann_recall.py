@@ -114,6 +114,43 @@ def test_multiprobe_scan_fraction_bounded(spark, recall_frames):
     assert n_cand / (n_corpus * n_queries) < 0.30
 
 
+def test_plane_family_is_prefix_nested(spark):
+    """rp_planes_n must extend, never replace, the 8-plane family:
+    planes 0..7 of any wider request are exactly RP_PLANES (so every
+    frontier config's signature is a prefix of the widest one — the
+    property the sweep's single-signature scan relies on), and the
+    parametrized offset enumerator reproduces the frozen H1/H2 lists
+    verbatim."""
+    assert SIM.rp_planes_n(16)[:8] == SIM.RP_PLANES
+    assert SIM.multiprobe_offsets(8, 1) == SIM.MULTIPROBE_OFFSETS_H1
+    assert SIM.multiprobe_offsets(8, 2) == SIM.MULTIPROBE_OFFSETS_H2
+
+
+def test_rp_bucket_n_8_matches_rp_bucket(spark, recall_frames):
+    """The parametrized bucketer's n=8 member is the frozen rp_bucket
+    bit-for-bit (same planes, same rounding discipline)."""
+    e, _, _ = recall_frames
+    both = e.select(
+        SIM.rp_bucket(F.col("embedding")).cast("int").alias("b8"),
+        SIM.rp_bucket_n(F.col("embedding"), 8).cast("int").alias("bn"),
+    )
+    assert both.filter(F.col("b8") != F.col("bn")).count() == 0
+
+
+def test_frontier_operating_point_floor(spark, recall_frames):
+    """The r9 isotropic operating point (planes=8, radius=3) must clear
+    the ≥0.6-usability bar the frontier sweep selected it for at sf0.1
+    (measured 0.625 there; 0.55 at this sf0.01 fixture — floor set
+    under both), and radius must stay a monotone recall dial."""
+    e, q, exact = recall_frames
+    r2 = SIM.recall_at_k(exact, SIM.topk_multiprobe_lsh_param(e, q, 8, 2))
+    r3 = SIM.recall_at_k(exact, SIM.topk_multiprobe_lsh_param(e, q, 8, 3))
+    r4 = SIM.recall_at_k(exact, SIM.topk_multiprobe_lsh_param(e, q, 8, 4))
+    assert r3 >= 0.45
+    assert r4 >= 0.7
+    assert r2 <= r3 <= r4
+
+
 def test_clustered_fixture_high_recall_low_scan(spark):
     """The isotropic floors above are a property of the DATA, not the
     index: on the planted deterministic cluster fixture (8 tight
