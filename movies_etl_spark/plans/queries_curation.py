@@ -919,8 +919,15 @@ def q_llm_corpus_pipeline(spark, sf_dir):
     learned cells (guarded BLAS blocks); decontamination is a broadcast
     semi-join; BPE's sole corpus-scale stage is the wordcount shuffle
     (merge iterations run on the vocab-bounded table); packing is the
-    two-phase distributed prefix sum. Persisted stage boundaries (ex,
-    clean) are where a 100 TB run would checkpoint to storage. The
+    two-phase distributed prefix sum. Stage boundaries are where a
+    100 TB run would checkpoint to storage: ex persists (single
+    action-tree consumer set), while mh and clean are EAGER
+    localCheckpoints (r9) — mh because SemDeDup embeds it in two join
+    branches, clean because eleven downstream jobs (wc + the 8
+    sequential BPE argmaxes + encode + pack) each re-analyze whatever
+    plan sits under it, and a persist keeps the full analyzed lineage
+    (measured 16.4 s → 3.9 s on the train loop, 30 → 9.2 s warm on the
+    whole composite at sf0.1 from the two leaves). The
     DuckDB oracle replays the whole chain from the standalone stages'
     own fragments; the independent python witness re-runs it from
     scratch (tests/test_ground_truth.py)."""
@@ -995,11 +1002,19 @@ def q_llm_corpus_pipeline(spark, sf_dir):
         )
         .filter(F.round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 4) >= 0.5)
     )
+    # Stage boundary (r9): the MinHash survivor set is consumed by BOTH
+    # branches of the SemDeDup stage (memb→victims AND the sem
+    # anti-join), so without a leaf here the candidate-generate+verify
+    # lineage is embedded twice in one action — the exact bidirectional-
+    # union pathology connected_components eager-checkpoints against
+    # (dedup.py). Eager localCheckpoint evaluates it once AND truncates
+    # the plan every downstream stage re-analyzes; on a fault-tolerant
+    # cluster this is a checkpoint to storage (see the docstring).
     mh = ex.join(
         verified.select(F.col("id_b").alias("doc_id")).distinct(),
         "doc_id",
         "left_anti",
-    )
+    ).localCheckpoint(eager=True)
     # 4. SemDeDup: frozen quantizer (trained on the full embedding
     #    table), within-cell cosine, drop the member closer to its
     #    centroid (keep the atypical exemplar)
@@ -1046,8 +1061,17 @@ def q_llm_corpus_pipeline(spark, sf_dir):
         .select("doc_id")
         .distinct()
     )
-    clean = caching.tracked_persist(
-        noneval.join(contaminated, "doc_id", "left_anti")
+    # Stage boundary (r9): clean feeds ELEVEN downstream jobs (the wc
+    # persist, the BPE loop's 8 sequential argmax collects, the encode
+    # broadcast, and the final pack action). A persist caches the DATA
+    # but keeps the full analyzed plan, so every one of those jobs was
+    # re-ANALYZING the entire upstream pipeline (measured: the 8-step
+    # train loop read 16.4 s with the lineage live vs 3.9 s against a
+    # leaf — pure per-job Catalyst cost on a 31-word vocab table).
+    # localCheckpoint truncates to a LogicalRDD leaf; storage
+    # checkpoint at 100 TB.
+    clean = noneval.join(contaminated, "doc_id", "left_anti").localCheckpoint(
+        eager=True
     )
     # 6. BPE train on the SURVIVING corpus -> encode -> count subwords
     #    per doc -> pack into 512-subword sequences
