@@ -383,13 +383,30 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    cal = {
-        "calibration_sec": _calibration_sec(spark),
-        "calibration_codegen_sec": _calibration_codegen_sec(spark),
-        "calibration_stream_sec": _calibration_stream_sec(spark),
-        "calibration_shuffle_sec": _calibration_shuffle_sec(spark),
-        "calibration_scan_sec": _calibration_scan_sec(spark),
-    }
+    def _battery() -> dict[str, float]:
+        return {
+            "calibration_sec": _calibration_sec(spark),
+            "calibration_codegen_sec": _calibration_codegen_sec(spark),
+            "calibration_stream_sec": _calibration_stream_sec(spark),
+            "calibration_shuffle_sec": _calibration_shuffle_sec(spark),
+            "calibration_scan_sec": _calibration_scan_sec(spark),
+        }
+
+    # Drift guard (VERDICT r8 #5): a battery reading >1.5x the pinned
+    # reference means the box is contended RIGHT NOW — re-probe once
+    # after a short backoff instead of accepting a spiked normalization
+    # factor. Both attempts' drifts are recorded (drift_attempts) so a
+    # persistently-contended capture (like the 2.05x r8 driver box) is
+    # visible as two high readings, not silently normalized by one.
+    cal = _battery()
+    cal_ref_pre, _ = _cal_reference()
+    drift_attempts = [_drift_vs_ref(cal_ref_pre, cal)]
+    if drift_attempts[0] is not None and drift_attempts[0] > 1.5:
+        time.sleep(20)
+        cal_retry = _battery()
+        drift_attempts.append(_drift_vs_ref(cal_ref_pre, cal_retry))
+        if drift_attempts[1] is not None and drift_attempts[1] < drift_attempts[0]:
+            cal = cal_retry
 
     timings: dict[str, float] = {}
     rows_total = 0
@@ -515,6 +532,9 @@ def main() -> None:
         "queries": timings,
         "queries_normalized": normalized,
         "calibration_drift_vs_ref": drift,
+        "drift_attempts": [
+            d for d in drift_attempts if d is not None
+        ] or None,
         "drift_ref": cal_ref_source,
         "sf": _sf_from_dir(SF_DIR),
         "n_queries": len(timings),
