@@ -68,7 +68,97 @@ from movies_etl_spark.plans import queries_scale  # noqa: E402,F401
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
-# Round-9 window (exactly 50; registered total 214 after the one r9
+# Round-10 window (exactly 50; registered total stays 214 — the
+# surface is saturated at 46/46 and VERDICT r9 ranked the round as
+# freshness + one profiling target + hygiene, so no new registrations;
+# NOTES_r10.md carries the ledger):
+#   1:     similarity_topk — the union's only pre-r5 row (r4-latest,
+#          displaced in r9; VERDICT r9 next-round #1 says it leads).
+#   2-3:   the two curation composites — consumers of the r10
+#          checkpoint-audit routing (caching.tracked_local_checkpoint
+#          now wraps the two r9 stage-boundary localCheckpoints in
+#          queries_curation.py; ADVICE r9 #2). Re-validating
+#          rewritten-code consumers outranks pure freshness (the
+#          established rule), and composites lead.
+#   4-6:   the HLL family — consumers of the r10 LUT-cache swap
+#          (single-slot → WeakKeyDictionary keyed on the session,
+#          jdf-valued to keep the weak key weak; ADVICE r8/r9 carry-
+#          over, VERDICT r9 next-round #4).
+#   7-8:   streaming_lsh_dedup + dedup_minhash_incremental — consumers
+#          of the r10 streaming-LSH profiling rewrite (VERDICT r9
+#          next-round #2; see NOTES_r10.md for the per-stage breakdown
+#          and what changed).
+#   9-47:  the COMPLETE 39-name r5-latest cohort in registration order
+#          (the SURVEY §2 core's rows are 5 rounds old — VERDICT r9
+#          next-round #1).
+#   48-50: oldest r6-latest rows in registration order (set_intersect,
+#          set_except, orderby_limit) — freshness filler for the spare
+#          slots. After r10 the union's oldest rows are the remaining
+#          38-name r6 cohort.
+_ROUND10_PRIORITY = [
+    # union's only pre-r5 row
+    "similarity_topk",
+    # consumers of the r10 checkpoint-audit routing (composites lead)
+    "curation_pipeline",
+    "llm_corpus_pipeline",
+    # consumers of the r10 HLL LUT-cache swap
+    "hll_distinct_shards",
+    "streaming_hll_distinct",
+    "hll_set_overlap",
+    # consumers of the r10 streaming-LSH profiling work
+    "streaming_lsh_dedup",
+    "dedup_minhash_incremental",
+    # the 39-name r5-latest cohort, registration order
+    "groupby_count",
+    "pivot_counts",
+    "null_count_per_column",
+    "value_counts",
+    "describe_stats",
+    "histogram",
+    "constant_column_detector",
+    "join_inner_equi",
+    "join_left_equi",
+    "join_semi",
+    "join_anti",
+    "filter_key_exists",
+    "filter_equality",
+    "filter_conflict_rows",
+    "dropna_column",
+    "prune_null_columns",
+    "select_reorder",
+    "drop_columns",
+    "rename_columns",
+    "canonicalize_keys",
+    "collect_map_column",
+    "dedup_by_key",
+    "set_union",
+    "topk_per_group",
+    "cast_typed",
+    "movies_etl_ratings",
+    "groupby_count_salted",
+    "entropy_profile",
+    "embedding_quantize",
+    "similarity_ann_multiprobe",
+    "ann_rerank",
+    "streaming_dedup",
+    "triangle_count",
+    "quantile_sketch_merge",
+    "heavy_hitters_cms",
+    "dedup_semantic_clusters",
+    "bpe_train_merges",
+    "bpe_subword_stats",
+    "quantile_sketch_by_group",
+    # oldest r6-latest rows (registration order) — freshness filler
+    "set_intersect",
+    "set_except",
+    "orderby_limit",
+]
+
+_CURRENT_PRIORITY = _ROUND10_PRIORITY
+
+# Round-9 window retained for the ledger (NOTES_r9.md references it);
+# _ordered() consumes _CURRENT_PRIORITY.
+# (exactly 50; registered total 214 after the one r9
 # addition; NOTES_r9.md carries the ledger):
 #   1-7:   the consumers of the r9-rewritten candidate_pairs_minhash
 #          (the fused CAPPED form — row_number cap ahead of the
@@ -92,7 +182,7 @@ SF_SMOKE_DIR = "/root/testdata/sf0.001"
 #          rank one freshness slot, same arithmetic as r8's
 #          displacement. After r9 the union's oldest rows are
 #          similarity_topk (r4) and the r5 cohort.
-_ROUND9_PRIORITY = [
+_ROUND9_PRIORITY = [  # retained for the ledger; _ordered() consumes _CURRENT_PRIORITY
     # consumers of the r9 capped candidate generator
     "curation_pipeline",
     "llm_corpus_pipeline",
@@ -659,9 +749,20 @@ _ROUND3_PRIORITY = [
 
 
 def _ordered(names: dict) -> list[str]:
-    """Priority cohort first (in _ROUND9_PRIORITY order), then everything
-    else in registration order."""
-    prioritized = [n for n in _ROUND9_PRIORITY if n in names]
+    """Priority cohort first (in the current round's priority order),
+    then everything else in registration order.
+
+    A priority name absent from the registry is a HARD error (ADVICE
+    r9): silently dropping it would shrink the round's 50-row driver
+    window with no failure — a typo or query rename must surface before
+    the driver run, not after the round's rows are recorded."""
+    missing = [n for n in _CURRENT_PRIORITY if n not in names]
+    if missing:
+        raise AssertionError(
+            "_ROUND priority names not in the query registry "
+            f"(typo or renamed query?): {missing}"
+        )
+    prioritized = [n for n in _CURRENT_PRIORITY if n in names]
     rest = [n for n in names if n not in set(prioritized)]
     return prioritized + rest
 

@@ -392,20 +392,27 @@ def main() -> None:
             "calibration_scan_sec": _calibration_scan_sec(spark),
         }
 
-    # Drift guard (VERDICT r8 #5): a battery reading >1.5x the pinned
-    # reference means the box is contended RIGHT NOW — re-probe once
-    # after a short backoff instead of accepting a spiked normalization
-    # factor. Both attempts' drifts are recorded (drift_attempts) so a
-    # persistently-contended capture (like the 2.05x r8 driver box) is
-    # visible as two high readings, not silently normalized by one.
+    # Drift guard (VERDICT r8 #5; acceptance tightened per ADVICE r9): a
+    # battery reading anomalous in EITHER direction (>1.5x the pinned
+    # reference, or <1/1.5x — a spiked-fast reading would inflate every
+    # normalized ratio) means the first probe is untrustworthy — re-probe
+    # once after a short backoff. The retry is adopted only when its
+    # drift is CLOSER TO 1.0 (|d-1| smaller), not merely lower: a retry
+    # that undershoots past 1.0 by more than the original overshot is a
+    # worse normalization factor, not a better one. Both attempts'
+    # drifts are recorded (drift_attempts) so a persistently-contended
+    # capture (like the 2.05x r8 driver box) is visible as two high
+    # readings, not silently normalized by one.
     cal = _battery()
     cal_ref_pre, _ = _cal_reference()
     drift_attempts = [_drift_vs_ref(cal_ref_pre, cal)]
-    if drift_attempts[0] is not None and drift_attempts[0] > 1.5:
+    d0 = drift_attempts[0]
+    if d0 is not None and (d0 > 1.5 or d0 < 1 / 1.5):
         time.sleep(20)
         cal_retry = _battery()
         drift_attempts.append(_drift_vs_ref(cal_ref_pre, cal_retry))
-        if drift_attempts[1] is not None and drift_attempts[1] < drift_attempts[0]:
+        d1 = drift_attempts[1]
+        if d1 is not None and abs(d1 - 1) < abs(d0 - 1):
             cal = cal_retry
 
     timings: dict[str, float] = {}

@@ -30,6 +30,7 @@ global sketch, each step reading only centroid tables.
 from __future__ import annotations
 
 import math
+import weakref
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -225,29 +226,36 @@ def hll_merge(partials: DataFrame) -> DataFrame:
     return partials.groupBy("register").agg(F.max("rho").alias("rho"))
 
 
-#: Most-recent-session cache of the 512-row linear-counting lookup
-#: frame — building it is driver-side work (createDataFrame of HLL_M
-#: rows) that would otherwise repeat on every hll_estimate call. A
-#: single (session, frame) slot, compared by object IDENTITY: the old
-#: id(spark)-keyed dict pinned every session it ever saw for the
-#: process lifetime and its safety silently depended on that retention
-#: (a collected session's id could be reused — ADVICE r7). One slot
-#: serves the realistic shape (one live session per process) and a
-#: NEW session simply rebuilds the 512-row frame, releasing the old
-#: session's entry.
-_LINEAR_LUT_CACHE: list[tuple[object, DataFrame]] = []
+#: Per-session cache of the 512-row linear-counting lookup frame —
+#: building it is driver-side work (createDataFrame of HLL_M rows) that
+#: would otherwise repeat on every hll_estimate call. Evolution of the
+#: shape: an id(spark)-keyed dict pinned dead sessions for the process
+#: lifetime (ADVICE r7); the r8 single-slot replacement evicted a LIVE
+#: session's entry whenever two sessions interleaved (ADVICE r9 → this
+#: round's swap). Now a ``WeakKeyDictionary`` keyed on the session, so
+#: each live session keeps exactly one entry and a collected session's
+#: entry vanishes with it. The value is deliberately the JVM-side frame
+#: handle, NOT the Python ``DataFrame`` wrapper: the wrapper strongly
+#: references its session, and a WeakKeyDictionary whose value
+#: references its key never releases the entry (the documented weakref
+#: retention caveat) — caching the jdf and re-wrapping per call keeps
+#: the weak key actually weak. Re-wrapping is O(1) driver work.
+_LINEAR_LUT_CACHE: "weakref.WeakKeyDictionary[object, object]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _linear_lookup(registers: DataFrame) -> DataFrame:
     spark = registers.sparkSession
-    if _LINEAR_LUT_CACHE and _LINEAR_LUT_CACHE[0][0] is spark:
-        return _LINEAR_LUT_CACHE[0][1]
-    lut = spark.createDataFrame(
-        [(i + 1, x) for i, x in enumerate(HLL_LINEAR_TABLE)],
-        "v_idx int, linear double",
-    )
-    _LINEAR_LUT_CACHE[:] = [(spark, lut)]
-    return lut
+    jdf = _LINEAR_LUT_CACHE.get(spark)
+    if jdf is None:
+        lut = spark.createDataFrame(
+            [(i + 1, x) for i, x in enumerate(HLL_LINEAR_TABLE)],
+            "v_idx int, linear double",
+        )
+        _LINEAR_LUT_CACHE[spark] = lut._jdf
+        return lut
+    return DataFrame(jdf, spark)
 
 
 def hll_estimate(registers: DataFrame, group_cols: list[str] | None = None) -> DataFrame:

@@ -1010,11 +1010,13 @@ def q_llm_corpus_pipeline(spark, sf_dir):
     # (dedup.py). Eager localCheckpoint evaluates it once AND truncates
     # the plan every downstream stage re-analyzes; on a fault-tolerant
     # cluster this is a checkpoint to storage (see the docstring).
-    mh = ex.join(
-        verified.select(F.col("id_b").alias("doc_id")).distinct(),
-        "doc_id",
-        "left_anti",
-    ).localCheckpoint(eager=True)
+    mh = caching.tracked_local_checkpoint(
+        ex.join(
+            verified.select(F.col("id_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+    )
     # 4. SemDeDup: frozen quantizer (trained on the full embedding
     #    table), within-cell cosine, drop the member closer to its
     #    centroid (keep the atypical exemplar)
@@ -1069,9 +1071,11 @@ def q_llm_corpus_pipeline(spark, sf_dir):
     # train loop read 16.4 s with the lineage live vs 3.9 s against a
     # leaf — pure per-job Catalyst cost on a 31-word vocab table).
     # localCheckpoint truncates to a LogicalRDD leaf; storage
-    # checkpoint at 100 TB.
-    clean = noneval.join(contaminated, "doc_id", "left_anti").localCheckpoint(
-        eager=True
+    # checkpoint at 100 TB. Routed through the caching audit registry
+    # (r10): checkpoint blocks free on GC, not per-query — see
+    # caching._CHECKPOINTED for the release-discipline contract.
+    clean = caching.tracked_local_checkpoint(
+        noneval.join(contaminated, "doc_id", "left_anti")
     )
     # 6. BPE train on the SURVIVING corpus -> encode -> count subwords
     #    per doc -> pack into 512-subword sequences

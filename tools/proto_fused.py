@@ -85,15 +85,26 @@ def main() -> None:
     sh_all = caching.tracked_persist(D.shingled(corpus, "text", "doc_id"))
     sh_all.count()
 
-    # pair-set identity across all three arms (exceptAll both ways)
+    # pair-set identity across all three arms (exceptAll both ways).
+    # A nonzero diff is a FAILURE, not a log line: the canary exists to
+    # fail loudly when a retired arm and the shipped shape diverge
+    # (ADVICE r9 — printing-and-exit-0 needed a human to notice).
     frames = {name: fn(sh_all, "doc_id") for name, fn in ARMS}
     base = frames["shipped"]
+    diverged: list[str] = []
     for name, df in frames.items():
         if name == "shipped":
             continue
         diff = df.exceptAll(base).count() + base.exceptAll(df).count()
         print(f"pair-set diff shipped vs {name}: {diff}")
+        if diff:
+            diverged.append(f"{name} (diff {diff})")
     print("n pairs:", base.count())
+    if diverged:
+        raise SystemExit(
+            "CANARY FAILED: pair sets diverged from shipped: "
+            + ", ".join(diverged)
+        )
 
     def run(fn):
         spark._jvm.System.gc()
