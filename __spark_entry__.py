@@ -35,7 +35,12 @@ cohort queue for r9. Round 9's window (_ROUND9_PRIORITY below): the 7
 consumers of the r9-rewritten capped candidate generator, the one r9
 addition (ann_frontier_sweep), compact_small_files, the 4 displaced r4
 names, and 37 of the 38 remaining r4-latest rows (similarity_topk
-queues for r10).
+queues for r10). Round 10's window (_ROUND10_PRIORITY below):
+similarity_topk (the union's only pre-r5 row), the 6 consumers of the
+r10 checkpoint-audit/LUT-cache hygiene rewrites, streaming_lsh_dedup
+(the r10 profiling rewrite's sole consumer), the complete 39-name
+r5-latest cohort, and the 4 oldest r6 rows — after r10 no union row is
+older than r6.
 
 REGISTRATION POLICY (codified after three rounds of overflow debt):
 new queries register ONLY while the round's window has open slots and
@@ -84,17 +89,19 @@ SF_SMOKE_DIR = "/root/testdata/sf0.001"
 #          (single-slot → WeakKeyDictionary keyed on the session,
 #          jdf-valued to keep the weak key weak; ADVICE r8/r9 carry-
 #          over, VERDICT r9 next-round #4).
-#   7-8:   streaming_lsh_dedup + dedup_minhash_incremental — consumers
-#          of the r10 streaming-LSH profiling rewrite (VERDICT r9
-#          next-round #2; see NOTES_r10.md for the per-stage breakdown
-#          and what changed).
-#   9-47:  the COMPLETE 39-name r5-latest cohort in registration order
+#   7:     streaming_lsh_dedup — the ONLY registered consumer of the
+#          r10-rewritten lsh_dedup_stream (one-pass ntile chunk
+#          scaffolding + explicit batch-side broadcasts; VERDICT r9
+#          next-round #2, per-stage breakdown in NOTES_r10.md).
+#          dedup_minhash_incremental rides the UNTOUCHED
+#          incremental_candidate_pairs path and keeps its r8 row.
+#   8-46:  the COMPLETE 39-name r5-latest cohort in registration order
 #          (the SURVEY §2 core's rows are 5 rounds old — VERDICT r9
 #          next-round #1).
-#   48-50: oldest r6-latest rows in registration order (set_intersect,
-#          set_except, orderby_limit) — freshness filler for the spare
-#          slots. After r10 the union's oldest rows are the remaining
-#          38-name r6 cohort.
+#   47-50: oldest r6-latest rows in registration order (set_intersect,
+#          set_except, orderby_limit, fill_if_zero) — freshness filler
+#          for the spare slots. After r10 the union's oldest rows are
+#          the remaining 37-name r6 cohort.
 _ROUND10_PRIORITY = [
     # union's only pre-r5 row
     "similarity_topk",
@@ -105,9 +112,8 @@ _ROUND10_PRIORITY = [
     "hll_distinct_shards",
     "streaming_hll_distinct",
     "hll_set_overlap",
-    # consumers of the r10 streaming-LSH profiling work
+    # consumer of the r10 streaming-LSH profiling rewrite
     "streaming_lsh_dedup",
-    "dedup_minhash_incremental",
     # the 39-name r5-latest cohort, registration order
     "groupby_count",
     "pivot_counts",
@@ -152,6 +158,7 @@ _ROUND10_PRIORITY = [
     "set_intersect",
     "set_except",
     "orderby_limit",
+    "fill_if_zero",
 ]
 
 _CURRENT_PRIORITY = _ROUND10_PRIORITY

@@ -593,24 +593,35 @@ def lsh_dedup_stream(
 
     src = f"{work_dir}/src"
     os.makedirs(src, exist_ok=True)
-    n = corpus.count()
-    per = -(-n // n_chunks)
+    # One-pass chunk scaffolding (r10): the r9 shape ran corpus.count()
+    # plus FOUR filtered writes, each recomputing the global
+    # Window.orderBy sort — the profiling breakdown (NOTES_r10.md)
+    # charged ~5.9 s of the query's cold wall to five executions of the
+    # same sort. ntile() yields the identical id-ranged ascending chunks
+    # without needing n up front, and partitionBy writes every chunk in
+    # ONE job; repartition(n_chunks, "__c__") puts each chunk in exactly
+    # one task, so each chunk dir holds exactly one file. Chunk
+    # boundaries shift by ±1 row vs the old ceil-division for
+    # non-divisible n, which is immaterial: the decision rule is
+    # batching-invariant (docstring above).
     w = Window.orderBy("doc_id")
-    chunked = corpus.withColumn("__rn__", F.row_number().over(w) - 1)
+    staged = f"{work_dir}/chunk_staged"
+    (
+        corpus.withColumn("__c__", F.ntile(n_chunks).over(w) - 1)
+        .repartition(n_chunks, "__c__")
+        .select("doc_id", "text", "__c__")
+        .write.partitionBy("__c__")
+        .mode("overwrite")
+        .parquet(staged)
+    )
     for c in range(n_chunks):
-        tmp = f"{work_dir}/chunk_tmp"
-        (
-            chunked.filter(
-                (F.col("__rn__") >= c * per) & (F.col("__rn__") < (c + 1) * per)
-            )
-            .select("doc_id", "text")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        d = f"{staged}/__c__={c}"
+        if not os.path.isdir(d):  # fewer rows than chunks → empty chunk
+            continue
+        parts = [p for p in os.listdir(d) if p.endswith(".parquet")]
+        assert len(parts) == 1, f"chunk {c}: expected one file, got {parts}"
         dst = f"{src}/chunk-{c:04d}.parquet"
-        os.replace(f"{tmp}/{part}", dst)
+        os.replace(f"{d}/{parts[0]}", dst)
         mt = time.time() - (n_chunks - c) * 10  # ascending mtimes = order
         os.utime(dst, (mt, mt))
 
@@ -643,10 +654,16 @@ def lsh_dedup_stream(
         # pair with this batch), then the same bucket-size hard-fail as
         # the batch path — a viral template accumulating in one band
         # bucket fails loudly instead of squaring the candidate join.
+        # The batch-derived sides are broadcast EXPLICITLY (r10): the
+        # scale contract already assumes the micro-batch is
+        # broadcast-size (docstring), so the touched-bucket prune and
+        # the candidate probe must stay map-only over the index read
+        # instead of shuffling it — AQE would usually get there, but
+        # only after planning with a shuffle it then rewrites.
         touched = bands_b.select("band_id", "band_key").distinct()
         all_bands = D.guard_band_buckets(
             index_bands.unionByName(bands_b).join(
-                touched, ["band_id", "band_key"], "left_semi"
+                F.broadcast(touched), ["band_id", "band_key"], "left_semi"
             ),
             max_bucket_rows
             if max_bucket_rows is not None
@@ -655,11 +672,21 @@ def lsh_dedup_stream(
         bnew = bands_b.select(F.col("doc_id").alias("id_b"), "band_id", "band_key")
         aold = all_bands.select(F.col("doc_id").alias("id_a"), "band_id", "band_key")
         cand = (
-            aold.join(bnew, ["band_id", "band_key"])
+            aold.join(F.broadcast(bnew), ["band_id", "band_key"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .distinct()
         )
+        # Verify shape adjudication (r10): a candidate-id broadcast
+        # semi-prune of the store ahead of these joins (map-only store
+        # probes, candidate-sized verify joins) was A/B-measured at
+        # 16-18 s vs 11-12 s for this shape, interleaved same-session at
+        # sf0.1 — the extra per-batch jobs (cand cache fill + broadcast
+        # build + the prune pass) cost more than the store shuffle saves
+        # at fixture scale. At 100 TB store sizes the trade inverts
+        # (two id-shuffles of the store vs one map pass); that variant
+        # lives in NOTES_r10.md, to be promoted only with a measured
+        # large-scale win.
         sh_all = index_sh.unionByName(sh_b).filter(F.size("shingles") > 0)
         va = sh_all.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
         vb = sh_all.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
