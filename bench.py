@@ -333,6 +333,28 @@ def _cal_reference() -> tuple[dict, str]:
     return {}, "none"
 
 
+#: Drift beyond this factor (either direction) marks the calibration
+#: probe untrustworthy and triggers the one-shot re-probe.
+DRIFT_RETRY_THRESHOLD = 1.5
+
+
+def _drift_should_retry(d0: float | None) -> bool:
+    """Symmetric trigger (ADVICE r9): a spiked-FAST first reading
+    (d0 < 1/threshold) would inflate every normalized ratio just as a
+    contended reading deflates them, so both directions re-probe."""
+    return d0 is not None and (
+        d0 > DRIFT_RETRY_THRESHOLD or d0 < 1 / DRIFT_RETRY_THRESHOLD
+    )
+
+
+def _drift_accept_retry(d0: float | None, d1: float | None) -> bool:
+    """Adopt the retry battery only when its drift is CLOSER TO 1.0
+    (ADVICE r9): merely-lower acceptance would adopt a retry that
+    undershoots past 1.0 by more than the original overshot — a worse
+    normalization factor, not a better one."""
+    return d1 is not None and d0 is not None and abs(d1 - 1) < abs(d0 - 1)
+
+
 def _drift_vs_ref(prev: dict, cal_now: dict[str, float]) -> float | None:
     """Ambient drift factor vs the pinned reference capture: the MEDIAN
     of per-probe now/ref ratios over the PROBE KEYS BOTH RAN (the
@@ -406,13 +428,11 @@ def main() -> None:
     cal = _battery()
     cal_ref_pre, _ = _cal_reference()
     drift_attempts = [_drift_vs_ref(cal_ref_pre, cal)]
-    d0 = drift_attempts[0]
-    if d0 is not None and (d0 > 1.5 or d0 < 1 / 1.5):
+    if _drift_should_retry(drift_attempts[0]):
         time.sleep(20)
         cal_retry = _battery()
         drift_attempts.append(_drift_vs_ref(cal_ref_pre, cal_retry))
-        d1 = drift_attempts[1]
-        if d1 is not None and abs(d1 - 1) < abs(d0 - 1):
+        if _drift_accept_retry(drift_attempts[0], drift_attempts[1]):
             cal = cal_retry
 
     timings: dict[str, float] = {}

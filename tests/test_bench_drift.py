@@ -1,0 +1,38 @@
+"""Unit witnesses for bench.py's drift-guard decision logic (ADVICE
+r9): symmetric triggering and closer-to-1.0 retry acceptance. Pure
+functions — no SparkSession."""
+
+from __future__ import annotations
+
+import bench
+
+
+def test_retry_triggers_on_slow_and_fast_spikes():
+    assert bench._drift_should_retry(1.6)
+    assert bench._drift_should_retry(0.5)  # spiked-fast reading
+    assert not bench._drift_should_retry(1.4)
+    assert not bench._drift_should_retry(0.8)  # 1/1.5 ≈ 0.667 < 0.8
+    assert not bench._drift_should_retry(1.0)
+    assert not bench._drift_should_retry(None)
+
+
+def test_retry_accepted_only_when_closer_to_one():
+    # classic contended-then-recovered: adopt
+    assert bench._drift_accept_retry(2.0, 1.1)
+    # retry undershoots past 1.0 by MORE than the original overshot:
+    # lower, but a worse normalization factor — reject (the ADVICE case)
+    assert not bench._drift_accept_retry(1.6, 0.3)
+    # undershoot smaller than the overshoot: adopt
+    assert bench._drift_accept_retry(1.6, 0.9)
+    # equal distance: keep the first (no churn without improvement)
+    assert not bench._drift_accept_retry(1.5, 0.5)
+    assert not bench._drift_accept_retry(1.6, None)
+    assert not bench._drift_accept_retry(None, 1.0)
+
+
+def test_drift_median_of_ratios():
+    ref = {"a": 1.0, "b": 2.0, "c": 4.0, "extra_ref_only": 9.0}
+    now = {"a": 1.1, "b": 2.0, "c": 8.0, "extra_now_only": 3.0}
+    # ratios over shared keys: 1.1, 1.0, 2.0 -> median 1.1
+    assert bench._drift_vs_ref(ref, now) == 1.1
+    assert bench._drift_vs_ref({}, now) is None
