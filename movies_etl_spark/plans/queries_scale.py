@@ -1157,10 +1157,18 @@ def q_triangle_count(spark, sf_dir):
     shuffle-join against the edge list): the Σd² wedge work still
     happens, but inside array_intersect WITHIN a task over √m-bounded
     arrays, instead of as a Σd²-row shuffle — measured 9.5 → 2.3 s warm
-    at sf0.1 (41 M wedge rows never exist). One edge-row join per
-    endpoint carries the packed neighbor arrays; at 100 TB both joins
-    hash-partition on their key — nothing is broadcast-sized by
-    assumption. The DuckDB oracle deliberately keeps the wedge-join
+    at sf0.1 (41 M wedge rows never exist).
+
+    The probe side is ``explode(adj)``, not a (u,v) edge list joined
+    back to adj on u: each oriented edge IS one (u, nb, v) row of the
+    exploded adjacency, so the u-side hash join and the second persisted
+    copy of the edge list both vanish — ONE join total (on v, attaching
+    nb_v). The per-row nb payload is identical either way (the u-join
+    also attached it), so this strictly removes a shuffle join; r10
+    interleaved A/B at sf0.1: 5.6–6.2 → 3.9–5.1 s warm, identical
+    counts. At 100 TB the remaining join hash-partitions on its key —
+    nothing is broadcast-sized by assumption.
+    The DuckDB oracle deliberately keeps the wedge-join
     formulation, so engine and oracle run structurally different
     algorithms (the independent-formulation discipline the ground-truth
     suite exists for — see the r4 wedge-ordering undercount lesson in
@@ -1188,24 +1196,24 @@ def q_triangle_count(spark, sf_dir):
         F.when(lower, F.col("pa")).otherwise(F.col("pb")).alias("u"),
         F.when(lower, F.col("pb")).otherwise(F.col("pa")).alias("v"),
     )
-    oriented = caching.tracked_persist(oriented)
     # Intersection counting is symmetric, so the wedge-ordering subtlety
     # that caused the r4 undercount (wedge endpoints ranked by raw id
     # while the orientation ranked by (degree, id)) cannot arise here —
     # there is no wedge pair to order.
     adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nb"))
+    # adj is consumed twice (probe explode + v-side attach): persist IT,
+    # not oriented — it is the smaller frame (one row per head vertex)
+    # and exploding it reproduces the oriented edge list exactly
+    adj = caching.tracked_persist(adj)
+    probe = adj.select("u", "nb", F.explode("nb").alias("v"))
     per_edge = F.when(F.col("nb_v").isNull(), F.lit(0)).otherwise(
         F.size(F.array_intersect("nb", "nb_v"))
     )
-    closed = (
-        oriented.select("u", "v")
-        .join(adj, "u")  # every u has out-degree ≥ 1: inner is lossless
-        .join(
-            # a head vertex may have no out-edges: left join, 0 triangles
-            adj.select(F.col("u").alias("v"), F.col("nb").alias("nb_v")),
-            "v",
-            "left",
-        )
+    closed = probe.join(
+        # a head vertex may have no out-edges: left join, 0 triangles
+        adj.select(F.col("u").alias("v"), F.col("nb").alias("nb_v")),
+        "v",
+        "left",
     )
     # n_edges rides as a lazy 1-row cross join (not a builder-side
     # .count() action, which would materialize the edge pipeline in a
