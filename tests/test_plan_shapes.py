@@ -429,6 +429,17 @@ def test_triangle_count_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "triangle_count")
     assert "CartesianProduct" not in plan
     assert _nodes(plan, "BroadcastNestedLoopJoin") <= 1, plan
+    # r10: the probe side is explode(adj), so exactly THREE equi joins
+    # remain (two degree-ranking attaches + the single v-side neighbor
+    # join) — a fourth would mean the deleted u-side re-attach crept
+    # back. Join COUNT is plan-structural; only the strategy (broadcast
+    # vs shuffle) is size-dependent, so the sum over strategies is
+    # stable across SFs.
+    equi = sum(
+        _nodes(plan, n)
+        for n in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert equi == 3, plan
 
 
 def test_entropy_profile_single_fact_scan(spark, sf_dir):
