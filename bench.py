@@ -355,6 +355,13 @@ def _drift_accept_retry(d0: float | None, d1: float | None) -> bool:
     return d1 is not None and d0 is not None and abs(d1 - 1) < abs(d0 - 1)
 
 
+#: Warm post/pre battery ratio on a clean r10 run — the post-suite
+#: battery runs ~2× faster than the cold pre-suite one purely from JIT
+#: + page-cache warmth, NOT ambient change. Ratios near or above 1.0
+#: therefore flag contention that ARRIVED mid-suite.
+POST_OVER_PRE_CLEAN = 0.5
+
+
 def _drift_vs_ref(prev: dict, cal_now: dict[str, float]) -> float | None:
     """Ambient drift factor vs the pinned reference capture: the MEDIAN
     of per-probe now/ref ratios over the PROBE KEYS BOTH RAN (the
@@ -454,6 +461,21 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(time.perf_counter() - t_suite, 3)
+
+    # Post-suite battery: brackets the query phase so contention that
+    # arrives AFTER the pre-suite probe is at least VISIBLE (an r10
+    # capture whose pre-battery read clean 0.98 had its whole query
+    # phase run ~1.8× contended — undetectable from the pre probe
+    # alone). DIAGNOSTIC ONLY, never folded into normalization: the
+    # post battery is warm-biased vs the cold-pinned reference
+    # (measured 0.45× on a clean run — JIT + page cache, not ambient),
+    # so only its within-run ratio to the pre battery carries signal:
+    # ~POST_OVER_PRE_CLEAN when ambient held, ≳1 when contention
+    # arrived mid-suite. Runs after t_suite is captured — its ~4 s
+    # never counts into the suite wall.
+    cal_post = _battery()
+    drift_post = _drift_vs_ref(cal_ref_pre, cal_post)
+    post_over_pre = _drift_vs_ref(cal, cal_post)
 
     # rows processed per second over the big fact tables, for baseline
     # comparison (reference: ~9.1K rows/s).
@@ -559,6 +581,8 @@ def main() -> None:
         "queries": timings,
         "queries_normalized": normalized,
         "calibration_drift_vs_ref": drift,
+        "calibration_drift_post_vs_ref": drift_post,
+        "calibration_post_over_pre": post_over_pre,
         "drift_attempts": [
             d for d in drift_attempts if d is not None
         ] or None,

@@ -36,3 +36,16 @@ def test_drift_median_of_ratios():
     # ratios over shared keys: 1.1, 1.0, 2.0 -> median 1.1
     assert bench._drift_vs_ref(ref, now) == 1.1
     assert bench._drift_vs_ref({}, now) is None
+
+
+def test_post_battery_is_diagnostic_only():
+    """The post-suite battery must never reach the normalization
+    factor: it is warm-biased vs the cold-pinned reference (a clean
+    r10 run measured 0.45× from JIT + page cache alone), so folding it
+    in inflates every normalized number. Pin the contract structurally:
+    no combined-drift helper exists, and the post/pre diagnostic rides
+    the ordinary median-of-ratios helper against the PRE battery."""
+    assert not hasattr(bench, "_combined_drift")
+    pre = {"scan": 1.0, "shuffle": 2.0}
+    post = {"scan": 0.5, "shuffle": 1.0}
+    assert bench._drift_vs_ref(pre, post) == 0.5  # the clean warm shape
