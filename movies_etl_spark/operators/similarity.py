@@ -154,6 +154,25 @@ def sq_dist(a: Column, b: Column) -> Column:
     return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _centroid_boundary(cents: DataFrame) -> DataFrame:
+    """LAZY localCheckpoint of a trained-centroid frame (k rows) — the
+    stored-artifact boundary. Spark's analysis is EAGER per
+    transformation, and each Lloyd's iteration nests the previous
+    assignment's whole plan, so every consumer transformation re-walks
+    the full train tree: `kmeans_train_assign` alone spent 3.7–4.4 s of
+    DRIVER time building its plan at sf0.1, before any action (the same
+    per-job Catalyst re-analysis class as the r9 llm_corpus finding).
+    A lazy checkpoint swaps the train subtree for a LogicalRDD leaf AT
+    BUILD TIME without running a job (the checkpoint materializes on
+    the query's own first action), so downstream pair joins analyze
+    against a leaf. Values are unchanged — the identical quantized
+    train computes once, at its stored-artifact boundary, exactly where
+    a 100 TB run would write centroids to storage."""
+    from movies_etl_spark.operators import caching
+
+    return caching.tracked_local_checkpoint(cents, eager=False)
+
+
 def _assign_cells(v_df: DataFrame, cents: DataFrame) -> DataFrame:
     """Assign each vector to its nearest centroid (rounded distance,
     ties to the lowest cell id — fully deterministic). Centroids are
@@ -216,9 +235,9 @@ def kmeans_assign(
     cents = v.filter(F.col(id_col) < k).select(
         F.col(id_col).alias("cell"), F.col("vd").alias("centroid")
     )
-    assigned = _assign_cells(v, cents)
     for _ in range(iters - 1):
-        assigned = _assign_cells(v, _recompute_centroids(assigned))
+        cents = _recompute_centroids(_assign_cells(v, cents))
+    assigned = _assign_cells(v, _centroid_boundary(cents))
     return assigned.select(
         id_col, "cell", F.round(F.col("d2"), 4).alias("d2")
     )
@@ -787,6 +806,6 @@ def kmeans_train_assign(
     va = assign.select(
         id_col, F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd")
     )
-    return _assign_cells(va, cents).select(
+    return _assign_cells(va, _centroid_boundary(cents)).select(
         id_col, "cell", F.round(F.col("d2"), 4).alias("d2")
     )
