@@ -2119,14 +2119,22 @@ def q_ann_frontier_sweep(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     qset = e.filter(F.col("vec_id") < 8)
-    exact = caching.tracked_persist(
-        SIM.topk_bruteforce(e, qset, k=5).select("query_id", "neighbor_id")
+    # LAZY checkpoints, not persists (r10): persist caches DATA at
+    # runtime but every one of the 8 config branches still re-ANALYZES
+    # the wide shared subtrees (the max-width signature is 16 array dot
+    # products; exact is a brute-force window) — the same eager-analysis
+    # cost the k-means _centroid_boundary removes. The LogicalRDD leaf
+    # swaps in at build time with no extra job; data still computes
+    # once, on the query's own first action.
+    exact = caching.tracked_local_checkpoint(
+        SIM.topk_bruteforce(e, qset, k=5).select("query_id", "neighbor_id"),
+        eager=False,
     )
     denom = qset.agg(F.count(F.lit(1)).alias("__nq")).crossJoin(
         e.agg(F.count(F.lit(1)).alias("__nc"))
     )
     max_p = max(p for p, _ in ANN_FRONTIER_CONFIGS)
-    c_all = caching.tracked_persist(
+    c_all = caching.tracked_local_checkpoint(
         e.select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("cvec"),
@@ -2134,7 +2142,8 @@ def q_ann_frontier_sweep(spark, sf_dir):
             .cast("int")
             .alias("bucket"),
             l2norm(F.col("embedding")).alias("cnrm"),
-        )
+        ),
+        eager=False,
     )
     q_all = c_all.filter(F.col("neighbor_id") < 8).select(
         F.col("neighbor_id").alias("query_id"),
