@@ -809,3 +809,22 @@ def test_verified_edges_single_band_exchange(spark, sf_dir):
     ]
     assert len(band_exchanges) == 1, band_exchanges
     assert "raise_error" in plan  # the fused guard rides that aggregate
+
+
+def test_ann_frontier_shared_frames_are_leaves(spark, sf_dir):
+    """The frontier sweep's two shared frames (exact top-5, max-width
+    signature) must be lineage-truncated leaves (lazy localCheckpoint,
+    r10): with persist alone every one of the 8 config branches
+    re-analyzed the wide signature/window subtrees at build time
+    (~1.6 s of pure driver cost at sf0.1 — the same eager-analysis
+    class as the k-means _centroid_boundary). The leaves bound the
+    corpus to the per-config denominator scans only."""
+    plan = _plan(spark, sf_dir, "ann_frontier_sweep")
+    assert "Scan ExistingRDD" in plan, "shared frames must be leaf plans"
+    # 8 configs x 2 denominator aggregates each; the signature/exact
+    # subtrees must NOT re-embed the scan (persist form read 19)
+    assert plan.count("embeddings.parquet") <= 16, plan.count(
+        "embeddings.parquet"
+    )
+    # persist form: ~165k chars of re-embedded subtrees
+    assert len(plan) < 140_000, f"plan blew up to {len(plan)} chars"
