@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Survey driver-side plan-BUILD time vs EXEC time for every bench query.
+
+Motivation: Spark analyzes eagerly per transformation, so a query whose
+builder nests wide shared subtrees (loops, multi-branch reuse of an
+unanalyzed plan) can spend seconds of pure driver time before any job
+starts.  That cost is invisible in end-to-end timings but shows up as
+build_sec here.  The r10 finds (`kmeans_train_assign` 3.7-4.4 s build,
+`ann_frontier_sweep` 4.2 s build) both came from this split; this tool
+makes the sweep repeatable over the whole suite at HEAD.
+
+Caveat: build_sec is a LOWER bound on driver-side planning cost — eager
+localCheckpoints, convergence loops, and foreachBatch streams run jobs
+at build time, which this tool attributes to build (correctly: they
+happen before the caller's first action).  To separate "real work that
+happens to run in the builder" from "pure Catalyst analysis", each row
+also records build_jobs (Spark jobs submitted during build, via the
+status tracker): the actionable rows are build_sec > ~1 s AND
+build_jobs == 0 — seconds of driver time with zero cluster work is the
+plan-re-analysis signature that the r10 k-means/frontier fixes closed.
+
+Usage: python tools/survey_build_exec.py [--top N] [name ...]
+Prints one line per query sorted by build_sec desc, then a JSON tail.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from movies_etl_spark.session import get_spark  # noqa: E402
+from movies_etl_spark.plans import registry  # noqa: E402
+import __spark_entry__  # noqa: E402,F401  (imports every query module so registry.QUERIES is fully populated)
+import bench  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    top = 25
+    for a in sys.argv[1:]:
+        if a.startswith("--top"):
+            top = int(a.split("=", 1)[1]) if "=" in a else top
+    names = args or [n for n in bench.HEADLINE if n in registry.QUERIES]
+    spark = get_spark()
+    tracker = spark.sparkContext.statusTracker()
+    rows = []
+    for name in names:
+        fn = registry.QUERIES[name]
+        spark._jvm.System.gc()
+        jobs_before = len(tracker.getJobIdsForGroup(None))
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        t1 = time.perf_counter()
+        build_jobs = len(tracker.getJobIdsForGroup(None)) - jobs_before
+        df.write.format("noop").mode("overwrite").save()
+        t2 = time.perf_counter()
+        rows.append(
+            {
+                "name": name,
+                "build_sec": round(t1 - t0, 3),
+                "build_jobs": build_jobs,
+                "exec_sec": round(t2 - t1, 3),
+            }
+        )
+        print(
+            f"{name:40s} build {t1 - t0:7.3f} ({build_jobs:3d} jobs)"
+            f"  exec {t2 - t1:7.3f}",
+            flush=True,
+        )
+    rows.sort(key=lambda r: -r["build_sec"])
+    print("\n== top by build_sec ==")
+    for r in rows[:top]:
+        frac = r["build_sec"] / max(r["build_sec"] + r["exec_sec"], 1e-9)
+        print(
+            f"{r['name']:40s} build {r['build_sec']:7.3f}"
+            f" ({r['build_jobs']:3d} jobs)"
+            f"  exec {r['exec_sec']:7.3f}  build-frac {frac:4.2f}"
+        )
+    print("\n== pure-planning suspects (build > 1 s, zero build jobs) ==")
+    suspects = [
+        r for r in rows if r["build_sec"] > 1.0 and r["build_jobs"] == 0
+    ]
+    for r in suspects:
+        print(f"{r['name']:40s} build {r['build_sec']:7.3f}")
+    if not suspects:
+        print("(none)")
+    print(json.dumps({"sf_dir": SF_DIR, "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()
