@@ -2560,7 +2560,18 @@ def q_dedup_semantic_incremental(spark, sf_dir):
     the batch's own pairs the SemDeDup keep-the-atypical rule applies.
     Output: the delta's verdicts. Oracle replays base-trained Lloyd's
     via the parameterized kmeans_cte + the identical pair rule; the
-    numpy witness re-runs the chain."""
+    numpy witness re-runs the chain.
+
+    Pair scoring rides the guarded BLAS kernel (cosine_pairs_vectorized
+    — the clusters sibling's shape; same sim-rounding adjudication): the
+    i<j upper-triangle pair set restricted to id_b ≥ 450 is EXACTLY the
+    incremental pair rule above (existing×existing pairs are the only
+    ones with both ids < 450; for mixed pairs the sorted orientation
+    puts the existing id on the left, so the gate rule's victim is id_b
+    and the within-batch keep-the-atypical compare is orientation-
+    identical). Late-r10 interleaved A/B at sf0.1 vs the per-pair
+    fold-join form: 5.7–6.0 s → 1.7–1.9 s (0.30×), identical result
+    frames every round (1550 verdicts / 305 dropped)."""
     from movies_etl_spark.operators import dedup as D
     from movies_etl_spark.operators import similarity as SIM
 
@@ -2569,37 +2580,30 @@ def q_dedup_semantic_incremental(spark, sf_dir):
     asg = caching.tracked_persist(
         SIM.kmeans_train_assign(base, e, k=4, iters=2)
     )
-    v = e.select(
-        "vec_id", "embedding", D.l2norm(F.col("embedding")).alias("nrm")
+    m = asg.join(e.select("vec_id", "embedding"), "vec_id")
+    pairs = D.cosine_pairs_vectorized(
+        m, id_col="vec_id", vec_col="embedding", block_col="cell",
+        threshold=SEMDEDUP_TAU,
+    ).filter(F.col("id_b") >= 450)
+    d2s = asg.select("vec_id", "d2")
+    victims = (
+        pairs
+        .join(
+            d2s.select(F.col("vec_id").alias("id_a"), F.col("d2").alias("d2_a")),
+            "id_a",
+        )
+        .join(
+            d2s.select(F.col("vec_id").alias("id_b"), F.col("d2").alias("d2_b")),
+            "id_b",
+        )
+        .select(
+            F.when(F.col("id_a") < 450, F.col("id_b"))
+            .when(F.col("d2_a") < F.col("d2_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("vec_id")
+        )
+        .distinct()
     )
-    m = asg.join(v, "vec_id")
-    a = m.filter(F.col("vec_id") >= 450).select(
-        F.col("vec_id").alias("id_a"),
-        "cell",
-        F.col("d2").alias("d2_a"),
-        F.col("embedding").alias("va"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = m.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("cell").alias("cell_b"),
-        F.col("d2").alias("d2_b"),
-        F.col("embedding").alias("vb"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    cos = D.dot(F.col("va"), F.col("vb")) / (F.col("nrm_a") * F.col("nrm_b"))
-    pairs = a.join(
-        b,
-        (F.col("cell") == F.col("cell_b"))
-        & (F.col("id_a") != F.col("id_b"))
-        & ((F.col("id_b") < 450) | (F.col("id_a") < F.col("id_b"))),
-    ).filter(F.round(cos, 6) >= SEMDEDUP_TAU)
-    victims = pairs.select(
-        F.when(F.col("id_b") < 450, F.col("id_a"))
-        .when(F.col("d2_a") < F.col("d2_b"), F.col("id_a"))
-        .otherwise(F.col("id_b"))
-        .alias("vec_id")
-    ).distinct()
     return (
         asg.filter(F.col("vec_id") >= 450)
         .join(victims.withColumn("hit", F.lit(1)), "vec_id", "left")
