@@ -669,6 +669,17 @@ def test_semdedup_pairs_stay_blocked(spark, sf_dir):
     assert _nodes(plan, "FlatMapGroupsInPandas") == 1, plan[:1500]
 
 
+def test_semdedup_incremental_pairs_stay_blocked(spark, sf_dir):
+    """The incremental SemDeDup gate scores pairs with the same guarded
+    per-block kernel as the clusters sibling (one FlatMapGroupsInPandas
+    over the cell key; the late-r10 rewrite's 0.30× A/B) — a regression
+    back to the per-pair fold-join would show up as zero kernel nodes,
+    and an unblocked pairwise form as a cartesian product."""
+    plan = _plan(spark, sf_dir, "dedup_semantic_incremental")
+    assert _nodes(plan, "CartesianProduct") == 0
+    assert _nodes(plan, "FlatMapGroupsInPandas") == 1, plan[:1500]
+
+
 def test_zorder_layout_actually_prunes_row_groups(spark, sf_dir, tmp_path):
     """zorder_key's claim, proven with scan metrics instead of prose:
     write the same table in a hash-random layout and in the
