@@ -39,7 +39,13 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
     qs, osql = m.queries(), m.oracle_sql()
-    window = m._CURRENT_PRIORITY[:50]
+    # --all sweeps every registered query (the union the judge replays),
+    # not just the driver's 50-name round window — run it after any
+    # late-round rewrite to prove no off-window row went stale.
+    if "--all" in sys.argv:
+        window = list(m.queries())
+    else:
+        window = m._CURRENT_PRIORITY[:50]
     failures = []
     for i, name in enumerate(window):
         t0 = time.perf_counter()
