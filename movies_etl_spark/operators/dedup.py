@@ -523,6 +523,88 @@ def cosine_pairs_vectorized(
     )
 
 
+def cosine_pairs_vectorized_delta(
+    df: DataFrame,
+    cut: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.3,
+    max_block_rows: int = MAX_COSINE_BLOCK_ROWS,
+) -> DataFrame:
+    """Delta-aware variant of cosine_pairs_vectorized for incremental
+    gating: rows with ``id >= cut`` are the append, rows below it the
+    existing corpus, and the kernel scores ONE rectangular delta×block
+    matmul per block — emitting exactly the pairs an append introduces
+    (delta×existing plus delta×delta upper-triangle) and never computing
+    existing×existing entries, which the base ingestion already decided.
+    Per-block cost is O(|delta|·|block|), the incremental-maintenance
+    contract, not the full-gram O(|block|²) — with a large stored corpus
+    and a small daily batch the difference is the whole point.
+
+    Output schema and value discipline are identical to the full-gram
+    kernel (ids sorted so id_a < id_b; sims rounded to 4, threshold on
+    6, the same fold-vs-BLAS rounding adjudication). The guard bounds
+    the rectangular gram's MEMORY to the same envelope as the full
+    kernel at its cap (|delta|·|block| ≤ max_block_rows²), so a
+    big-base/small-delta block — the legitimate incremental regime —
+    passes while anything that could not fit a task still fails with
+    the remediation."""
+    import numpy as np
+    import pandas as pd
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids_raw = pdf[id_col].to_numpy()
+        n_delta = int((ids_raw >= cut).sum())
+        empty = pd.DataFrame(
+            {
+                "id_a": np.array([], dtype=np.int64),
+                "id_b": np.array([], dtype=np.int64),
+                block_col: pdf[block_col].iloc[:0],
+                "sim": np.array([], dtype=np.float64),
+            }
+        )
+        if n_delta == 0:
+            return empty
+        if n_delta * len(pdf) > max_block_rows * max_block_rows:
+            raise ValueError(
+                f"cosine block {pdf[block_col].iloc[0]!r} has "
+                f"{n_delta} delta × {len(pdf)} total rows (envelope "
+                f"{max_block_rows}^2): the rectangular gram would not fit "
+                f"a task. Sub-bucket the block key (e.g. AND with "
+                f"similarity.rp_bucket) or switch to LSH banding."
+            )
+        order = np.argsort(ids_raw)
+        ids = ids_raw[order]
+        v = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        n = len(ids)
+        n_exist = n - n_delta  # ids sorted, so delta rows are the tail
+        sims = v[n_exist:] @ v.T  # (n_delta, n)
+        cols = np.arange(n)[None, :]
+        rows_g = (n_exist + np.arange(n_delta))[:, None]
+        # keep delta×existing (col < n_exist) and delta×delta strictly
+        # above the diagonal (col > global row) — never existing×existing
+        keep = (cols < n_exist) | (cols > rows_g)
+        sel = keep & (np.round(sims, 6) >= threshold)
+        di, cj = np.nonzero(sel)
+        gi = n_exist + di
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ids[gi], ids[cj]),
+                "id_b": np.maximum(ids[gi], ids[cj]),
+                block_col: pdf[block_col].iloc[0],
+                "sim": np.round(sims[di, cj], 4),
+            }
+        )
+
+    block_type = df.schema[block_col].dataType.simpleString()
+    return df.select(id_col, vec_col, block_col).groupBy(block_col).applyInPandas(
+        per_block,
+        f"id_a bigint, id_b bigint, {block_col} {block_type}, sim double",
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",

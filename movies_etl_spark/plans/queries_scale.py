@@ -2562,16 +2562,20 @@ def q_dedup_semantic_incremental(spark, sf_dir):
     via the parameterized kmeans_cte + the identical pair rule; the
     numpy witness re-runs the chain.
 
-    Pair scoring rides the guarded BLAS kernel (cosine_pairs_vectorized
-    — the clusters sibling's shape; same sim-rounding adjudication): the
-    i<j upper-triangle pair set restricted to id_b ≥ 450 is EXACTLY the
-    incremental pair rule above (existing×existing pairs are the only
-    ones with both ids < 450; for mixed pairs the sorted orientation
-    puts the existing id on the left, so the gate rule's victim is id_b
-    and the within-batch keep-the-atypical compare is orientation-
-    identical). Late-r10 interleaved A/B at sf0.1 vs the per-pair
-    fold-join form: 5.7–6.0 s → 1.7–1.9 s (0.30×), identical result
-    frames every round (1550 verdicts / 305 dropped)."""
+    Pair scoring rides the delta-aware BLAS kernel
+    (cosine_pairs_vectorized_delta — the clusters sibling's blocked
+    shape with the incremental contract kept honest): one rectangular
+    delta×cell matmul per cell emits exactly the pairs the append
+    introduces (delta×existing, plus delta×delta above the diagonal),
+    so existing×existing entries — which the base ingestion already
+    decided — are never computed, and per-cell cost stays
+    O(|delta|·|cell|) as the contract above states, not the full-gram
+    O(|cell|²). Mixed pairs sort the existing id left, so the gate
+    rule's victim is id_b and the within-batch keep-the-atypical
+    compare is orientation-identical (kernel docstring). Late-r10
+    interleaved A/B at sf0.1 vs the per-pair fold-join form:
+    5.7–6.0 s → 1.7–1.9 s (0.30×), identical result frames every
+    round (1550 verdicts / 305 dropped)."""
     from movies_etl_spark.operators import dedup as D
     from movies_etl_spark.operators import similarity as SIM
 
@@ -2581,10 +2585,10 @@ def q_dedup_semantic_incremental(spark, sf_dir):
         SIM.kmeans_train_assign(base, e, k=4, iters=2)
     )
     m = asg.join(e.select("vec_id", "embedding"), "vec_id")
-    pairs = D.cosine_pairs_vectorized(
-        m, id_col="vec_id", vec_col="embedding", block_col="cell",
+    pairs = D.cosine_pairs_vectorized_delta(
+        m, cut=450, id_col="vec_id", vec_col="embedding", block_col="cell",
         threshold=SEMDEDUP_TAU,
-    ).filter(F.col("id_b") >= 450)
+    )
     d2s = asg.select("vec_id", "d2")
     victims = (
         pairs

@@ -118,6 +118,77 @@ def test_vectorized_cosine_pairs_match_fold_twin(spark, sf_dir):
     assert a == b
 
 
+def test_delta_cosine_pairs_match_filtered_full_gram(spark):
+    """The delta-aware kernel must emit EXACTLY the full-gram kernel's
+    pair set restricted to not-both-existing (id_b >= cut, since ids
+    sort ascending within a pair) — including sims — across the edge
+    shapes: a block with no delta rows (emits nothing), an all-delta
+    block (pure upper triangle), and a mixed block."""
+    from movies_etl_spark.operators.dedup import (
+        cosine_pairs_vectorized,
+        cosine_pairs_vectorized_delta,
+    )
+
+    rows = []
+    rng_vals = [0.3, 1.7, 0.9, 2.2, 1.1, 0.5, 1.9, 0.2]
+    # block 0: mixed (ids 0-5, cut=3); block 1: all existing (emits
+    # nothing); block 2: all delta (pure upper triangle)
+    for i in range(6):
+        rows.append((i, [rng_vals[i], rng_vals[(i + 3) % 8], 1.0], 0))
+    for i in range(10, 13):
+        rows.append((i, [rng_vals[i % 8], 0.5, 2.0], 1))
+    for i in range(20, 24):
+        rows.append((i, [1.0, rng_vals[i % 8], 0.1], 2))
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+
+    def pairs_at(cut):
+        full = cosine_pairs_vectorized(df, threshold=-1.0).toPandas()
+        full = full[full.id_b >= cut]
+        delta = cosine_pairs_vectorized_delta(
+            df, cut=cut, threshold=-1.0
+        ).toPandas()
+        a = sorted(map(tuple, full[["id_a", "id_b", "label", "sim"]].values))
+        b = sorted(map(tuple, delta[["id_a", "id_b", "label", "sim"]].values))
+        assert a == b, (cut, a[:5], b[:5])
+        return len(b)
+
+    # cut=3: block 0 is mixed (existing 0-2, delta 3-5); blocks 1 and 2
+    # are all delta (pure upper triangles)
+    assert pairs_at(3) == (15 - 3) + 3 + 6  # block0 minus its e×e + b1 + b2
+    # cut=15: blocks 0 and 1 are all existing (emit nothing); block 2 is
+    # all delta
+    assert pairs_at(15) == 4 * 3 / 2
+
+
+def test_delta_cosine_guard_allows_big_base_small_delta(spark):
+    """The delta kernel's guard bounds the rectangular gram's MEMORY
+    (|delta|·|block| ≤ cap²), so the legitimate incremental regime — a
+    block far over the full-gram row cap with a tiny delta — scores
+    fine, while a delta too large for the envelope still fails with the
+    remediation."""
+    import pytest
+
+    from movies_etl_spark.operators.dedup import cosine_pairs_vectorized_delta
+
+    rows = [(i, [float(i % 7), 1.0], 0) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    # 30 rows, 2 delta: 2*30=60 ≤ 8²=64 passes even though 30 > 8
+    ok = cosine_pairs_vectorized_delta(
+        df, cut=28, threshold=-1.0, max_block_rows=8
+    )
+    assert ok.count() == 2 * 28 + 1  # delta×existing + the delta pair
+    # 30 delta rows: 30*30 > 64 fails loudly
+    bad = cosine_pairs_vectorized_delta(
+        df, cut=0, threshold=-1.0, max_block_rows=8
+    )
+    with pytest.raises(Exception, match="Sub-bucket the block key"):
+        bad.collect()
+
+
 def test_cosine_block_guard_fires_on_oversize_block(spark):
     """The O(b²) block cap must be EXECUTABLE: a block over max_block_rows
     fails the task with the remediation in the message instead of
