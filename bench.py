@@ -433,7 +433,7 @@ def main() -> None:
     # capture (like the 2.05x r8 driver box) is visible as two high
     # readings, not silently normalized by one.
     cal = _battery()
-    cal_ref_pre, _ = _cal_reference()
+    cal_ref_pre, cal_ref_source = _cal_reference()
     drift_attempts = [_drift_vs_ref(cal_ref_pre, cal)]
     if _drift_should_retry(drift_attempts[0]):
         time.sleep(20)
@@ -568,8 +568,9 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
-    cal_ref, cal_ref_source = _cal_reference()
-    drift = _drift_vs_ref(cal_ref, cal)
+    # reuse the pre-battery's reference read: normalization and the
+    # drift guard must never normalize against different references
+    drift = _drift_vs_ref(cal_ref_pre, cal)
     normalized = (
         {q: round(t / drift, 3) for q, t in timings.items()} if drift else None
     )
@@ -583,6 +584,14 @@ def main() -> None:
         "calibration_drift_vs_ref": drift,
         "calibration_drift_post_vs_ref": drift_post,
         "calibration_post_over_pre": post_over_pre,
+        # the clean-run comparator for post_over_pre, emitted so the
+        # reading is interpretable in isolation: ~this value when
+        # ambient held, ≳1 when contention arrived mid-suite
+        "calibration_post_over_pre_clean": POST_OVER_PRE_CLEAN,
+        "mid_suite_contention_suspected": (
+            post_over_pre is not None
+            and post_over_pre >= 2 * POST_OVER_PRE_CLEAN
+        ),
         "drift_attempts": [
             d for d in drift_attempts if d is not None
         ] or None,

@@ -1,7 +1,17 @@
 #!/usr/bin/env python
-"""Per-stage profiling for streaming_lsh_dedup (VERDICT r9 next-round
+"""ARCHIVAL — r9-shape evidence, NOT a clone of HEAD.
+
+This instruments the PRE-r10 shape of streaming/ops.lsh_dedup_stream;
+its numbers are the profiling evidence behind NOTES_r10.md §1 (the
+five-sort scaffold finding) and are kept reproducible as measured.
+The shipped code has since moved (one-pass ntile/partitionBy scaffold,
+explicit batch-side broadcasts), so DO NOT use this tool to re-measure
+HEAD — re-instrument from streaming/ops.py first if a new per-stage
+breakdown is needed.
+
+Per-stage profiling for streaming_lsh_dedup (VERDICT r9 next-round
 #2: the suite's slowest query at 10.5 s). An instrumented clone of
-streaming/ops.lsh_dedup_stream that walls each stage:
+the r9 streaming/ops.lsh_dedup_stream that walls each stage:
 
   scaffold  — corpus count + the 4 id-ranged chunk writes (TEST
               SCAFFOLDING: builds the ordered landing zone; a real

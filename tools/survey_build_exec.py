@@ -41,23 +41,44 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     top = 25
-    for a in sys.argv[1:]:
+    args = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--top"):
-            top = int(a.split("=", 1)[1]) if "=" in a else top
+            # accept both '--top=N' and '--top N'
+            if "=" in a:
+                top = int(a.split("=", 1)[1])
+            else:
+                i += 1
+                top = int(argv[i])
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
     names = args or [n for n in bench.HEADLINE if n in registry.QUERIES]
     spark = get_spark()
     tracker = spark.sparkContext.statusTracker()
+
+    def max_job_id() -> int:
+        # job ids are monotonically increasing; diffing the MAX id is
+        # robust to the UI store evicting old jobs (len() diffs are not:
+        # past spark.ui.retainedJobs both lengths saturate and every
+        # later query would read ~0 build jobs, polluting the
+        # pure-planning suspect list)
+        ids = tracker.getJobIdsForGroup(None)
+        return max(ids) if ids else -1
+
     rows = []
     for name in names:
         fn = registry.QUERIES[name]
         spark._jvm.System.gc()
-        jobs_before = len(tracker.getJobIdsForGroup(None))
+        jobs_before = max_job_id()
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
         t1 = time.perf_counter()
-        build_jobs = len(tracker.getJobIdsForGroup(None)) - jobs_before
+        build_jobs = max_job_id() - jobs_before
         df.write.format("noop").mode("overwrite").save()
         t2 = time.perf_counter()
         rows.append(
