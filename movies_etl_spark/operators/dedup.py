@@ -544,12 +544,17 @@ def cosine_pairs_vectorized_delta(
 
     Output schema and value discipline are identical to the full-gram
     kernel (ids sorted so id_a < id_b; sims rounded to 4, threshold on
-    6, the same fold-vs-BLAS rounding adjudication). The guard bounds
-    the rectangular gram's MEMORY to the same envelope as the full
-    kernel at its cap (|delta|·|block| ≤ max_block_rows²), so a
-    big-base/small-delta block — the legitimate incremental regime —
-    passes while anything that could not fit a task still fails with
-    the remediation."""
+    6, the same fold-vs-BLAS rounding adjudication). TWO guards bound
+    the per-task float64 element count to the full kernel's envelope at
+    its cap (max_block_rows² elements): the rectangular gram
+    (|delta|·|block| ≤ cap²) AND the stacked/normalized block matrix
+    itself (|block|·dim ≤ cap²) — the second closes the ADVICE r10 gap
+    where n_delta=1 let an arbitrarily large block pass the gram bound
+    yet still materialize as one applyInPandas group plus an n×dim
+    matrix. The bounds cover the matrices this kernel allocates; Arrow
+    group transfer of the raw block rows is upstream of the guard, so a
+    pathological block can still cost transfer before it fails — the
+    failure is guaranteed, zero-cost admission is not."""
     import numpy as np
     import pandas as pd
 
@@ -573,6 +578,18 @@ def cosine_pairs_vectorized_delta(
                 f"{max_block_rows}^2): the rectangular gram would not fit "
                 f"a task. Sub-bucket the block key (e.g. AND with "
                 f"similarity.rp_bucket) or switch to LSH banding."
+            )
+        dim = len(pdf[vec_col].iloc[0])
+        if len(pdf) * dim > max_block_rows * max_block_rows:
+            # absolute block bound (ADVICE r10): even with a tiny delta,
+            # the stacked n×dim float64 matrix must fit the same cap²
+            # element envelope as the gram
+            raise ValueError(
+                f"cosine block {pdf[block_col].iloc[0]!r} has "
+                f"{len(pdf)} rows × dim {dim} (envelope "
+                f"{max_block_rows}^2 elements): the block matrix itself "
+                f"would not fit a task. Sub-bucket the block key (e.g. "
+                f"AND with similarity.rp_bucket) or switch to LSH banding."
             )
         order = np.argsort(ids_raw)
         ids = ids_raw[order]

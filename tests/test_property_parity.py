@@ -189,6 +189,28 @@ def test_delta_cosine_guard_allows_big_base_small_delta(spark):
         bad.collect()
 
 
+def test_delta_cosine_absolute_block_bound(spark):
+    """ADVICE r10 witness: with a TINY delta the rectangular-gram bound
+    alone admits an arbitrarily large block — the absolute bound
+    (|block|·dim ≤ cap² elements) must fail it, because the stacked
+    n×dim matrix materializes in-task regardless of delta size."""
+    import pytest
+
+    from movies_etl_spark.operators.dedup import cosine_pairs_vectorized_delta
+
+    # 40 rows × dim 2 = 80 elements > 8² = 64, but 1 delta × 40 = 40 ≤ 64
+    # passes the gram bound — only the absolute bound catches it
+    rows = [(i, [float(i % 7), 1.0], 0) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    bad = cosine_pairs_vectorized_delta(
+        df, cut=39, threshold=-1.0, max_block_rows=8
+    )
+    with pytest.raises(Exception, match="block matrix itself"):
+        bad.collect()
+
+
 def test_cosine_block_guard_fires_on_oversize_block(spark):
     """The O(b²) block cap must be EXECUTABLE: a block over max_block_rows
     fails the task with the remediation in the message instead of

@@ -45,16 +45,21 @@ def main() -> None:
     args = []
     argv = sys.argv[1:]
     i = 0
+    usage = "usage: survey_build_exec.py [--top N] [name ...]"
     while i < len(argv):
         a = argv[i]
-        if a.startswith("--top"):
-            # accept both '--top=N' and '--top N'
-            if "=" in a:
-                top = int(a.split("=", 1)[1])
-            else:
-                i += 1
-                top = int(argv[i])
-        elif not a.startswith("--"):
+        if a == "--top":
+            # exact match only (ADVICE r10: startswith('--top') also
+            # swallowed e.g. '--topology'); guard the value lookup
+            if i + 1 >= len(argv):
+                sys.exit(f"--top requires a value\n{usage}")
+            i += 1
+            top = int(argv[i])
+        elif a.startswith("--top="):
+            top = int(a.split("=", 1)[1])
+        elif a.startswith("--"):
+            sys.exit(f"unknown flag {a!r}\n{usage}")
+        else:
             args.append(a)
         i += 1
     names = args or [n for n in bench.HEADLINE if n in registry.QUERIES]
@@ -66,9 +71,24 @@ def main() -> None:
         # robust to the UI store evicting old jobs (len() diffs are not:
         # past spark.ui.retainedJobs both lengths saturate and every
         # later query would read ~0 build jobs, polluting the
-        # pure-planning suspect list)
-        ids = tracker.getJobIdsForGroup(None)
-        return max(ids) if ids else -1
+        # pure-planning suspect list).
+        # Primary source is the AppStatusStore, which sees jobs in EVERY
+        # job group — statusTracker().getJobIdsForGroup(None) returns
+        # only group-LESS jobs, so a builder that sets spark.jobGroup
+        # would read build_jobs==0 and land falsely on the pure-planning
+        # suspect list (ADVICE r10).
+        try:
+            jobs = spark._jsparkSession.sharedState().statusStore().jobsList(None)
+            n = jobs.size()
+            if n == 0:
+                return -1
+            # the KV-store view is ordered by its natural jobId index;
+            # checking both ends stays correct whichever direction
+            return max(jobs.apply(0).jobId(), jobs.apply(n - 1).jobId())
+        except Exception:
+            # fallback: assumes no builder sets a job group
+            ids = tracker.getJobIdsForGroup(None)
+            return max(ids) if ids else -1
 
     rows = []
     for name in names:
