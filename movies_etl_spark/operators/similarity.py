@@ -396,12 +396,23 @@ def rp_bucket_n(vec: Column, n_planes: int) -> Column:
     """Parametrized sign-LSH bucket in [0, 2^n_planes) over the shared
     md5 plane family — :func:`rp_bucket` is the n_planes=8 member (same
     rounding discipline: projection rounded to 6 before the sign test).
-    Pure per-row map, same scale shape as rp_bucket."""
+    Pure per-row map, same scale shape as rp_bucket.
+
+    Each plane's literal array is built as ONE parsed SQL expression
+    (``array(0.12D, …)``) instead of dim ``F.lit`` py4j calls: the
+    width-16 bucket column cost ~1.4 s of pure driver chatter per
+    invocation the literal way (r11 measurement) vs ~30 ms parsed. The
+    parsed ``xD`` double literals produce the identical
+    CreateArray(Literal double) tree, so values, codegen, and the
+    prefix-nesting property are unchanged (pinned by
+    test_rp_bucket_n_8_matches_rp_bucket)."""
     from movies_etl_spark.operators.dedup import dot
 
     bucket = F.lit(0)
     for j, plane in enumerate(rp_planes_n(n_planes)):
-        lit_plane = F.array(*[F.lit(v) for v in plane])
+        lit_plane = F.expr(
+            "array(" + ",".join(f"{v!r}D" for v in plane) + ")"
+        )
         bit = F.when(
             F.round(dot(vec, lit_plane), 6) >= 0, F.lit(1 << j)
         ).otherwise(F.lit(0))

@@ -1992,27 +1992,91 @@ def q_ann_recall_clustered(spark, sf_dir):
     )
 
 
-#: The (planes × Hamming radius) grid the ANN frontier sweep walks —
-#: spans the high-recall end (8/4), the selected isotropic operating
-#: point (8/3: recall@5 0.625 at a 37% scan budget at sf0.1), and the
-#: high-efficiency end (16/3: best recall-per-scan ≈ 4.9×, low absolute
-#: recall) so the published table shows the WHOLE trade, not one point.
+#: The (planes × Hamming radius) grid of the ISOTROPIC LSH arm of the
+#: frontier sweep — spans the high-recall end (8/4), the selected
+#: isotropic operating point (8/3: recall@5 0.625 at a 37% scan budget
+#: at sf0.1), and the high-efficiency end (16/3: best recall-per-scan
+#: ≈ 4.9×, low absolute recall) so the published table shows the WHOLE
+#: trade, not one point.
 ANN_FRONTIER_CONFIGS: list[tuple[int, int]] = [
     (8, 1), (8, 2), (8, 3), (8, 4), (10, 2), (10, 4), (12, 3), (16, 3),
 ]
 
+#: Clustered-corpus LSH arm: (8,1) is the published clustered operating
+#: point (the `lsh_h1_clustered` bench probe) and (8,2) the next radius
+#: out — enough to anchor the family comparison against IVF where the
+#: structure lives.
+ANN_FRONTIER_LSH_CLUSTERED: list[tuple[int, int]] = [(8, 1), (8, 2)]
+
+#: IVF-nprobe arm per corpus (VERDICT r10 #5): on the isotropic corpus
+#: the cells are the 10 given labels; on the clustered fixture the
+#: coarse quantizer is TRAINED (Lloyd's k=8, 2 iterations, seeds =
+#: first 8 ids — similarity.kmeans_assign), which is where IVF earns
+#: its keep.
+ANN_FRONTIER_IVF_NPROBES: dict[str, list[int]] = {
+    "iso": [1, 2, 3],
+    "clus": [1, 2],
+}
+
+
+def _frontier_row_sql(
+    corpus: str,
+    family: str,
+    cfg: str,
+    n_probes: int,
+    cand: str,
+    ann: str,
+    exact: str,
+    nq: str,
+    ncorp: str,
+) -> str:
+    """One frontier row as a SELECT over the named CTEs."""
+    return f"""SELECT '{corpus}' AS corpus, '{family}' AS family,
+               '{cfg}' AS cfg, {n_probes} AS n_probes,
+               (SELECT CAST(count(*) AS BIGINT) FROM {cand})
+                   AS n_candidates,
+               round(CAST((SELECT count(*) FROM {cand}) AS DOUBLE)
+                     / ((SELECT v FROM {nq})
+                        * ((SELECT v FROM {ncorp}) - 1)), 6)
+                   AS scan_fraction,
+               (SELECT CAST(count(*) AS BIGINT) FROM {exact}) AS n_exact,
+               (SELECT CAST(count(*) AS BIGINT) FROM {exact} e
+                 JOIN {ann} a ON a.query_id = e.query_id
+                              AND a.neighbor_id = e.neighbor_id) AS n_hit,
+               round(CAST((SELECT count(*) FROM {exact} e
+                       JOIN {ann} a ON a.query_id = e.query_id
+                                    AND a.neighbor_id = e.neighbor_id)
+                     AS DOUBLE)
+                     / (SELECT count(*) FROM {exact}), 4) AS recall"""
+
+
+def _topk_cte(src: str, k: int = 5) -> str:
+    return f"""
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS rank
+            FROM {src})
+        WHERE rank <= {k}"""
+
 
 def _ann_frontier_oracle() -> str:
-    """Generated DuckDB replay of the whole frontier sweep. The md5
-    plane family makes every config's signature a PREFIX of the widest
-    one, so the corpus is bucketed ONCE at max width and each config's
-    bucket is a modulus (bucket % 2^p ≡ the low-p-bit prefix) — the
-    same single-scan shape as the Spark side. Shares the exact-top-5
-    CTE across configs like the Spark side shares the persisted exact
-    frame."""
+    """Generated DuckDB replay of the FAMILY-COMPLETE frontier sweep
+    (VERDICT r10 #5): LSH and IVF arms on BOTH the isotropic corpus and
+    the planted clustered fixture. The md5 plane family makes every LSH
+    config's signature a PREFIX of the widest one, so each corpus is
+    bucketed ONCE at its arm's max width and each config's bucket is a
+    modulus; the exact top-5 CTE is shared per corpus across every arm,
+    exactly as the Spark side shares the checkpointed exact frame. The
+    clustered IVF quantizer replays the same deterministic two-iteration
+    Lloyd's as the kmeans_assign oracle (k=8, seeds = first 8 ids,
+    distances and recomputed means rounded to 6) over the fixture."""
     max_p = max(p for p, _ in ANN_FRONTIER_CONFIGS)
     bucket = _rp_bucket_sql("embedding", SIM.rp_planes_n(max_p))
+    cbucket = _rp_bucket_sql("embedding")  # clustered arm: 8 planes
+    cos = _COS_SQL
     ctes = [
+        # ---- isotropic corpus ----
         f"bmax AS (SELECT vec_id, embedding, {bucket} AS bucket "
         "FROM embeddings)",
         "qmax AS (SELECT vec_id AS query_id, embedding AS qvec, "
@@ -2021,58 +2085,144 @@ def _ann_frontier_oracle() -> str:
         "ncorp AS (SELECT CAST(count(*) AS BIGINT) AS v FROM embeddings)",
         f"""ex_scored AS (
         SELECT q.query_id, e.vec_id AS neighbor_id,
-               round({_COS_SQL.format(a="q.qvec", b="e.embedding")}, 6) AS sim
+               round({cos.format(a="q.qvec", b="e.embedding")}, 6) AS sim
         FROM embeddings e, qmax q WHERE e.vec_id <> q.query_id)""",
-        """exact AS (
-        SELECT query_id, neighbor_id FROM (
-            SELECT query_id, neighbor_id,
-                   row_number() OVER (PARTITION BY query_id
-                        ORDER BY sim DESC, neighbor_id) AS rank
-            FROM ex_scored)
-        WHERE rank <= 5)""",
+        f"exact AS ({_topk_cte('ex_scored')})",
+        # ---- clustered fixture ----
+        f"cf AS ({_CLUSTERED_FIXTURE_SQL})",
+        f"cb AS (SELECT vec_id, embedding, {cbucket} AS bucket FROM cf)",
+        "cq AS (SELECT vec_id AS query_id, embedding AS qvec, "
+        "bucket AS qbucket FROM cb WHERE vec_id >= 8 AND vec_id < 16)",
+        "cnq AS (SELECT CAST(count(*) AS BIGINT) AS v FROM cq)",
+        "cncorp AS (SELECT CAST(count(*) AS BIGINT) AS v FROM cf)",
+        f"""cex_scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round({cos.format(a="q.qvec", b="e.embedding")}, 6) AS sim
+        FROM cf e, cq q WHERE e.vec_id <> q.query_id)""",
+        f"cexact AS ({_topk_cte('cex_scored')})",
     ]
     rows = []
-    for p, r in ANN_FRONTIER_CONFIGS:
-        offs = SIM.multiprobe_offsets(p, r)
-        tag = f"{p}_{r}"
-        ctes.append(
-            f"""cand_{tag} AS (
+    # ---- LSH arms ----
+    for corpus, src, qsrc, exact_c, nq_c, nc_c, configs in (
+        ("iso", "bmax", "qmax", "exact", "nq", "ncorp",
+         ANN_FRONTIER_CONFIGS),
+        ("clus", "cb", "cq", "cexact", "cnq", "cncorp",
+         ANN_FRONTIER_LSH_CLUSTERED),
+    ):
+        arm_w = max_p if corpus == "iso" else 8
+        for p, r in configs:
+            offs = SIM.multiprobe_offsets(p, r)
+            tag = f"{corpus}_{p}_{r}"
+            mod = f" % {1 << p}" if p < arm_w else ""
+            ctes.append(
+                f"""cand_{tag} AS (
         SELECT pr.query_id, e.vec_id AS neighbor_id,
-               round({_COS_SQL.format(a="pr.qvec", b="e.embedding")}, 6) AS sim
-        FROM bmax e JOIN (
+               round({cos.format(a="pr.qvec", b="e.embedding")}, 6) AS sim
+        FROM {src} e JOIN (
             SELECT query_id, qvec,
-                   xor(qbucket % {1 << p}, off) AS probe_bucket
-            FROM qmax, UNNEST({offs}) t(off)) pr
-          ON e.bucket % {1 << p} = pr.probe_bucket
+                   xor(qbucket{mod}, off) AS probe_bucket
+            FROM {qsrc}, UNNEST({offs}) t(off)) pr
+          ON e.bucket{mod} = pr.probe_bucket
          AND e.vec_id <> pr.query_id)"""
-        )
+            )
+            ctes.append(f"ann_{tag} AS ({_topk_cte(f'cand_{tag}')})")
+            rows.append(
+                _frontier_row_sql(
+                    corpus, "lsh", f"p{p}_r{r}", len(offs),
+                    f"cand_{tag}", f"ann_{tag}", exact_c, nq_c, nc_c,
+                )
+            )
+    # ---- IVF arm, isotropic: cells = the 10 given labels ----
+    ctes += [
+        """icent0 AS (
+        SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+        FROM embeddings, range(1, 65) t(i) GROUP BY label, i)""",
+        "icent AS (SELECT label AS cell, list(m ORDER BY i) AS centroid "
+        "FROM icent0 GROUP BY label)",
+        f"""iroute AS (
+        SELECT q.query_id, q.qvec, c.cell,
+               round({cos.format(a="q.qvec", b="c.centroid")}, 6) AS csim
+        FROM qmax q, icent c)""",
+        """ibest AS (
+        SELECT query_id, qvec, cell,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY csim DESC, cell) AS r
+        FROM iroute)""",
+    ]
+    for n in ANN_FRONTIER_IVF_NPROBES["iso"]:
         ctes.append(
-            f"""ann_{tag} AS (
-        SELECT query_id, neighbor_id FROM (
-            SELECT query_id, neighbor_id,
-                   row_number() OVER (PARTITION BY query_id
-                        ORDER BY sim DESC, neighbor_id) AS rank
-            FROM cand_{tag})
-        WHERE rank <= 5)"""
+            f"""icand_np{n} AS (
+        SELECT b.query_id, e.vec_id AS neighbor_id,
+               round({cos.format(a="b.qvec", b="e.embedding")}, 6) AS sim
+        FROM embeddings e JOIN ibest b ON e.label = b.cell AND b.r <= {n}
+        WHERE e.vec_id <> b.query_id)"""
         )
+        ctes.append(f"iann_np{n} AS ({_topk_cte(f'icand_np{n}')})")
         rows.append(
-            f"""SELECT {p} AS n_planes, {r} AS radius,
-               {len(offs)} AS n_probes,
-               (SELECT CAST(count(*) AS BIGINT) FROM cand_{tag})
-                   AS n_candidates,
-               round(CAST((SELECT count(*) FROM cand_{tag}) AS DOUBLE)
-                     / ((SELECT v FROM nq)
-                        * ((SELECT v FROM ncorp) - 1)), 6)
-                   AS scan_fraction,
-               (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
-               (SELECT CAST(count(*) AS BIGINT) FROM exact e
-                 JOIN ann_{tag} a ON a.query_id = e.query_id
-                              AND a.neighbor_id = e.neighbor_id) AS n_hit,
-               round(CAST((SELECT count(*) FROM exact e
-                       JOIN ann_{tag} a ON a.query_id = e.query_id
-                                    AND a.neighbor_id = e.neighbor_id)
-                     AS DOUBLE)
-                     / (SELECT count(*) FROM exact), 4) AS recall"""
+            _frontier_row_sql(
+                "iso", "ivf", f"np{n}", n,
+                f"icand_np{n}", f"iann_np{n}", "exact", "nq", "ncorp",
+            )
+        )
+    # ---- IVF arm, clustered: TRAINED quantizer (Lloyd's k=8, 2 iters,
+    # seeds = first 8 ids; replays similarity.kmeans_assign verbatim) ----
+    d2 = _D2_SQL
+    ctes += [
+        "ckseeds AS (SELECT vec_id AS cell, embedding AS centroid "
+        "FROM cf WHERE vec_id < 8)",
+        f"""cka1 AS (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, s.cell,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY round({d2.format(a="v.embedding",
+                                                 b="s.centroid")}, 6),
+                                s.cell) AS r
+            FROM cf v, ckseeds s) WHERE r = 1)""",
+        """ckc10 AS (
+        SELECT a.cell, i, round(avg(v.embedding[i]), 6) AS m
+        FROM cf v JOIN cka1 a USING (vec_id), range(1, 65) t(i)
+        GROUP BY a.cell, i)""",
+        "ckc1 AS (SELECT cell, list(m ORDER BY i) AS centroid "
+        "FROM ckc10 GROUP BY cell)",
+        f"""cka2 AS (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY round({d2.format(a="v.embedding",
+                                                 b="c.centroid")}, 6),
+                                c.cell) AS r
+            FROM cf v, ckc1 c) WHERE r = 1)""",
+        """ccent0 AS (
+        SELECT a.cell, i, avg(v.embedding[i]) AS m
+        FROM cf v JOIN cka2 a USING (vec_id), range(1, 65) t(i)
+        GROUP BY a.cell, i)""",
+        "ccent AS (SELECT cell, list(m ORDER BY i) AS centroid "
+        "FROM ccent0 GROUP BY cell)",
+        f"""croute AS (
+        SELECT q.query_id, q.qvec, c.cell,
+               round({cos.format(a="q.qvec", b="c.centroid")}, 6) AS csim
+        FROM cq q, ccent c)""",
+        """cbest AS (
+        SELECT query_id, qvec, cell,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY csim DESC, cell) AS r
+        FROM croute)""",
+    ]
+    for n in ANN_FRONTIER_IVF_NPROBES["clus"]:
+        ctes.append(
+            f"""ccand_np{n} AS (
+        SELECT b.query_id, e.vec_id AS neighbor_id,
+               round({cos.format(a="b.qvec", b="e.embedding")}, 6) AS sim
+        FROM cf e JOIN cka2 m ON e.vec_id = m.vec_id
+        JOIN cbest b ON m.cell = b.cell AND b.r <= {n}
+        WHERE e.vec_id <> b.query_id)"""
+        )
+        ctes.append(f"cann_np{n} AS ({_topk_cte(f'ccand_np{n}')})")
+        rows.append(
+            _frontier_row_sql(
+                "clus", "ivf", f"np{n}", n,
+                f"ccand_np{n}", f"cann_np{n}", "cexact", "cnq", "cncorp",
+            )
         )
     return (
         "WITH " + ",\n    ".join(ctes) + "\n    "
@@ -2082,123 +2232,116 @@ def _ann_frontier_oracle() -> str:
 
 @query("ann_frontier_sweep", oracle=_ann_frontier_oracle())
 def q_ann_frontier_sweep(spark, sf_dir):
-    """The ANN recall-vs-scan FRONTIER, as one oracle-gated query
-    (VERDICT r8 #3): for every (planes, Hamming radius) config in
-    ANN_FRONTIER_CONFIGS, the multi-probe sign-LSH index is evaluated
-    against the exact brute-force top-5 on the ISOTROPIC embeddings,
-    emitting (n_probes, n_candidates, scan_fraction, recall@5) — the
-    table an index user reads to pick an operating point, sitting
-    under the driver's exact-value gate so a plane-family or probe
-    regression fails CORRECTNESS.
+    """The FAMILY-COMPLETE ANN recall-vs-scan frontier, as one
+    oracle-gated query (VERDICT r8 #3; family/corpus unification
+    VERDICT r10 #5): every (family, corpus, config) point — multi-probe
+    sign-LSH over ANN_FRONTIER_CONFIGS on the isotropic embeddings and
+    ANN_FRONTIER_LSH_CLUSTERED on the planted clustered fixture, plus
+    IVF-nprobe on both corpora (given-label cells on isotropic; a
+    TRAINED Lloyd's k=8 coarse quantizer on clustered, where a real
+    deployment trains it) — emitting (n_probes, n_candidates,
+    scan_fraction, recall@5) under the driver's exact-value gate, so a
+    plane-family, probe, or quantizer regression fails CORRECTNESS.
 
-    What the frontier shows (sf0.1, SCALE.md carries the table): on
-    structureless isotropic vectors recall-per-scan is information-
-    theoretically capped — the sweep measures the cap at ~1.7× around
-    the usable operating point — and the selected point is planes=8,
-    radius=3: recall@5 = 0.625 at a 37% scan budget (10/4 reaches
-    0.675 at 39%); more planes raise recall-PER-SCAN (16/3 ≈ 4.9×)
-    but lower absolute recall at bounded probe count. Clustered data
-    is where the same machinery earns its keep (0.97@5 at 14% scan,
-    ann_recall_clustered); isotropic ≥0.6@5 simply COSTS ~37% scan,
-    and the honest alternative at lower budgets is IVF-nprobe
-    (similarity_ivf_nprobe) or brute force.
+    What the table shows (sf0.1 numbers in SCALE.md): on structureless
+    isotropic vectors recall-per-scan is information-theoretically
+    capped for BOTH families (LSH 8/3 = 0.625@5 at 37% scan; IVF
+    nprobe/10 of the corpus buys ≈ proportional recall) — the honest
+    floor. On clustered data both families get cheap: LSH h1 (9 probes)
+    reaches high recall at ~14% scan, and the TRAINED-quantizer IVF at
+    nprobe=1 scans ~1/8 of the corpus with recall at or above the LSH
+    clustered point (floors pinned in tests/test_ann_recall.py) — the
+    family-complete operating-point table an index user actually picks
+    from.
 
-    Plan shape: the plane family is PREFIX-NESTED (rp_planes_n), so
-    the corpus is signed ONCE at the sweep's max width and persisted;
-    each config's bucket is a modulus of that shared signature (the
-    low-p-bit prefix) — 8 configs, ONE signature computation, exactly
-    like a production index would store the widest signature and let
-    readers choose their precision. The exact top-5 frame is likewise
-    computed once and persisted (8 consumers). Each config is then a
-    broadcast probe equi-join over the persisted frame → two 1-row
-    aggregates (candidate meter + recall meter) cross-joined into its
-    frontier row (the bounded 1-row crossJoin class); the 8 rows
+    Plan shape: per corpus, the signature is computed ONCE at the arm's
+    max width (prefix-nested plane family → narrower configs are
+    moduli) and the exact top-5 frame ONCE — both as LAZY checkpoints
+    (r10: LogicalRDD leaves kill per-branch Catalyst re-analysis of the
+    wide shared subtrees; data computes once on the query's first
+    action). The clustered-IVF cell table and centroids are likewise
+    checkpointed at the trained-artifact boundary, exactly where a
+    production run would write the quantizer to storage. Each config is
+    then a broadcast probe equi-join → two 1-row aggregates cross-joined
+    into its frontier row (the bounded 1-row crossJoin class); 15 rows
     union. No collects, no corpus shuffles."""
     from movies_etl_spark.operators import caching
-    from movies_etl_spark.operators.dedup import dot, l2norm
+    from movies_etl_spark.operators.dedup import cosine, dot, l2norm
 
     e = _t(spark, sf_dir, "embeddings")
-    qset = e.filter(F.col("vec_id") < 8)
-    # LAZY checkpoints, not persists (r10): persist caches DATA at
-    # runtime but every one of the 8 config branches still re-ANALYZES
-    # the wide shared subtrees (the max-width signature is 16 array dot
-    # products; exact is a brute-force window) — the same eager-analysis
-    # cost the k-means _centroid_boundary removes. The LogicalRDD leaf
-    # swaps in at build time with no extra job; data still computes
-    # once, on the query's own first action.
-    exact = caching.tracked_local_checkpoint(
-        SIM.topk_bruteforce(e, qset, k=5).select("query_id", "neighbor_id"),
-        eager=False,
-    )
-    denom = qset.agg(F.count(F.lit(1)).alias("__nq")).crossJoin(
-        e.agg(F.count(F.lit(1)).alias("__nc"))
-    )
-    max_p = max(p for p, _ in ANN_FRONTIER_CONFIGS)
-    c_all = caching.tracked_local_checkpoint(
-        e.select(
+
+    def corpus_frames(corp, lo, hi, width, cell_col=None):
+        """(signed corpus, query set, exact top-5, 1-row denominator) —
+        ALL four checkpointed lazily, so every one of the 15 config
+        branches (and each branch's crossJoin of the denominator)
+        analyzes against LogicalRDD leaves, never the parquet subtrees.
+        ``cell_col`` folds a given IVF cell key into the same signed
+        frame (one scan serves both families)."""
+        qset = corp.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        exact = caching.tracked_local_checkpoint(
+            SIM.topk_bruteforce(corp, qset, k=5).select(
+                "query_id", "neighbor_id"
+            ),
+            eager=False,
+        )
+        sel = [
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("cvec"),
-            SIM.rp_bucket_n(F.col("embedding"), max_p)
+            SIM.rp_bucket_n(F.col("embedding"), width)
             .cast("int")
             .alias("bucket"),
             l2norm(F.col("embedding")).alias("cnrm"),
-        ),
-        eager=False,
-    )
-    q_all = c_all.filter(F.col("neighbor_id") < 8).select(
-        F.col("neighbor_id").alias("query_id"),
-        F.col("cvec").alias("qvec"),
-        F.col("bucket").alias("qbucket"),
-        F.col("cnrm").alias("qnrm"),
-    )
+        ]
+        if cell_col is not None:
+            sel.append(F.col(cell_col).alias("cell"))
+        c_all = caching.tracked_local_checkpoint(
+            corp.select(*sel), eager=False
+        )
+        q_all = c_all.filter(
+            (F.col("neighbor_id") >= lo) & (F.col("neighbor_id") < hi)
+        ).select(
+            F.col("neighbor_id").alias("query_id"),
+            F.col("cvec").alias("qvec"),
+            F.col("bucket").alias("qbucket"),
+            F.col("cnrm").alias("qnrm"),
+        )
+        denom = caching.tracked_local_checkpoint(
+            qset.agg(F.count(F.lit(1)).alias("__nq")).crossJoin(
+                corp.agg(F.count(F.lit(1)).alias("__nc"))
+            ),
+            eager=False,
+        )
+        return c_all, q_all, exact, denom
+
     sim = F.round(
         dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")),
         6,
     )
-    rows = None
-    for p, r in ANN_FRONTIER_CONFIGS:
-        offs = SIM.multiprobe_offsets(p, r)
-        probes = q_all.withColumn(
-            "off", F.explode(F.array(*[F.lit(o) for o in offs]))
-        ).select(
-            "query_id",
-            "qvec",
-            "qnrm",
-            (F.col("qbucket") % F.lit(1 << p))
-            .bitwiseXOR(F.col("off"))
-            .cast("int")
-            .alias("probe_bucket"),
-        )
-        cand = c_all.join(
-            F.broadcast(probes),
-            ((F.col("bucket") % F.lit(1 << p)) == F.col("probe_bucket"))
-            & (F.col("neighbor_id") != F.col("query_id")),
-        ).select("query_id", "neighbor_id", sim.alias("sim"))
+    w5 = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+
+    def row_of(corpus_tag, family, cfg, n_probes, cand, exact, denom):
         n_cand = cand.agg(
             F.count(F.lit(1)).cast("long").alias("n_candidates")
         )
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("sim"), F.asc("neighbor_id")
-        )
         ann = (
-            cand.withColumn("rank", F.row_number().over(w))
+            cand.withColumn("rank", F.row_number().over(w5))
             .filter(F.col("rank") <= 5)
             .select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
         )
-        rec = (
-            exact.join(ann, ["query_id", "neighbor_id"], "left")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_exact"),
-                F.count("__hit").cast("long").alias("n_hit"),
-            )
+        rec = exact.join(ann, ["query_id", "neighbor_id"], "left").agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("__hit").cast("long").alias("n_hit"),
         )
-        row = (
+        return (
             n_cand.crossJoin(rec)
             .crossJoin(denom)
             .select(
-                F.lit(p).alias("n_planes"),
-                F.lit(r).alias("radius"),
-                F.lit(len(offs)).alias("n_probes"),
+                F.lit(corpus_tag).alias("corpus"),
+                F.lit(family).alias("family"),
+                F.lit(cfg).alias("cfg"),
+                F.lit(n_probes).alias("n_probes"),
                 "n_candidates",
                 F.round(
                     F.col("n_candidates").cast("double")
@@ -2212,8 +2355,111 @@ def q_ann_frontier_sweep(spark, sf_dir):
                 ).alias("recall"),
             )
         )
-        rows = row if rows is None else rows.unionByName(row)
-    return rows
+
+    def lsh_rows(corpus_tag, c_all, q_all, exact, denom, configs):
+        out = []
+        for p, r in configs:
+            offs = SIM.multiprobe_offsets(p, r)
+            # one parsed array literal, not len(offs) F.lit py4j calls
+            # (the 697-offset config alone cost 0.38 s the literal way)
+            probes = q_all.withColumn(
+                "off",
+                F.explode(F.expr("array(" + ",".join(map(str, offs)) + ")")),
+            ).select(
+                "query_id",
+                "qvec",
+                "qnrm",
+                (F.col("qbucket") % F.lit(1 << p))
+                .bitwiseXOR(F.col("off"))
+                .cast("int")
+                .alias("probe_bucket"),
+            )
+            cand = c_all.join(
+                F.broadcast(probes),
+                ((F.col("bucket") % F.lit(1 << p)) == F.col("probe_bucket"))
+                & (F.col("neighbor_id") != F.col("query_id")),
+            ).select("query_id", "neighbor_id", sim.alias("sim"))
+            out.append(
+                row_of(
+                    corpus_tag, "lsh", f"p{p}_r{r}", len(offs),
+                    cand, exact, denom,
+                )
+            )
+        return out
+
+    def ivf_rows(corpus_tag, cells, cent, q_all, exact, denom, nprobes):
+        """cells: (neighbor_id, cvec, cnrm, cell); cent: (cell,
+        centroid) — broadcast; one routed frame shared across nprobes."""
+        routed = q_all.crossJoin(F.broadcast(cent)).select(
+            "query_id",
+            "qvec",
+            "qnrm",
+            "cell",
+            F.round(cosine(F.col("qvec"), F.col("centroid")), 6).alias(
+                "csim"
+            ),
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.desc("csim"), F.asc("cell")
+        )
+        best = routed.withColumn("r", F.row_number().over(wq))
+        out = []
+        for n in nprobes:
+            bnp = best.filter(F.col("r") <= n).select(
+                "query_id", "qvec", "qnrm", "cell"
+            )
+            cand = cells.join(F.broadcast(bnp), "cell").filter(
+                F.col("neighbor_id") != F.col("query_id")
+            ).select("query_id", "neighbor_id", sim.alias("sim"))
+            out.append(
+                row_of(
+                    corpus_tag, "ivf", f"np{n}", n, cand, exact, denom,
+                )
+            )
+        return out
+
+    max_p = max(p for p, _ in ANN_FRONTIER_CONFIGS)
+    rows = []
+
+    # ---- isotropic corpus ----
+    ci, qi, exact_i, denom_i = corpus_frames(e, 0, 8, max_p, cell_col="label")
+    rows += lsh_rows("iso", ci, qi, exact_i, denom_i, ANN_FRONTIER_CONFIGS)
+    cent_i = SIM.label_centroids(ci, "cvec", "cell")
+    rows += ivf_rows(
+        "iso", ci, cent_i, qi, exact_i, denom_i,
+        ANN_FRONTIER_IVF_NPROBES["iso"],
+    )
+
+    # ---- clustered fixture ----
+    cf = caching.tracked_local_checkpoint(
+        SIM.clustered_fixture(e), eager=False
+    )
+    cc, qc, exact_c, denom_c = corpus_frames(cf, 8, 16, 8)
+    rows += lsh_rows(
+        "clus", cc, qc, exact_c, denom_c, ANN_FRONTIER_LSH_CLUSTERED
+    )
+    # trained coarse quantizer: Lloyd's k=8 cells + their centroids,
+    # checkpointed at the trained-artifact boundary
+    assigned = caching.tracked_local_checkpoint(
+        SIM.kmeans_assign(cf, k=8, iters=2).select("vec_id", "cell"),
+        eager=False,
+    )
+    cells_c = cc.join(
+        assigned.select(F.col("vec_id").alias("neighbor_id"), "cell"),
+        "neighbor_id",
+    )
+    cent_c = SIM.label_centroids(
+        cf.join(assigned, "vec_id"), "embedding", "cell"
+    ).select("cell", "centroid")
+    rows += ivf_rows(
+        "clus", cells_c, cent_c, qc, exact_c, denom_c,
+        ANN_FRONTIER_IVF_NPROBES["clus"],
+    )
+
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
 
 
 @query(

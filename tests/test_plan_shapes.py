@@ -832,10 +832,15 @@ def test_ann_frontier_shared_frames_are_leaves(spark, sf_dir):
     corpus to the per-config denominator scans only."""
     plan = _plan(spark, sf_dir, "ann_frontier_sweep")
     assert "Scan ExistingRDD" in plan, "shared frames must be leaf plans"
-    # 8 configs x 2 denominator aggregates each; the signature/exact
-    # subtrees must NOT re-embed the scan (persist form read 19)
-    assert plan.count("embeddings.parquet") <= 16, plan.count(
+    # r11 family-complete form: signatures, exact frames, denominators,
+    # the clustered fixture, and the trained-quantizer cells are ALL
+    # lazy-checkpoint leaves, so the 15 config branches reference ZERO
+    # parquet subtrees (the r10 form still re-embedded the scan in its
+    # per-row denominators: 16 scans; pre-r10 persist form: 19)
+    assert plan.count("embeddings.parquet") == 0, plan.count(
         "embeddings.parquet"
     )
-    # persist form: ~165k chars of re-embedded subtrees
-    assert len(plan) < 140_000, f"plan blew up to {len(plan)} chars"
+    # 15 config branches × probe/window subplans; bound guards against
+    # re-embedding regressions (denominator-scan form read ~535k ON TOP
+    # of per-branch growth; leaf form ~490k at sf0.01)
+    assert len(plan) < 560_000, f"plan blew up to {len(plan)} chars"
