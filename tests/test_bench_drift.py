@@ -49,3 +49,33 @@ def test_post_battery_is_diagnostic_only():
     pre = {"scan": 1.0, "shuffle": 2.0}
     post = {"scan": 0.5, "shuffle": 1.0}
     assert bench._drift_vs_ref(pre, post) == 0.5  # the clean warm shape
+
+
+def test_ratios_vs_ref_pins_untouched_queries_at_one():
+    """The per-query reference column (VERDICT r10 #6): an untouched
+    query's drift-normalized value divided by its own pin reads ~1.0
+    regardless of the suite-level drift factor; queries without a pin
+    are LISTED, never silently dropped; and a missing/empty ref
+    degrades to (None, all-names) instead of raising."""
+    ref = {"q_fast": 0.5, "q_slow": 8.0, "q_zero": 0.0}
+    normalized = {"q_fast": 0.52, "q_slow": 10.0, "q_new": 1.2, "q_zero": 1.0}
+    ratios, unpinned = bench._ratios_vs_ref(normalized, ref)
+    assert ratios == {"q_fast": 1.04, "q_slow": 1.25}
+    # q_new has no pin; q_zero's pin is degenerate — both surfaced
+    assert unpinned == ["q_new", "q_zero"]
+
+    assert bench._ratios_vs_ref(None, ref) == (None, [])
+    assert bench._ratios_vs_ref(normalized, {}) == (
+        None,
+        sorted(normalized),
+    )
+
+
+def test_query_reference_loads_pinned_file():
+    """BENCH_QUERY_REF.json must load as (medians, 'pinned') at HEAD —
+    the committed pin backs the ratio column the NOTES watch-list
+    adjudications read."""
+    ref, source = bench._query_reference()
+    assert source == "pinned"
+    assert len(ref) >= 90
+    assert all(isinstance(v, (int, float)) and v > 0 for v in ref.values())

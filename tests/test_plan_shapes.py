@@ -844,3 +844,43 @@ def test_ann_frontier_shared_frames_are_leaves(spark, sf_dir):
     # re-embedding regressions (denominator-scan form read ~535k ON TOP
     # of per-branch growth; leaf form ~490k at sf0.01)
     assert len(plan) < 560_000, f"plan blew up to {len(plan)} chars"
+
+
+def test_streaming_verify_dropped_is_store_map_only(spark):
+    """The promoted r11 verify shape (VERDICT r10 #3): with a DERIVED
+    candidate frame (no size statistic — the operator's real condition,
+    where the static planner would SMJ and AQE would only rewrite after
+    the store's shuffle-map pass ran), both verify joins must plan as
+    BroadcastHashJoin with ZERO shuffle exchange on the store side."""
+    from pyspark.sql import functions as F
+
+    from movies_etl_spark.streaming.ops import _verify_dropped
+
+    store = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.array(F.col("id") % 97, F.col("id") % 89).alias("shingles"),
+    )
+    # derived candidate frame: distinct over a projection — unsized
+    cand = (
+        spark.range(50)
+        .select(
+            (F.col("id") * 131 % 10_000).alias("id_a"),
+            (F.col("id") + 10_000).alias("id_b"),
+        )
+        .distinct()
+    )
+    df = _verify_dropped(cand, store)
+    jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(jvm_mode)
+    assert _nodes(plan, "BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan
+    # the only exchanges are the broadcast builds and the final
+    # distinct's aggregate exchange — never a store-side hash exchange
+    store_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"Exchange hashpartitioning\(id_[ab]", ln)
+    ]
+    assert not store_exchanges, store_exchanges

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Regenerate BENCH_QUERY_REF.json — per-query pinned reference medians.
+
+VERDICT r10 #6: the scalar suite-level drift factor is the only
+correction bench.py applies, and on fast-box captures (pre-drift
+0.74–0.80) it makes untouched sub-second queries read as ~1.46×
+phantom "regressions" — calibration artifacts, not code. The fix is a
+PER-QUERY reference: pin each query's median drift-normalized seconds
+over the most recent committed BENCH_DETAIL.json captures, and have
+bench.py emit each run's per-query ratio against that pin
+(queries_ratio_vs_ref). An untouched query then reads ~1.0 regardless
+of the box the capture ran on, and a real regression reads as its own
+ratio instead of riding the suite scalar.
+
+Medians are taken over the last ``--captures N`` (default 5) committed
+BENCH_DETAIL.json blobs in git history — recent enough to reflect
+HEAD-era implementations (r10 rewrote several queries; a full-history
+median would pin retired code's cost), wide enough to damp single-
+capture noise. Like BENCH_CAL_REF.json, the output is PINNED: bench.py
+only reads it, and it is refreshed deliberately (rerun this tool) when
+a query's implementation intentionally changes cost, with the refresh
+noted in the round's NOTES ledger.
+
+Usage: python tools/gen_query_ref.py [--captures N] [--dry-run]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "BENCH_QUERY_REF.json")
+
+
+def collect(n_captures: int) -> tuple[dict[str, float], int]:
+    hashes = subprocess.check_output(
+        ["git", "log", "--format=%H", "--", "BENCH_DETAIL.json"],
+        text=True,
+        cwd=REPO,
+    ).split()
+    per_query: dict[str, list[float]] = {}
+    used = 0
+    for h in hashes:
+        if used >= n_captures:
+            break
+        try:
+            blob = subprocess.check_output(
+                ["git", "show", f"{h}:BENCH_DETAIL.json"],
+                text=True,
+                cwd=REPO,
+            )
+            d = json.loads(blob)
+        except (subprocess.CalledProcessError, json.JSONDecodeError):
+            continue
+        qn = d.get("queries_normalized")
+        if not qn:
+            continue
+        used += 1
+        for q, v in qn.items():
+            per_query.setdefault(q, []).append(float(v))
+    return (
+        {q: round(statistics.median(v), 3) for q, v in sorted(per_query.items())},
+        used,
+    )
+
+
+def main() -> None:
+    n = 5
+    dry = False
+    argv = sys.argv[1:]
+    i = 0
+    usage = "usage: gen_query_ref.py [--captures N] [--dry-run]"
+    while i < len(argv):
+        a = argv[i]
+        if a == "--captures":
+            if i + 1 >= len(argv):
+                sys.exit(f"--captures requires a value\n{usage}")
+            i += 1
+            n = int(argv[i])
+        elif a.startswith("--captures="):
+            n = int(a.split("=", 1)[1])
+        elif a == "--dry-run":
+            dry = True
+        else:
+            sys.exit(f"unknown arg {a!r}\n{usage}")
+        i += 1
+    meds, used = collect(n)
+    out = {
+        "source": (
+            "median drift-normalized seconds per query over the most "
+            f"recent {used} committed BENCH_DETAIL.json captures "
+            "(tools/gen_query_ref.py; pinned — refresh deliberately)"
+        ),
+        "n_captures": used,
+        "medians_sec": meds,
+    }
+    if dry:
+        print(json.dumps(out, indent=1, sort_keys=True))
+        return
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {OUT}: {len(meds)} queries from {used} captures")
+
+
+if __name__ == "__main__":
+    main()
