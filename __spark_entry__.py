@@ -40,7 +40,13 @@ similarity_topk (the union's only pre-r5 row), the 6 consumers of the
 r10 checkpoint-audit/LUT-cache hygiene rewrites, streaming_lsh_dedup
 (the r10 profiling rewrite's sole consumer), the complete 39-name
 r5-latest cohort, and the 4 oldest r6 rows — after r10 no union row is
-older than r6.
+older than r6. Round 11's window (_ROUND11_PRIORITY below): the three
+stale-rewrite certifications VERDICT r10 #1 ordered first
+(dedup_semantic_incremental / kmeans_assign / ann_frontier_sweep —
+driver rows that certified retired code), the r11 verify-shape rewrite
+consumer (streaming_lsh_dedup), the one r11 addition
+(span_dedup_sliding), the complete remaining r6-latest cohort (36),
+and the 9 oldest r7 rows — after r11 no union row is older than r7.
 
 REGISTRATION POLICY (codified after three rounds of overflow debt):
 new queries register ONLY while the round's window has open slots and
@@ -72,6 +78,91 @@ from movies_etl_spark.plans import queries_mlprep  # noqa: E402,F401
 from movies_etl_spark.plans import queries_scale  # noqa: E402,F401
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
+
+# Round-11 window (exactly 50; registered total 215 after the one r11
+# addition; NOTES_r11.md carries the ledger). VERDICT r10 next-round #1
+# prescribes the cohort: the three stale-rewrite rows lead, then the
+# complete r6-latest cohort, then oldest r7 rows. The prescribed
+# arithmetic (3 + 37 + 10) double-counts dedup_semantic_incremental
+# (it is BOTH a stale-rewrite name and an r6-cohort member), and round
+# 11's own work adds two names under the standing rules — the
+# verify-shape rewrite consumer and the one new registration — so the
+# realized window is:
+#   1:     dedup_semantic_incremental — r6 row; code rewritten twice in
+#          r10 (delta kernel) AND r11 adds the absolute block bound
+#          (ADVICE r10) — the union's most-overdue certification.
+#   2:     kmeans_assign — r8 row; r10 centroid-boundary restructure.
+#   3:     ann_frontier_sweep — r9 row; r10 lazy-checkpoint rewrite AND
+#          the r11 family-complete unification (LSH+IVF × iso+clustered,
+#          new schema + oracle, VERDICT r10 #5).
+#   4:     streaming_lsh_dedup — consumer of the r11 promoted broadcast
+#          verify shape (_verify_dropped; VERDICT r10 #3). Re-validating
+#          rewritten-code consumers outranks pure freshness (standing
+#          rule).
+#   5:     span_dedup_sliding — the r11 addition (winnowing-based
+#          alignment-robust duplicate-run detection, VERDICT r10 #4),
+#          registered inside the window per the registration policy.
+#   6-41:  the COMPLETE r6-latest cohort minus dedup_semantic_incremental
+#          (36 names) in tools/correctness_union.py report order (stable
+#          on registration order within a round).
+#   42-50: the 9 oldest r7-latest rows, same order source. After r11 the
+#          union's oldest rows are the remaining 28-name r7 cohort.
+_ROUND11_PRIORITY = [
+    # stale-rewrite certifications (VERDICT r10 #1)
+    "dedup_semantic_incremental",
+    "kmeans_assign",
+    "ann_frontier_sweep",
+    # r11 rewrite consumer + r11 addition
+    "streaming_lsh_dedup",
+    "span_dedup_sliding",
+    # complete r6-latest cohort (minus slot 1), union-report order
+    "fillna_zero",
+    "from_unix_seconds",
+    "scan_json",
+    "scan_csv",
+    "scan_csv_inferred",
+    "sink_parquet_overwrite",
+    "sink_append_chunked",
+    "window_running_sum",
+    "rollup_agg",
+    "cube_agg",
+    "value_counts_array",
+    "sample_hash",
+    "grouping_sets",
+    "explode_tokens",
+    "json_extract",
+    "partition_pruned_scan",
+    "set_union_all",
+    "flagship_user_activity",
+    "aqp_sampled_groupby",
+    "token_count",
+    "text_quality_score",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_incremental",
+    "training_data_filter",
+    "ann_recall_clustered",
+    "data_quality_gate",
+    "quantile_sketch_cdf",
+    "bpe_pack_pipeline",
+    "cms_join_size_estimate",
+    "regexp_extract_id",
+    "join_list_cell",
+    "strip_citations",
+    "parse_running_time",
+    "strip_money_ranges",
+    "feature_hash_vectorize",
+    # oldest r7-latest rows (freshness filler to exactly 50)
+    "groupby_count_salted_aqe_off",
+    "set_except_all",
+    "corr_covar",
+    "unpivot_stack",
+    "percentile_by_group",
+    "date_arithmetic",
+    "string_functions",
+    "scan_orc",
+    "rank_battery",
+]
 
 # Round-10 window (exactly 50; registered total stays 214 — the
 # surface is saturated at 46/46 and VERDICT r9 ranked the round as
@@ -161,7 +252,10 @@ _ROUND10_PRIORITY = [
     "fill_if_zero",
 ]
 
-_CURRENT_PRIORITY = _ROUND10_PRIORITY
+_CURRENT_PRIORITY = _ROUND11_PRIORITY
+
+# Round-10 window retained for the ledger (NOTES_r10.md references it);
+# _ordered() consumes _CURRENT_PRIORITY.
 
 # Round-9 window retained for the ledger (NOTES_r9.md references it);
 # _ordered() consumes _CURRENT_PRIORITY.

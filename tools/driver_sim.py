@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Round-10 pre-driver simulation: run every _ROUND10_PRIORITY window
+"""Pre-driver simulation: run every _CURRENT_PRIORITY window
 name at sf0.01 on a VANILLA session (driver-style) and exact-compare
 values against the DuckDB oracle — stricter than the driver's hash
 (sorted full-frame string equality, date-normalized per the /verify

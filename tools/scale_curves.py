@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Scale-curve certification for the top suite queries (VERDICT r10 #2).
+
+The design case is 100 TB but every committed number is sf0.1 — this
+harness measures each query at 1× (sf0.1 as-is) and 10× (the NOTES_r10
+replication trick: 10 DISJOINT copies of the input tables, id columns
+shifted per replica so structure replicates instead of densifying —
+shifting only l_orderkey would give every part 10× the orders, which
+changes per-key workload, not data volume), then reports the implied
+log-log slope:
+
+    slope = log(t_10x / t_1x) / log(10)
+
+slope ≈ 1 is linear scaling; ≲ 0.3 means fixed (per-job/driver) costs
+still dominate at sf1-equivalent volume; ≳ 1.3 is the hidden
+super-linear term the fixture can't see and earns a profile or an
+adjudication (SCALE.md carries the table + verdicts).
+
+Replicated tables: documents (doc_id += k·10M — clear of the
+_near_corpus +1M planted-dup offset), lineitem (l_orderkey += k·100M,
+l_partkey += k·10M → 10 disjoint co-purchase graphs). Other tables are
+symlinked 1× (none of the measured queries scans them as its scaled
+input). Each measurement is a noop-format write; 2 reps, median-free:
+the MIN is reported (the reps guard against one-off GC/compaction
+stalls; we are measuring work, not contention).
+
+Usage: python tools/scale_curves.py [query ...]   (default: the 8
+VERDICT-listed names + span_dedup_sliding)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from movies_etl_spark.session import get_spark  # noqa: E402
+from movies_etl_spark.plans import registry  # noqa: E402
+import __spark_entry__  # noqa: E402,F401
+
+SRC_SF = "/root/testdata/sf0.1"
+WORK = "/tmp/scale_curves"
+REPLICAS = 10
+
+DEFAULT_QUERIES = [
+    "streaming_lsh_dedup",
+    "llm_corpus_pipeline",
+    "triangle_count",
+    "cms_join_size_estimate",
+    "dedup_minhash_incremental",
+    "dedup_cluster_components",
+    "curation_pipeline",
+    "span_dedup",
+    "span_dedup_sliding",
+]
+
+TPCH_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def build_dirs(spark) -> tuple[str, str]:
+    one = f"{WORK}/sf1x"
+    ten = f"{WORK}/sf10x"
+    if os.path.isdir(one) and os.path.isdir(ten):
+        return one, ten
+    shutil.rmtree(WORK, ignore_errors=True)
+    os.makedirs(one)
+    os.makedirs(ten)
+    for t in TPCH_TABLES:
+        os.symlink(f"{SRC_SF}/{t}.parquet", f"{one}/{t}.parquet")
+        if t not in ("documents", "lineitem"):
+            os.symlink(f"{SRC_SF}/{t}.parquet", f"{ten}/{t}.parquet")
+    docs = spark.read.parquet(f"{SRC_SF}/documents.parquet")
+    reps = None
+    for k in range(REPLICAS):
+        r = docs.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(k * 10_000_000)
+        )
+        reps = r if reps is None else reps.unionByName(r)
+    reps.repartition(32).write.mode("overwrite").parquet(
+        f"{ten}/documents.parquet"
+    )
+    li = spark.read.parquet(f"{SRC_SF}/lineitem.parquet")
+    reps = None
+    for k in range(REPLICAS):
+        r = li.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(k * 100_000_000)
+        ).withColumn("l_partkey", F.col("l_partkey") + F.lit(k * 10_000_000))
+        reps = r if reps is None else reps.unionByName(r)
+    reps.repartition(32).write.mode("overwrite").parquet(
+        f"{ten}/lineitem.parquet"
+    )
+    return one, ten
+
+
+def wall(spark, name: str, sf_dir: str, reps: int = 2) -> float:
+    best = None
+    for _ in range(reps):
+        spark._jvm.System.gc()
+        t0 = time.perf_counter()
+        df = registry.QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        w = time.perf_counter() - t0
+        best = w if best is None else min(best, w)
+    return round(best, 3)
+
+
+def main() -> None:
+    import math
+
+    names = sys.argv[1:] or DEFAULT_QUERIES
+    spark = get_spark()
+    spark.range(1).count()
+    one, ten = build_dirs(spark)
+    for name in names:
+        t1 = wall(spark, name, one)
+        t10 = wall(spark, name, ten)
+        slope = round(math.log(t10 / t1) / math.log(REPLICAS), 3)
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "t_1x_sec": t1,
+                    "t_10x_sec": t10,
+                    "ratio": round(t10 / t1, 3),
+                    "loglog_slope": slope,
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
