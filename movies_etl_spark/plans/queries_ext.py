@@ -2262,9 +2262,15 @@ def q_ann_frontier_sweep(spark, sf_dir):
     action). The clustered-IVF cell table and centroids are likewise
     checkpointed at the trained-artifact boundary, exactly where a
     production run would write the quantizer to storage. Each config is
-    then a broadcast probe equi-join → two 1-row aggregates cross-joined
-    into its frontier row (the bounded 1-row crossJoin class); 15 rows
-    union. No collects, no corpus shuffles."""
+    a broadcast probe equi-join producing a TAGGED candidate frame; the
+    15 frames union once and share ONE metric tail (one top-5 window
+    partitioned by (config, query), one hit join against the tagged
+    exact union, tiny grouped aggregates joined back onto a 15-row
+    literal meta frame — which also guarantees a zero-candidate config
+    still emits its row). The fused tail replaced 15 copies of
+    (agg + window + join + 2 crossJoins): ~90 fewer eager Catalyst
+    analyses at build, one stage wave instead of 15 at exec. No
+    collects, no corpus shuffles."""
     from movies_etl_spark.operators import caching
     from movies_etl_spark.operators.dedup import cosine, dot, l2norm
 
@@ -2272,11 +2278,14 @@ def q_ann_frontier_sweep(spark, sf_dir):
 
     def corpus_frames(corp, lo, hi, width, cell_col=None):
         """(signed corpus, query set, exact top-5, 1-row denominator) —
-        ALL four checkpointed lazily, so every one of the 15 config
-        branches (and each branch's crossJoin of the denominator)
-        analyzes against LogicalRDD leaves, never the parquet subtrees.
-        ``cell_col`` folds a given IVF cell key into the same signed
-        frame (one scan serves both families)."""
+        ALL four checkpointed lazily, so every consumer branch analyzes
+        against LogicalRDD leaves, never the parquet subtrees. An r11
+        experiment dropped the exact/denom checkpoints after the fused
+        tail left them single-consumer: build fell only 0.7 s but exec
+        ROSE 2.4 s (their subtrees re-entered the monolithic final job
+        instead of materializing as compact side jobs) — reverted, the
+        leaves stay. ``cell_col`` folds a given IVF cell key into the
+        same signed frame (one scan serves both families)."""
         qset = corp.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
         exact = caching.tracked_local_checkpoint(
             SIM.topk_bruteforce(corp, qset, k=5).select(
@@ -2321,42 +2330,28 @@ def q_ann_frontier_sweep(spark, sf_dir):
         F.desc("sim"), F.asc("neighbor_id")
     )
 
-    def row_of(corpus_tag, family, cfg, n_probes, cand, exact, denom):
-        n_cand = cand.agg(
-            F.count(F.lit(1)).cast("long").alias("n_candidates")
-        )
-        ann = (
-            cand.withColumn("rank", F.row_number().over(w5))
-            .filter(F.col("rank") <= 5)
-            .select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
-        )
-        rec = exact.join(ann, ["query_id", "neighbor_id"], "left").agg(
-            F.count(F.lit(1)).cast("long").alias("n_exact"),
-            F.count("__hit").cast("long").alias("n_hit"),
-        )
-        return (
-            n_cand.crossJoin(rec)
-            .crossJoin(denom)
-            .select(
-                F.lit(corpus_tag).alias("corpus"),
-                F.lit(family).alias("family"),
-                F.lit(cfg).alias("cfg"),
-                F.lit(n_probes).alias("n_probes"),
-                "n_candidates",
-                F.round(
-                    F.col("n_candidates").cast("double")
-                    / (F.col("__nq") * (F.col("__nc") - 1)),
-                    6,
-                ).alias("scan_fraction"),
-                "n_exact",
-                "n_hit",
-                F.round(
-                    F.col("n_hit").cast("double") / F.col("n_exact"), 4
-                ).alias("recall"),
-            )
+    # ---- fused metric tail (r11): every config contributes a TAGGED
+    # candidate frame; one union, ONE top-5 window, ONE hit join, and
+    # tiny grouped aggregates replace 15 copies of
+    # (agg + window + join + 2 crossJoins) — same semantics and values,
+    # ~90 fewer eager Catalyst analyses of medium-size trees at build
+    # time, and the single window computes all configs in one stage
+    # wave at exec. A config with ZERO candidates still emits its row:
+    # the 15-row meta frame is the preserved side of the final joins.
+    meta_rows = []
+
+    def tag(cand, corpus_tag, family, cfg, n_probes):
+        meta_rows.append((corpus_tag, family, cfg, n_probes))
+        return cand.select(
+            F.lit(corpus_tag).alias("corpus"),
+            F.lit(family).alias("family"),
+            F.lit(cfg).alias("cfg"),
+            "query_id",
+            "neighbor_id",
+            "sim",
         )
 
-    def lsh_rows(corpus_tag, c_all, q_all, exact, denom, configs):
+    def lsh_cands(corpus_tag, c_all, q_all, configs):
         out = []
         for p, r in configs:
             offs = SIM.multiprobe_offsets(p, r)
@@ -2379,15 +2374,10 @@ def q_ann_frontier_sweep(spark, sf_dir):
                 ((F.col("bucket") % F.lit(1 << p)) == F.col("probe_bucket"))
                 & (F.col("neighbor_id") != F.col("query_id")),
             ).select("query_id", "neighbor_id", sim.alias("sim"))
-            out.append(
-                row_of(
-                    corpus_tag, "lsh", f"p{p}_r{r}", len(offs),
-                    cand, exact, denom,
-                )
-            )
+            out.append(tag(cand, corpus_tag, "lsh", f"p{p}_r{r}", len(offs)))
         return out
 
-    def ivf_rows(corpus_tag, cells, cent, q_all, exact, denom, nprobes):
+    def ivf_cands(corpus_tag, cells, cent, q_all, nprobes):
         """cells: (neighbor_id, cvec, cnrm, cell); cent: (cell,
         centroid) — broadcast; one routed frame shared across nprobes."""
         routed = q_all.crossJoin(F.broadcast(cent)).select(
@@ -2411,33 +2401,24 @@ def q_ann_frontier_sweep(spark, sf_dir):
             cand = cells.join(F.broadcast(bnp), "cell").filter(
                 F.col("neighbor_id") != F.col("query_id")
             ).select("query_id", "neighbor_id", sim.alias("sim"))
-            out.append(
-                row_of(
-                    corpus_tag, "ivf", f"np{n}", n, cand, exact, denom,
-                )
-            )
+            out.append(tag(cand, corpus_tag, "ivf", f"np{n}", n))
         return out
 
     max_p = max(p for p, _ in ANN_FRONTIER_CONFIGS)
-    rows = []
+    cands = []
 
     # ---- isotropic corpus ----
     ci, qi, exact_i, denom_i = corpus_frames(e, 0, 8, max_p, cell_col="label")
-    rows += lsh_rows("iso", ci, qi, exact_i, denom_i, ANN_FRONTIER_CONFIGS)
+    cands += lsh_cands("iso", ci, qi, ANN_FRONTIER_CONFIGS)
     cent_i = SIM.label_centroids(ci, "cvec", "cell")
-    rows += ivf_rows(
-        "iso", ci, cent_i, qi, exact_i, denom_i,
-        ANN_FRONTIER_IVF_NPROBES["iso"],
-    )
+    cands += ivf_cands("iso", ci, cent_i, qi, ANN_FRONTIER_IVF_NPROBES["iso"])
 
     # ---- clustered fixture ----
     cf = caching.tracked_local_checkpoint(
         SIM.clustered_fixture(e), eager=False
     )
     cc, qc, exact_c, denom_c = corpus_frames(cf, 8, 16, 8)
-    rows += lsh_rows(
-        "clus", cc, qc, exact_c, denom_c, ANN_FRONTIER_LSH_CLUSTERED
-    )
+    cands += lsh_cands("clus", cc, qc, ANN_FRONTIER_LSH_CLUSTERED)
     # trained coarse quantizer: Lloyd's k=8 cells + their centroids,
     # checkpointed at the trained-artifact boundary
     assigned = caching.tracked_local_checkpoint(
@@ -2451,15 +2432,74 @@ def q_ann_frontier_sweep(spark, sf_dir):
     cent_c = SIM.label_centroids(
         cf.join(assigned, "vec_id"), "embedding", "cell"
     ).select("cell", "centroid")
-    rows += ivf_rows(
-        "clus", cells_c, cent_c, qc, exact_c, denom_c,
-        ANN_FRONTIER_IVF_NPROBES["clus"],
+    cands += ivf_cands(
+        "clus", cells_c, cent_c, qc, ANN_FRONTIER_IVF_NPROBES["clus"]
     )
 
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    cand_all = cands[0]
+    for c in cands[1:]:
+        cand_all = cand_all.unionByName(c)
+    keys = ["corpus", "family", "cfg"]
+
+    n_cand = cand_all.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    w5f = Window.partitionBy(*keys, "query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    ann_all = (
+        cand_all.withColumn("rank", F.row_number().over(w5f))
+        .filter(F.col("rank") <= 5)
+        .select(*keys, "query_id", "neighbor_id")
+    )
+    exact_all = exact_i.select(
+        F.lit("iso").alias("corpus"), "query_id", "neighbor_id"
+    ).unionByName(
+        exact_c.select(
+            F.lit("clus").alias("corpus"), "query_id", "neighbor_id"
+        )
+    )
+    n_hit = ann_all.join(
+        exact_all, ["corpus", "query_id", "neighbor_id"]
+    ).groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    n_exact = exact_all.groupBy("corpus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    denom = denom_i.select(
+        F.lit("iso").alias("corpus"), "__nq", "__nc"
+    ).unionByName(
+        denom_c.select(F.lit("clus").alias("corpus"), "__nq", "__nc")
+    )
+    meta = spark.createDataFrame(
+        meta_rows, "corpus string, family string, cfg string, n_probes int"
+    )
+    return (
+        meta.join(n_cand, keys, "left")
+        .join(n_hit, keys, "left")
+        .join(n_exact, "corpus")
+        .join(denom, "corpus")
+        .select(
+            "corpus",
+            "family",
+            "cfg",
+            "n_probes",
+            F.coalesce(F.col("n_candidates"), F.lit(0).cast("long")).alias(
+                "n_candidates"
+            ),
+            F.round(
+                F.coalesce(F.col("n_candidates"), F.lit(0)).cast("double")
+                / (F.col("__nq") * (F.col("__nc") - 1)),
+                6,
+            ).alias("scan_fraction"),
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_exact"),
+                4,
+            ).alias("recall"),
+        )
+    )
 
 
 @query(
