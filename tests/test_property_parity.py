@@ -943,3 +943,45 @@ def test_cms_inner_product_disjoint_sets_estimate_zero(spark):
     cb = SK.cms_merge(SK.cms_partials(b, "k", "s"))
     est = SK.cms_inner_product(ca, cb).collect()[0]["est"]
     assert est == 0, est
+
+
+def test_winnowing_guarantee_property():
+    """The Schleimer winnowing theorem the span_dedup_sliding coverage
+    claim rests on, exercised over randomized placements: ANY run of
+    ≥ w + k − 1 = 39 tokens shared by two documents yields at least one
+    shared selected fingerprint REGARDLESS of the run's offset in
+    either document or of the surrounding content. Runs on the python
+    reference implementation (bound to the Spark/SQL formulation by
+    test_span_dedup_sliding_matches_python_winnowing), so hundreds of
+    placements are cheap."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tests.test_ground_truth import _python_winnow_fps
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        run_len=st.integers(min_value=39, max_value=70),
+        off_a=st.integers(min_value=0, max_value=55),
+        off_b=st.integers(min_value=0, max_value=55),
+        tail_a=st.integers(min_value=0, max_value=40),
+        tail_b=st.integers(min_value=0, max_value=40),
+        seed=st.integers(min_value=0, max_value=10**6),
+    )
+    def check(run_len, off_a, off_b, tail_a, tail_b, seed):
+        run = [f"r{seed}_{i}" for i in range(run_len)]
+        doc_a = (
+            [f"a{i}" for i in range(off_a)]
+            + run
+            + [f"a{i}" for i in range(off_a, off_a + tail_a)]
+        )
+        doc_b = (
+            [f"b{i}" for i in range(off_b)]
+            + run
+            + [f"b{i}" for i in range(off_b, off_b + tail_b)]
+        )
+        fa = _python_winnow_fps(" ".join(doc_a))
+        fb = _python_winnow_fps(" ".join(doc_b))
+        assert fa & fb, (run_len, off_a, off_b, tail_a, tail_b)
+
+    check()
