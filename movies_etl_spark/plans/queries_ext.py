@@ -2326,9 +2326,6 @@ def q_ann_frontier_sweep(spark, sf_dir):
         dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")),
         6,
     )
-    w5 = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("neighbor_id")
-    )
 
     # ---- fused metric tail (r11): every config contributes a TAGGED
     # candidate frame; one union, ONE top-5 window, ONE hit join, and

@@ -94,7 +94,9 @@ def build_fixture(spark, n_store: int) -> tuple[str, str, str]:
     return f"{base}/store", f"{base}/batch", f"{base}/cand"
 
 
-def verify_wall(spark, store_p, batch_p, cand_p, shape: str) -> float:
+def verify_wall(
+    spark, store_p, batch_p, cand_p, shape: str
+) -> tuple[float, int]:
     store = spark.read.parquet(store_p)
     sh_b = spark.read.parquet(batch_p)
     cand = spark.read.parquet(cand_p)
@@ -122,9 +124,21 @@ def verify_wall(spark, store_p, batch_p, cand_p, shape: str) -> float:
 
 def main() -> None:
     sizes = [10_000, 40_000, 160_000]
-    for a in sys.argv[1:]:
-        if a.startswith("--sizes="):
+    usage = "usage: ab_verify_prune.py [--sizes N,N,...]"
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--sizes":
+            if i + 1 >= len(argv):
+                sys.exit(f"--sizes requires a value\n{usage}")
+            i += 1
+            sizes = [int(s) for s in argv[i].split(",")]
+        elif a.startswith("--sizes="):
             sizes = [int(s) for s in a.split("=", 1)[1].split(",")]
+        else:
+            sys.exit(f"unknown arg {a!r}\n{usage}")
+        i += 1
     spark = get_spark()
     spark.range(1).count()
     out = []

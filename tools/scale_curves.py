@@ -17,8 +17,11 @@ super-linear term the fixture can't see and earns a profile or an
 adjudication (SCALE.md carries the table + verdicts).
 
 Replicated tables: documents (doc_id += k·10M — clear of the
-_near_corpus +1M planted-dup offset), lineitem (l_orderkey += k·100M,
-l_partkey += k·10M → 10 disjoint co-purchase graphs). Other tables are
+_near_corpus +1M planted-dup offset — AND every token prefixed r{k}_
+so replica text is lexically disjoint: id-only replication left 9
+exact twins per doc, which the dedup stages under measurement would
+collapse), lineitem (l_orderkey += k·100M, l_partkey += k·10M → 10
+disjoint co-purchase graphs). Other tables are
 symlinked 1× (none of the measured queries scans them as its scaled
 input). Each measurement is a noop-format write; 2 reps, median-free:
 the MIN is reported (the reps guard against one-off GC/compaction
@@ -81,8 +84,26 @@ def build_dirs(spark) -> tuple[str, str]:
     docs = spark.read.parquet(f"{SRC_SF}/documents.parquet")
     reps = None
     for k in range(REPLICAS):
+        # Shift the id AND make the TEXT lexically disjoint per replica
+        # by prefixing every token (r{k}_): id-only replication leaves 9
+        # exact-duplicate twins per doc, which the dedup/curation
+        # queries under measurement would collapse at their near-dup
+        # stage — the 10x corpus would process ~1x unique volume and
+        # the slope would measure the duplicate-collapse artifact
+        # (review catch, r11). Per-token prefixing keeps token counts
+        # and planted intra-replica duplicate structure identical while
+        # making every shingle/window hash distinct across replicas.
         r = docs.withColumn(
             "doc_id", F.col("doc_id") + F.lit(k * 10_000_000)
+        ).withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(F.lit(f"r{k}_"), t),
+                ),
+                " ",
+            ),
         )
         reps = r if reps is None else reps.unionByName(r)
     reps.repartition(32).write.mode("overwrite").parquet(

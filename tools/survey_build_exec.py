@@ -78,11 +78,17 @@ def main() -> None:
         # would read build_jobs==0 and land falsely on the pure-planning
         # suspect list (ADVICE r10).
         try:
-            jobs = spark._jsparkSession.sharedState().statusStore().jobsList(None)
+            # the CORE AppStatusStore (SparkContext.statusStore) — NOT
+            # sharedState().statusStore(), which is the SQLAppStatusStore
+            # and has no jobsList (the first r11 fix used it and silently
+            # fell through to the fallback every call — caught in review,
+            # then verified live: the core store sees a jobGroup-tagged
+            # job the tracker path misses)
+            jobs = spark.sparkContext._jsc.sc().statusStore().jobsList(None)
             n = jobs.size()
             if n == 0:
                 return -1
-            # the KV-store view is ordered by its natural jobId index;
+            # jobsList is ordered (descending by id in practice);
             # checking both ends stays correct whichever direction
             return max(jobs.apply(0).jobId(), jobs.apply(n - 1).jobId())
         except Exception:
