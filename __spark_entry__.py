@@ -102,11 +102,15 @@ SF_SMOKE_DIR = "/root/testdata/sf0.001"
 #   5:     span_dedup_sliding — the r11 addition (winnowing-based
 #          alignment-robust duplicate-run detection, VERDICT r10 #4),
 #          registered inside the window per the registration policy.
-#   6-41:  the COMPLETE r6-latest cohort minus dedup_semantic_incremental
+#   6-7:   similarity_ann_ivf, similarity_ivf_nprobe — late-r11 rewrite
+#          consumers: label_centroids now quantizes means to 6 places
+#          (cross-engine ulp-leak review catch), so both re-enter.
+#   8-43:  the COMPLETE r6-latest cohort minus dedup_semantic_incremental
 #          (36 names) in tools/correctness_union.py report order (stable
 #          on registration order within a round).
-#   42-50: the 9 oldest r7-latest rows, same order source. After r11 the
-#          union's oldest rows are the remaining 28-name r7 cohort.
+#   44-50: the 7 oldest r7-latest rows, same order source (scan_orc and
+#          rank_battery displaced by slots 6-7; their r7 rows stand).
+#          After r11 the union's oldest rows are the r7 cohort.
 _ROUND11_PRIORITY = [
     # stale-rewrite certifications (VERDICT r10 #1)
     "dedup_semantic_incremental",
@@ -115,6 +119,13 @@ _ROUND11_PRIORITY = [
     # r11 rewrite consumer + r11 addition
     "streaming_lsh_dedup",
     "span_dedup_sliding",
+    # r11 late rewrite consumers: label_centroids now quantizes its
+    # means to 6 places (the _recompute_centroids discipline — a
+    # review catch closed the cross-engine ulp leak in IVF routing),
+    # so its two other registered consumers re-enter the window
+    # (standing rule), displacing the two newest r7 fillers
+    "similarity_ann_ivf",
+    "similarity_ivf_nprobe",
     # complete r6-latest cohort (minus slot 1), union-report order
     "fillna_zero",
     "from_unix_seconds",
@@ -160,8 +171,6 @@ _ROUND11_PRIORITY = [
     "percentile_by_group",
     "date_arithmetic",
     "string_functions",
-    "scan_orc",
-    "rank_battery",
 ]
 
 # Round-10 window (exactly 50; registered total stays 214 — the

@@ -66,12 +66,20 @@ def label_centroids(
 ) -> DataFrame:
     """Element-wise mean vector per partition label (the IVF coarse
     quantizer, here over the precomputed partition). One shuffle on
-    (label, position); output is n_labels rows."""
+    (label, position); output is n_labels rows.
+
+    Means are QUANTIZED to 6 places, same discipline as
+    _recompute_centroids: the centroids are stored routing artifacts,
+    and Spark's parallel partial-sum avg differs from a sequential
+    fold (DuckDB's) in the last ulp — unrounded, that ulp leaks into
+    every routing cosine and can flip a 6-decimal-rounded csim at a
+    boundary, changing which cell a query probes (sporadic,
+    partition-count-dependent divergence; review catch, r11)."""
     pos = corpus.select(
         label_col, F.posexplode(F.col(vec_col)).alias("pos", "v")
     )
     means = pos.groupBy(label_col, "pos").agg(
-        F.avg(F.col("v").cast("double")).alias("m")
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("m")
     )
     return (
         means.groupBy(label_col)

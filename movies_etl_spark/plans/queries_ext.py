@@ -531,7 +531,7 @@ def q_similarity_topk(spark, sf_dir):
     "similarity_ann_ivf",
     oracle=f"""
     WITH cent0 AS (
-        SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+        SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
         FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
     cent AS (SELECT label, list(m ORDER BY i) AS centroid FROM cent0 GROUP BY label),
     q AS (SELECT vec_id AS query_id, embedding AS qvec
@@ -1608,7 +1608,7 @@ def q_dedup_survivor_policy(spark, sf_dir):
     "similarity_ivf_nprobe",
     oracle=f"""
     WITH cent0 AS (
-        SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+        SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
         FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
     cent AS (SELECT label, list(m ORDER BY i) AS centroid FROM cent0 GROUP BY label),
     q AS (SELECT vec_id AS query_id, embedding AS qvec
@@ -2109,11 +2109,15 @@ def _ann_frontier_oracle() -> str:
         ("clus", "cb", "cq", "cexact", "cnq", "cncorp",
          ANN_FRONTIER_LSH_CLUSTERED),
     ):
-        arm_w = max_p if corpus == "iso" else 8
         for p, r in configs:
             offs = SIM.multiprobe_offsets(p, r)
             tag = f"{corpus}_{p}_{r}"
-            mod = f" % {1 << p}" if p < arm_w else ""
+            # always emit the modulus (a provable no-op at full arm
+            # width, where bucket < 2^p already):
+            # the Spark side applies `% (1 << p)` unconditionally, and
+            # keeping the two engines textually parallel is worth more
+            # than skipping a no-op (review catch, r11)
+            mod = f" % {1 << p}"
             ctes.append(
                 f"""cand_{tag} AS (
         SELECT pr.query_id, e.vec_id AS neighbor_id,
@@ -2135,7 +2139,7 @@ def _ann_frontier_oracle() -> str:
     # ---- IVF arm, isotropic: cells = the 10 given labels ----
     ctes += [
         """icent0 AS (
-        SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+        SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
         FROM embeddings, range(1, 65) t(i) GROUP BY label, i)""",
         "icent AS (SELECT label AS cell, list(m ORDER BY i) AS centroid "
         "FROM icent0 GROUP BY label)",
@@ -2193,7 +2197,7 @@ def _ann_frontier_oracle() -> str:
                                 c.cell) AS r
             FROM cf v, ckc1 c) WHERE r = 1)""",
         """ccent0 AS (
-        SELECT a.cell, i, avg(v.embedding[i]) AS m
+        SELECT a.cell, i, round(avg(v.embedding[i]), 6) AS m
         FROM cf v JOIN cka2 a USING (vec_id), range(1, 65) t(i)
         GROUP BY a.cell, i)""",
         "ccent AS (SELECT cell, list(m ORDER BY i) AS centroid "

@@ -99,7 +99,15 @@ def verify_wall(
 ) -> tuple[float, int]:
     store = spark.read.parquet(store_p)
     sh_b = spark.read.parquet(batch_p)
-    cand = spark.read.parquet(cand_p)
+    # Re-derive cand so it loses its parquet size statistic: in the
+    # production shape the candidate frame is DERIVED (no stats), so
+    # the static planner won't auto-broadcast it — a raw parquet read
+    # here is sized and the planner broadcasts even in the "plain"
+    # arm, making that arm unrepresentative of the regime the
+    # adjudication is about (review catch, r11). The .distinct() is a
+    # no-op on the data (build_fixture already wrote it distinct) and
+    # applies identically to every arm.
+    cand = spark.read.parquet(cand_p).distinct()
     sh_all = store.unionByName(sh_b).filter(F.size("shingles") > 0)
     t0 = time.perf_counter()
     if shape == "semiprune":

@@ -59,6 +59,14 @@ def collect(n_captures: int) -> tuple[dict[str, float], int]:
         qn = d.get("queries_normalized")
         if not qn:
             continue
+        # Only sf0.1 captures feed the pins: a committed small-SF smoke
+        # capture (the workflow notes warn BENCH_DETAIL can be
+        # overwritten by one) carries 10-100x smaller timings and would
+        # silently drag every median down, making every untouched
+        # query read as a large phantom regression — the exact artifact
+        # class this tool exists to kill (review catch, r11).
+        if d.get("sf") != 0.1:
+            continue
         used += 1
         for q, v in qn.items():
             per_query.setdefault(q, []).append(float(v))

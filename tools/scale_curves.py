@@ -72,8 +72,20 @@ TPCH_TABLES = [
 def build_dirs(spark) -> tuple[str, str]:
     one = f"{WORK}/sf1x"
     ten = f"{WORK}/sf10x"
-    if os.path.isdir(one) and os.path.isdir(ten):
-        return one, ten
+    # The cache is valid only if the LAST write of a previous build
+    # completed AND the fixture scheme is unchanged: a run killed
+    # mid-write leaves committed part-files that Spark reads without
+    # error (the "10x" corpus silently becomes ~4x and the certified
+    # slope is understated), and a scheme change (REPLICAS, the r{k}_
+    # prefix) must invalidate the old fixture. Sentinel written after
+    # the final write carries the scheme fingerprint (review catch,
+    # r11).
+    scheme = f"replicas={REPLICAS};text=r{{k}}_prefix;src={SRC_SF}"
+    sentinel = f"{WORK}/.fixture_complete"
+    if os.path.isfile(sentinel):
+        with open(sentinel) as f:
+            if f.read() == scheme:
+                return one, ten
     shutil.rmtree(WORK, ignore_errors=True)
     os.makedirs(one)
     os.makedirs(ten)
@@ -119,6 +131,8 @@ def build_dirs(spark) -> tuple[str, str]:
     reps.repartition(32).write.mode("overwrite").parquet(
         f"{ten}/lineitem.parquet"
     )
+    with open(sentinel, "w") as f:
+        f.write(scheme)
     return one, ten
 
 
