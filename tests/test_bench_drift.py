@@ -79,3 +79,28 @@ def test_query_reference_loads_pinned_file():
     assert source == "pinned"
     assert len(ref) >= 90
     assert all(isinstance(v, (int, float)) and v > 0 for v in ref.values())
+
+def test_query_ref_generator_rejects_small_sf_captures():
+    """tools/gen_query_ref.py must refuse to blend non-sf0.1 captures
+    into the pinned medians: a committed small-SF BENCH_DETAIL smoke
+    capture carries 10-100x smaller timings, and one admitted blob
+    would drag every pin down — turning every untouched query into a
+    phantom regression on the next run (review catch, r11)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_query_ref",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "gen_query_ref.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    good = {"sf": 0.1, "queries_normalized": {"q": 1.0}}
+    smoke = {"sf": 0.01, "queries_normalized": {"q": 0.02}}
+    legacy_no_sf = {"queries_normalized": {"q": 1.0}}
+    no_map = {"sf": 0.1}
+    assert mod.capture_ok(good)
+    assert not mod.capture_ok(smoke)
+    assert not mod.capture_ok(legacy_no_sf)
+    assert not mod.capture_ok(no_map)

@@ -36,6 +36,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "BENCH_QUERY_REF.json")
 
 
+def capture_ok(d: dict) -> bool:
+    """Admit a committed BENCH_DETAIL blob into the pin medians only if
+    it carries a per-query map AND is an sf0.1 capture: a committed
+    small-SF smoke capture (the workflow notes warn BENCH_DETAIL can be
+    overwritten by one) carries 10-100x smaller timings and would
+    silently drag every median down, making every untouched query read
+    as a large phantom regression — the exact artifact class this tool
+    exists to kill (review catch, r11)."""
+    return bool(d.get("queries_normalized")) and d.get("sf") == 0.1
+
+
 def collect(n_captures: int) -> tuple[dict[str, float], int]:
     hashes = subprocess.check_output(
         ["git", "log", "--format=%H", "--", "BENCH_DETAIL.json"],
@@ -56,19 +67,10 @@ def collect(n_captures: int) -> tuple[dict[str, float], int]:
             d = json.loads(blob)
         except (subprocess.CalledProcessError, json.JSONDecodeError):
             continue
-        qn = d.get("queries_normalized")
-        if not qn:
-            continue
-        # Only sf0.1 captures feed the pins: a committed small-SF smoke
-        # capture (the workflow notes warn BENCH_DETAIL can be
-        # overwritten by one) carries 10-100x smaller timings and would
-        # silently drag every median down, making every untouched
-        # query read as a large phantom regression — the exact artifact
-        # class this tool exists to kill (review catch, r11).
-        if d.get("sf") != 0.1:
+        if not capture_ok(d):
             continue
         used += 1
-        for q, v in qn.items():
+        for q, v in d["queries_normalized"].items():
             per_query.setdefault(q, []).append(float(v))
     return (
         {q: round(statistics.median(v), 3) for q, v in sorted(per_query.items())},
