@@ -34,7 +34,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(1, os.path.dirname(os.path.abspath(__file__)))
 
+import _cli  # noqa: E402  (tools/_cli.py — shared flag parsing)
 from pyspark.sql import functions as F  # noqa: E402
 
 from movies_etl_spark.operators import dedup as D  # noqa: E402
@@ -131,22 +133,12 @@ def verify_wall(
 
 
 def main() -> None:
-    sizes = [10_000, 40_000, 160_000]
-    usage = "usage: ab_verify_prune.py [--sizes N,N,...]"
-    argv = sys.argv[1:]
-    i = 0
-    while i < len(argv):
-        a = argv[i]
-        if a == "--sizes":
-            if i + 1 >= len(argv):
-                sys.exit(f"--sizes requires a value\n{usage}")
-            i += 1
-            sizes = [int(s) for s in argv[i].split(",")]
-        elif a.startswith("--sizes="):
-            sizes = [int(s) for s in a.split("=", 1)[1].split(",")]
-        else:
-            sys.exit(f"unknown arg {a!r}\n{usage}")
-        i += 1
+    vals, _ = _cli.parse_args(
+        sys.argv[1:],
+        {"--sizes": lambda s: [int(x) for x in s.split(",")]},
+        "usage: ab_verify_prune.py [--sizes N,N,...]",
+    )
+    sizes = vals.get("sizes", [10_000, 40_000, 160_000])
     spark = get_spark()
     spark.range(1).count()
     out = []

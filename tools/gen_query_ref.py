@@ -35,6 +35,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "BENCH_QUERY_REF.json")
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import _cli  # noqa: E402  (tools/_cli.py — shared flag parsing)
+
 
 def capture_ok(d: dict) -> bool:
     """Admit a committed BENCH_DETAIL blob into the pin medians only if
@@ -79,25 +83,13 @@ def collect(n_captures: int) -> tuple[dict[str, float], int]:
 
 
 def main() -> None:
-    n = 5
-    dry = False
-    argv = sys.argv[1:]
-    i = 0
-    usage = "usage: gen_query_ref.py [--captures N] [--dry-run]"
-    while i < len(argv):
-        a = argv[i]
-        if a == "--captures":
-            if i + 1 >= len(argv):
-                sys.exit(f"--captures requires a value\n{usage}")
-            i += 1
-            n = int(argv[i])
-        elif a.startswith("--captures="):
-            n = int(a.split("=", 1)[1])
-        elif a == "--dry-run":
-            dry = True
-        else:
-            sys.exit(f"unknown arg {a!r}\n{usage}")
-        i += 1
+    vals, _ = _cli.parse_args(
+        sys.argv[1:],
+        {"--captures": int, "--dry-run": _cli.BOOL},
+        "usage: gen_query_ref.py [--captures N] [--dry-run]",
+    )
+    n = vals.get("captures", 5)
+    dry = vals.get("dry-run", False)
     meds, used = collect(n)
     out = {
         "source": (

@@ -31,7 +31,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(1, os.path.dirname(os.path.abspath(__file__)))
 
+import _cli  # noqa: E402  (tools/_cli.py — shared flag parsing)
 from movies_etl_spark.session import get_spark  # noqa: E402
 from movies_etl_spark.plans import registry  # noqa: E402
 import __spark_entry__  # noqa: E402,F401  (imports every query module so registry.QUERIES is fully populated)
@@ -41,27 +43,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main() -> None:
-    top = 25
-    args = []
-    argv = sys.argv[1:]
-    i = 0
-    usage = "usage: survey_build_exec.py [--top N] [name ...]"
-    while i < len(argv):
-        a = argv[i]
-        if a == "--top":
-            # exact match only (ADVICE r10: startswith('--top') also
-            # swallowed e.g. '--topology'); guard the value lookup
-            if i + 1 >= len(argv):
-                sys.exit(f"--top requires a value\n{usage}")
-            i += 1
-            top = int(argv[i])
-        elif a.startswith("--top="):
-            top = int(a.split("=", 1)[1])
-        elif a.startswith("--"):
-            sys.exit(f"unknown flag {a!r}\n{usage}")
-        else:
-            args.append(a)
-        i += 1
+    # exact flag match + guarded value lookup via the shared parser
+    # (ADVICE r10: a hand-rolled startswith('--top') also swallowed
+    # e.g. '--topology')
+    vals, args = _cli.parse_args(
+        sys.argv[1:],
+        {"--top": int},
+        "usage: survey_build_exec.py [--top N] [name ...]",
+        positionals=True,
+    )
+    top = vals.get("top", 25)
     names = args or [n for n in bench.HEADLINE if n in registry.QUERIES]
     spark = get_spark()
     tracker = spark.sparkContext.statusTracker()
