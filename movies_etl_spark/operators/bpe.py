@@ -8,11 +8,19 @@ explode + one map-side-combinable groupBy — the wordcount shuffle).
 Everything after runs on the aggregated (word, freq) table, which is
 vocabulary-bounded (millions of rows for a web corpus, not billions) —
 the standard industrial shape: HuggingFace/SentencePiece trainers
-likewise iterate on word-frequency tables, never re-reading raw text.
-Each merge iteration is two tiny jobs over that table: a weighted
-adjacent-pair count plus a 1-row argmax collect (the bounded
-1-row-statistic collect class, same as prune_null_columns), then the
-merge applies as a pure string map.
+likewise iterate on word-frequency tables IN MEMORY, never re-reading
+raw text. The merge loop therefore runs DRIVER-SIDE on the collected
+vocab table when it fits ``max_local_vocab`` rows (r12): the encode
+step already broadcasts the entire encoded vocabulary back onto the
+corpus as a join, so collecting the same table to the driver is inside
+the size contract the pipeline already assumes — and it replaces
+~2 Spark jobs per merge iteration (pair-count shuffle + argmax under
+AQE; 18 jobs for the standard 8-merge train, measured in
+tools/profile_llm_corpus.py) with ONE count + ONE collect. Vocabularies
+over the cap fall back to the original distributed per-iteration loop
+(weighted pair-count shuffle + 1-row argmax collect — the bounded
+1-row-statistic collect class), which never materializes the vocab on
+the driver.
 
 Determinism/portability: pair selection orders by (count DESC, left,
 right) — no floats anywhere — and the greedy leftmost-non-overlapping
@@ -30,6 +38,15 @@ from pyspark.sql import functions as F
 #: end-of-word marker (classic BPE): lets the model distinguish suffix
 #: subwords from prefix/infix ones.
 EOW = "</w>"
+
+#: Driver-side merge-loop admission cap (rows in the (word, freq)
+#: table). The encoded vocabulary is broadcast back onto the corpus by
+#: every consumer (bpe_pack_pipeline / llm_corpus_pipeline join
+#: F.broadcast(nsub)), so any vocab the pipeline can run at all already
+#: fits one JVM — the local loop only mirrors that bound on the driver.
+#: Checked with a count() BEFORE collecting, so an over-cap vocab falls
+#: back to the distributed loop instead of OOMing the driver.
+MAX_LOCAL_VOCAB = 5_000_000
 
 
 def word_counts(df: DataFrame, text_col: str) -> DataFrame:
@@ -104,36 +121,93 @@ def pair_counts(words: DataFrame) -> DataFrame:
     ).agg(F.sum("freq").alias("cnt"))
 
 
+def _apply_merge_str(syms: str, a: str, b: str) -> str:
+    """Pure-python twin of :func:`apply_merge` — the IDENTICAL
+    double-space replace dance (str.replace scans
+    leftmost-non-overlapping exactly like Spark's/DuckDB's replace).
+    strip(' ') not strip(): F.trim removes only ASCII spaces, and a
+    word may legitimately begin or end with another whitespace char
+    (word_counts splits on ' ' alone), which trim would keep."""
+    doubled = " " + syms.replace(" ", "  ") + " "
+    merged = doubled.replace(f" {a}  {b} ", f" {a}{b} ")
+    return merged.replace("  ", " ").strip(" ")
+
+
+def _train_local(
+    rows: list[tuple[str, int]], n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], list[tuple[str, str, int]]]:
+    """In-memory Sennrich merge loop over the collected (word, freq)
+    table — exact value parity with the distributed loop (integer
+    counts, (cnt DESC, sym_a, sym_b) argmax: UTF-8 byte order equals
+    code-point order, so python string comparison matches Spark's
+    binary collation; merges apply via _apply_merge_str).
+
+    Pair counts update INCREMENTALLY: only words containing the merged
+    pair are re-walked per iteration (the pair→word index), so
+    iterations after the first cost O(affected words), the same
+    asymptotic shape industrial in-memory trainers use."""
+    from collections import Counter, defaultdict
+
+    # [word, syms, freq]; syms seeded exactly like initial_symbols
+    words = [[w, " ".join(w) + " " + EOW, int(f)] for w, f in rows]
+
+    def adj_pairs(syms: str) -> list[tuple[str, str]]:
+        t = syms.split(" ")
+        return [(t[i], t[i + 1]) for i in range(len(t) - 1)]
+
+    counts: Counter = Counter()
+    index: defaultdict = defaultdict(set)
+    for i, (_, syms, freq) in enumerate(words):
+        for p in adj_pairs(syms):
+            counts[p] += freq
+            index[p].add(i)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        if not counts:  # corpus exhausted (every word a single symbol)
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, a, b, int(cnt)))
+        for i in sorted(index.get((a, b), ())):
+            w, syms, freq = words[i]
+            new_syms = _apply_merge_str(syms, a, b)
+            if new_syms == syms:
+                continue
+            for p in adj_pairs(syms):
+                counts[p] -= freq
+                if counts[p] <= 0:
+                    del counts[p]
+                index[p].discard(i)
+            for p in adj_pairs(new_syms):
+                counts[p] += freq
+                index[p].add(i)
+            words[i][1] = new_syms
+    return merges, [(w, s, f) for w, s, f in words]
+
+
 def bpe_train(
-    spark: SparkSession, wc: DataFrame, n_merges: int = 8
+    spark: SparkSession,
+    wc: DataFrame,
+    n_merges: int = 8,
+    max_local_vocab: int = MAX_LOCAL_VOCAB,
 ) -> DataFrame:
     """Train ``n_merges`` BPE merges over a (word, freq) table; returns
     the learned merge table (step, sym_a, sym_b, pair_cnt) — the
-    artifact a tokenizer ships.
-
-    Each iteration: weighted pair count over the symbol table, 1-row
-    argmax collect (count DESC, then lexicographic pair — fully
-    deterministic), then the merge applied as a string map. The input
-    ``wc`` should be persisted by the caller (it is re-read once per
-    iteration); the symbol table itself stays vocab-bounded."""
-    merges, _ = bpe_train_with_vocab(spark, wc, n_merges)
+    artifact a tokenizer ships. See :func:`bpe_train_with_vocab` for
+    the local/distributed execution split."""
+    merges, _ = bpe_train_with_vocab(spark, wc, n_merges, max_local_vocab)
     return merges
 
 
-def bpe_train_with_vocab(
-    spark: SparkSession, wc: DataFrame, n_merges: int = 8
+def _train_distributed(
+    spark: SparkSession, wc: DataFrame, n_merges: int
 ) -> tuple[DataFrame, DataFrame]:
-    """bpe_train plus the ENCODED vocabulary: the symbol table after the
-    final merge IS every distinct word's subword segmentation, so
-    training yields the tokenizer-apply artifact for free. Returns
-    (merges, encoded_words) with encoded_words = (word, syms, freq) —
-    the word rides along, so the result doubles as the
-    word→segmentation ENCODING MAP ready to broadcast.
-
-    This is the scale shape of tokenizer APPLICATION too: encode the
-    distinct-word table once (vocab-bounded work), then the corpus maps
-    through it with a broadcast join — the raw text is never re-walked
-    per merge rule."""
+    """The over-cap path: per-iteration weighted pair-count shuffle +
+    1-row argmax collect (the bounded 1-row-statistic collect class),
+    merge applied as a string map. Never materializes the vocab table
+    on the driver. The input ``wc`` should be persisted by the caller
+    (it is re-read once per iteration)."""
     words = initial_symbols(wc)
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
@@ -154,3 +228,44 @@ def bpe_train_with_vocab(
         merges, "step int, sym_a string, sym_b string, pair_cnt bigint"
     )
     return merges_df, words
+
+
+def bpe_train_with_vocab(
+    spark: SparkSession,
+    wc: DataFrame,
+    n_merges: int = 8,
+    max_local_vocab: int = MAX_LOCAL_VOCAB,
+) -> tuple[DataFrame, DataFrame]:
+    """bpe_train plus the ENCODED vocabulary: the symbol table after the
+    final merge IS every distinct word's subword segmentation, so
+    training yields the tokenizer-apply artifact for free. Returns
+    (merges, encoded_words) with encoded_words = (word, syms, freq) —
+    the word rides along, so the result doubles as the
+    word→segmentation ENCODING MAP ready to broadcast.
+
+    Execution split (r12, VERDICT r11 #1): vocabularies within
+    ``max_local_vocab`` rows train in one count + one collect + an
+    in-memory incremental merge loop (:func:`_train_local`) — the
+    18-job distributed loop collapsed to 2, and the encoded map comes
+    back as a LocalRelation ready to broadcast. The count() guard runs
+    BEFORE the collect, so an over-cap vocab is diverted to
+    :func:`_train_distributed` instead of OOMing the driver. Both paths
+    produce byte-identical merge tables and segmentations (asserted in
+    tests/test_property_parity.py), and the same DuckDB oracle gates
+    both.
+
+    This is the scale shape of tokenizer APPLICATION too: encode the
+    distinct-word table once (vocab-bounded work), then the corpus maps
+    through it with a broadcast join — the raw text is never re-walked
+    per merge rule."""
+    if wc.count() <= max_local_vocab:
+        rows = [(r["word"], r["freq"]) for r in wc.collect()]
+        merges, encoded = _train_local(rows, n_merges)
+        merges_df = spark.createDataFrame(
+            merges, "step int, sym_a string, sym_b string, pair_cnt bigint"
+        )
+        encoded_df = spark.createDataFrame(
+            encoded, "word string, syms string, freq bigint"
+        )
+        return merges_df, encoded_df
+    return _train_distributed(spark, wc, n_merges)

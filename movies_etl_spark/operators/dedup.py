@@ -473,6 +473,7 @@ def cosine_pairs_vectorized(
     block_col: str = "label",
     threshold: float = 0.3,
     max_block_rows: int = MAX_COSINE_BLOCK_ROWS,
+    carry_col: str | None = None,
 ) -> DataFrame:
     """Numpy fast path for within-block cosine near-dup pairs: each block
     is scored with ONE BLAS gram matrix (applyInPandas per block) instead
@@ -481,6 +482,15 @@ def cosine_pairs_vectorized(
     which absorbs the fold-vs-BLAS last-ulp difference, so the fold
     twin's oracle gates this one too; pair-set equality with the fold
     twin is additionally asserted in tests.
+
+    ``carry_col`` (r12, VERDICT r11 #1): optionally ride a per-row
+    attribute through the kernel as ``{carry}_a``/``{carry}_b`` on each
+    emitted pair. The SemDeDup victim rule needs both members'
+    centroid-distance — the rows are already IN the pandas block, so
+    carrying them costs two numpy gathers and deletes the two
+    shuffle-joins consumers otherwise pay to stitch the attribute back
+    on (llm_corpus_pipeline's d2 joins). Default None leaves the output
+    schema and plan byte-identical to pre-r12.
 
     The O(b²)-per-block cost is GUARDED, not just documented: each task
     asserts its block is under ``max_block_rows`` and fails with the
@@ -507,19 +517,27 @@ def cosine_pairs_vectorized(
         sims = v @ v.T
         iu, ju = np.triu_indices(len(ids), k=1)
         sel = np.round(sims[iu, ju], 6) >= threshold
-        return pd.DataFrame(
-            {
-                "id_a": ids[iu[sel]],
-                "id_b": ids[ju[sel]],
-                block_col: pdf[block_col].iloc[0],
-                "sim": np.round(sims[iu, ju][sel], 4),
-            }
-        )
+        out = {
+            "id_a": ids[iu[sel]],
+            "id_b": ids[ju[sel]],
+            block_col: pdf[block_col].iloc[0],
+            "sim": np.round(sims[iu, ju][sel], 4),
+        }
+        if carry_col is not None:
+            carry = pdf[carry_col].to_numpy()[order]
+            out[f"{carry_col}_a"] = carry[iu[sel]]
+            out[f"{carry_col}_b"] = carry[ju[sel]]
+        return pd.DataFrame(out)
 
     block_type = df.schema[block_col].dataType.simpleString()
-    return df.select(id_col, vec_col, block_col).groupBy(block_col).applyInPandas(
-        per_block,
-        f"id_a bigint, id_b bigint, {block_col} {block_type}, sim double",
+    cols = [id_col, vec_col, block_col]
+    schema = f"id_a bigint, id_b bigint, {block_col} {block_type}, sim double"
+    if carry_col is not None:
+        carry_type = df.schema[carry_col].dataType.simpleString()
+        cols.append(carry_col)
+        schema += f", {carry_col}_a {carry_type}, {carry_col}_b {carry_type}"
+    return df.select(*cols).groupBy(block_col).applyInPandas(
+        per_block, schema
     )
 
 

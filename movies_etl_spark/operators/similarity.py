@@ -183,19 +183,42 @@ def _centroid_boundary(cents: DataFrame) -> DataFrame:
 
 def _assign_cells(v_df: DataFrame, cents: DataFrame) -> DataFrame:
     """Assign each vector to its nearest centroid (rounded distance,
-    ties to the lowest cell id — fully deterministic). Centroids are
-    tiny → broadcast; the corpus is scanned once per assignment pass."""
-    scored = v_df.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "vd",
-        "cell",
-        F.round(sq_dist(F.col("vd"), F.col("centroid")), 6).alias("d2"),
+    ties to the lowest cell id — fully deterministic).
+
+    MAP-ONLY (r12): the k centroids aggregate into ONE packed row
+    (collect_list — order-insensitive, the argmin is a min over
+    structs), broadcast onto the corpus, and the argmin evaluates as an
+    ``array_min`` over (d2, cell) structs per row — struct ordering is
+    field-by-field, so min(struct(d2, cell)) IS the old window's
+    ``ORDER BY d2, cell → rn=1`` row. The previous form exploded k rows
+    per vector and shuffled the ENTIRE corpus on vec_id for a window
+    argmin — per Lloyd's pass, a corpus-wide shuffle that dominates
+    everything else at 100 TB. Now each assignment pass is a pure scan:
+    zero exchanges on the corpus side (the only shuffle left in a
+    Lloyd's iteration is the k-row mean recompute)."""
+    packed = cents.agg(
+        F.collect_list(F.struct("cell", "centroid")).alias("cc")
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    best = F.array_min(
+        F.transform(
+            F.col("cc"),
+            lambda c: F.struct(
+                F.round(sq_dist(F.col("vd"), c["centroid"]), 6).alias("d2"),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )
     return (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "vd", "cell", "d2")
+        v_df.crossJoin(F.broadcast(packed))
+        # empty-centroid parity with the old crossJoin-with-empty form:
+        # zero output rows, not null-cell rows
+        .filter(F.size("cc") >= 1)
+        .select(
+            "vec_id",
+            "vd",
+            best["cell"].alias("cell"),
+            best["d2"].alias("d2"),
+        )
     )
 
 
@@ -224,6 +247,7 @@ def kmeans_assign(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means, fixed iteration count, pure DataFrame ops — the
     IVF coarse-quantizer TRAINER (topk_ivf consumes the resulting cell
@@ -236,7 +260,13 @@ def kmeans_assign(
     never self-joined and nothing iterative accumulates driver state.
     Fixed `iters` (not convergence-tested) keeps the plan static and the
     oracle finite; production runs pick iters from a held-out inertia
-    check. Returns (vec_id, cell, d2 = rounded squared distance)."""
+    check. Returns (vec_id, cell, d2 = rounded squared distance);
+    ``keep_vec=True`` (r12) additionally returns ``vd`` — the
+    double-cast input vector the assignment already scanned — so a
+    consumer that needs (cell, d2, vector) per row (the SemDeDup memb
+    frame) skips a whole shuffle-join back onto the embedding table;
+    float→double casts are exact, so downstream cosine over ``vd`` is
+    bit-identical to cosine over the raw column."""
     v = corpus.select(
         id_col, F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd")
     )
@@ -246,9 +276,10 @@ def kmeans_assign(
     for _ in range(iters - 1):
         cents = _recompute_centroids(_assign_cells(v, cents))
     assigned = _assign_cells(v, _centroid_boundary(cents))
-    return assigned.select(
-        id_col, "cell", F.round(F.col("d2"), 4).alias("d2")
-    )
+    cols = [id_col, "cell", F.round(F.col("d2"), 4).alias("d2")]
+    if keep_vec:
+        cols.append(F.col("vd"))
+    return assigned.select(*cols)
 
 
 def topk_bruteforce_vectorized(

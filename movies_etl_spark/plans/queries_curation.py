@@ -916,21 +916,25 @@ def q_llm_corpus_pipeline(spark, sf_dir):
     map-only quality filters prune at scan speed; exact dedup is ONE
     shuffle on the content hash; only survivors pay shingling/banding
     (band equi-join, never n²); SemDeDup pairs exist only within
-    learned cells (guarded BLAS blocks); decontamination is a broadcast
-    semi-join; BPE's sole corpus-scale stage is the wordcount shuffle
-    (merge iterations run on the vocab-bounded table); packing is the
+    learned cells (guarded BLAS blocks, the assignment carrying vector
+    and d2 through the kernel so the stage adds zero stitch-joins —
+    r12); decontamination is a broadcast semi-join; BPE's sole
+    corpus-scale stage is the wordcount shuffle (the merge loop runs
+    in-memory on the collected vocab — the same size contract the
+    encode broadcast already assumes, with the distributed
+    per-iteration loop as the over-cap fallback — r12); packing is the
     two-phase distributed prefix sum. Stage boundaries are where a
     100 TB run would checkpoint to storage: ex persists (single
     action-tree consumer set), while mh and clean are EAGER
     localCheckpoints (r9) — mh because SemDeDup embeds it in two join
-    branches, clean because eleven downstream jobs (wc + the 8
-    sequential BPE argmaxes + encode + pack) each re-analyze whatever
-    plan sits under it, and a persist keeps the full analyzed lineage
-    (measured 16.4 s → 3.9 s on the train loop, 30 → 9.2 s warm on the
-    whole composite at sf0.1 from the two leaves). The
-    DuckDB oracle replays the whole chain from the standalone stages'
-    own fragments; the independent python witness re-runs it from
-    scratch (tests/test_ground_truth.py)."""
+    branches, clean because the BPE count/collect and the pack action
+    each re-analyze whatever plan sits under it, and a persist keeps
+    the full analyzed lineage (r9 measurement: 16.4 s → 3.9 s on the
+    train loop from a leaf; r12 job profile: 71 → ~35 builder jobs
+    from the local BPE loop + the three deleted SemDeDup joins, see
+    NOTES_r12.md). The DuckDB oracle replays the whole chain from the
+    standalone stages' own fragments; the independent python witness
+    re-runs it from scratch (tests/test_ground_truth.py)."""
     from movies_etl_spark.operators import bpe as B
     from movies_etl_spark.operators import caching
     from movies_etl_spark.operators import dedup as D
@@ -979,12 +983,17 @@ def q_llm_corpus_pipeline(spark, sf_dir):
     qual = corp.filter(
         (F.size(toks) >= 10) & (C.duplicate_fraction(toks) <= 0.5)
     )
-    # 2. exact dedup: keep the first doc per content hash (one shuffle)
-    w = Window.partitionBy(TX.content_hash(F.col("text"))).orderBy("doc_id")
+    # 2. exact dedup: keep the first doc per content hash — min(struct)
+    #    groupBy, not a window (r12): identical keep-first semantics
+    #    (doc_id leads the struct and is unique), but the aggregate
+    #    combines MAP-SIDE, so duplicate families collapse before the
+    #    shuffle instead of shipping every copy to a sorted window
+    #    buffer — at 100 TB the shuffle volume drops by the duplicate
+    #    factor.
     ex = caching.tracked_persist(
-        qual.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        qual.groupBy(TX.content_hash(F.col("text")).alias("__h"))
+        .agg(F.min(F.struct("doc_id", "text")).alias("__f"))
+        .select(F.col("__f.doc_id").alias("doc_id"), F.col("__f.text").alias("text"))
     )
     # 3. MinHash-LSH near-dedup: banded candidates, Jaccard-verify, drop
     #    the larger id of each verified pair
@@ -1010,43 +1019,40 @@ def q_llm_corpus_pipeline(spark, sf_dir):
     # (dedup.py). Eager localCheckpoint evaluates it once AND truncates
     # the plan every downstream stage re-analyzes; on a fault-tolerant
     # cluster this is a checkpoint to storage (see the docstring).
+    # left_anti is set-semantic on the probe side already — no
+    # .distinct() on the victim frames (r12): each distinct was a full
+    # extra exchange of the same rows the join shuffle carries anyway.
     mh = caching.tracked_local_checkpoint(
         ex.join(
-            verified.select(F.col("id_b").alias("doc_id")).distinct(),
+            verified.select(F.col("id_b").alias("doc_id")),
             "doc_id",
             "left_anti",
         )
     )
     # 4. SemDeDup: frozen quantizer (trained on the full embedding
     #    table), within-cell cosine, drop the member closer to its
-    #    centroid (keep the atypical exemplar)
+    #    centroid (keep the atypical exemplar). r12 shape (VERDICT r11
+    #    #1): the assignment carries the vector (keep_vec — no join
+    #    back onto the embedding table) and the kernel carries d2 onto
+    #    each pair (carry_col — no d2 stitch-joins), deleting three
+    #    shuffle joins from the stage with identical values: vd is the
+    #    exact double cast the kernel float64-casts anyway, and d2 is
+    #    the same rounded column the joins used to fetch.
     e = _t(spark, sf_dir, "embeddings")
-    asg = caching.tracked_persist(SIM.kmeans_assign(e, k=4, iters=2))
-    memb = (
-        mh.select("doc_id")
-        .join(asg.withColumnRenamed("vec_id", "doc_id"), "doc_id")
-        .join(e.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id")
+    asg = caching.tracked_persist(
+        SIM.kmeans_assign(e, k=4, iters=2, keep_vec=True)
+    )
+    memb = mh.select("doc_id").join(
+        asg.withColumnRenamed("vec_id", "doc_id"), "doc_id"
     )
     sem_pairs = D.cosine_pairs_vectorized(
-        memb, id_col="doc_id", vec_col="embedding", block_col="cell",
-        threshold=SEMDEDUP_TAU,
+        memb, id_col="doc_id", vec_col="vd", block_col="cell",
+        threshold=SEMDEDUP_TAU, carry_col="d2",
     )
-    d2s = memb.select("doc_id", "d2")
-    sem_victims = (
-        sem_pairs.join(
-            d2s.select(F.col("doc_id").alias("id_a"), F.col("d2").alias("d2_a")),
-            "id_a",
-        )
-        .join(
-            d2s.select(F.col("doc_id").alias("id_b"), F.col("d2").alias("d2_b")),
-            "id_b",
-        )
-        .select(
-            F.when(F.col("d2_a") < F.col("d2_b"), F.col("id_a"))
-            .otherwise(F.col("id_b"))
-            .alias("doc_id")
-        )
-        .distinct()
+    sem_victims = sem_pairs.select(
+        F.when(F.col("d2_a") < F.col("d2_b"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("doc_id")
     )
     sem = mh.join(sem_victims, "doc_id", "left_anti")
     # 5. decontamination: the eval slice's distinct 5-grams broadcast
@@ -1061,19 +1067,17 @@ def q_llm_corpus_pipeline(spark, sf_dir):
         noneval.select("doc_id", F.explode(C.word_ngrams(toks, 5)).alias("ng"))
         .join(F.broadcast(ev), "ng", "left_semi")
         .select("doc_id")
-        .distinct()
     )
-    # Stage boundary (r9): clean feeds ELEVEN downstream jobs (the wc
-    # persist, the BPE loop's 8 sequential argmax collects, the encode
-    # broadcast, and the final pack action). A persist caches the DATA
-    # but keeps the full analyzed plan, so every one of those jobs was
-    # re-ANALYZING the entire upstream pipeline (measured: the 8-step
-    # train loop read 16.4 s with the lineage live vs 3.9 s against a
-    # leaf — pure per-job Catalyst cost on a 31-word vocab table).
-    # localCheckpoint truncates to a LogicalRDD leaf; storage
-    # checkpoint at 100 TB. Routed through the caching audit registry
-    # (r10): checkpoint blocks free on GC, not per-query — see
-    # caching._CHECKPOINTED for the release-discipline contract.
+    # Stage boundary (r9, consumers re-counted r12): clean feeds the
+    # BPE trainer's count+collect and the final pack action. A persist
+    # caches the DATA but keeps the full analyzed plan, so each
+    # downstream job re-ANALYZES the entire upstream pipeline (the r9
+    # measurement: a train loop re-analyzing this lineage cost 16.4 s
+    # vs 3.9 s against a leaf); localCheckpoint truncates to a
+    # LogicalRDD leaf — storage checkpoint at 100 TB. Routed through
+    # the caching audit registry (r10): checkpoint blocks free on GC,
+    # not per-query — see caching._CHECKPOINTED for the
+    # release-discipline contract.
     clean = caching.tracked_local_checkpoint(
         noneval.join(contaminated, "doc_id", "left_anti")
     )

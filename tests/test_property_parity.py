@@ -922,6 +922,55 @@ def test_bpe_survives_fully_merged_words(spark):
     }
 
 
+def test_bpe_local_trainer_matches_distributed(spark, sf_dir):
+    """The r12 driver-side merge loop must be byte-identical to the
+    distributed per-iteration loop it replaces: same merge table, same
+    final segmentation for every word, on a real corpus vocab.
+    max_local_vocab=0 forces the distributed path on the same input."""
+    from movies_etl_spark.operators import bpe as B
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wc = B.word_counts(d, "text").persist()
+    try:
+        m_loc, v_loc = B.bpe_train_with_vocab(spark, wc, n_merges=8)
+        m_dist, v_dist = B.bpe_train_with_vocab(
+            spark, wc, n_merges=8, max_local_vocab=0
+        )
+        assert sorted(map(tuple, m_loc.collect())) == sorted(
+            map(tuple, m_dist.collect())
+        )
+        assert sorted(map(tuple, v_loc.collect())) == sorted(
+            map(tuple, v_dist.collect())
+        )
+    finally:
+        wc.unpersist()
+
+
+def test_bpe_local_trainer_whitespace_word_parity(spark):
+    """Words may begin/end with non-space whitespace (word_counts splits
+    on ' ' alone); F.trim strips only ASCII spaces, so the python twin
+    must strip(' '), not strip() — a plain strip() would eat the
+    tab-symbol this vocab plants at the string boundary."""
+    from movies_etl_spark.operators import bpe as B
+
+    wc = spark.createDataFrame(
+        [("\tab", 4), ("ab", 3), ("b\t", 2)], "word string, freq bigint"
+    )
+    m_loc, v_loc = B.bpe_train_with_vocab(spark, wc, n_merges=4)
+    m_dist, v_dist = B.bpe_train_with_vocab(
+        spark, wc, n_merges=4, max_local_vocab=0
+    )
+    assert sorted(map(tuple, m_loc.collect())) == sorted(
+        map(tuple, m_dist.collect())
+    )
+    assert sorted(map(tuple, v_loc.collect())) == sorted(
+        map(tuple, v_dist.collect())
+    )
+    # the tab symbol must survive in the segmentation
+    segs = {r["word"]: r["syms"] for r in v_loc.collect()}
+    assert segs["\tab"].startswith("\t")
+
+
 def test_cms_inner_product_disjoint_sets_estimate_zero(spark):
     """Two sketches over DISJOINT key sets must estimate a 0-row join —
     a hash row with no overlapping cells is inner product 0 and the min

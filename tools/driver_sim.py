@@ -42,8 +42,16 @@ def main() -> None:
     # --all sweeps every registered query (the union the judge replays),
     # not just the driver's 50-name round window — run it after any
     # late-round rewrite to prove no off-window row went stale.
+    # Positional names (r12) run just those queries — the fast loop
+    # while iterating on a rewrite, before the full-window pass.
+    names = [a for a in sys.argv[1:] if not a.startswith("--")]
     if "--all" in sys.argv:
         window = list(m.queries())
+    elif names:
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        window = names
     else:
         window = m._CURRENT_PRIORITY[:50]
     failures = []
