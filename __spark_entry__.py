@@ -47,6 +47,11 @@ driver rows that certified retired code), the r11 verify-shape rewrite
 consumer (streaming_lsh_dedup), the one r11 addition
 (span_dedup_sliding), the complete remaining r6-latest cohort (36),
 and the 9 oldest r7 rows — after r11 no union row is older than r7.
+Round 12's window (_ROUND12_PRIORITY below): the 10 consumers of the
+r12 llm_corpus build-side rewrites (local BPE trainer, map-only
+Lloyd's assignment, cosine-kernel carry) + the streaming-LSH
+per-batch work, the complete 30-name r7-latest cohort, and the 10
+oldest r8 rows — after r12 no union row is older than r8.
 
 REGISTRATION POLICY (codified after three rounds of overflow debt):
 new queries register ONLY while the round's window has open slots and
@@ -78,6 +83,87 @@ from movies_etl_spark.plans import queries_mlprep  # noqa: E402,F401
 from movies_etl_spark.plans import queries_scale  # noqa: E402,F401
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
+
+# Round-12 window (exactly 50; registered total stays 215 — the
+# surface is saturated at 46/46 and VERDICT r11 ranked the round as
+# the llm_corpus build-side cut + pin refresh + freshness, so no new
+# registrations; NOTES_r12.md carries the ledger):
+#   1:     llm_corpus_pipeline — THE r12 target (VERDICT r11 #1): local
+#          BPE merge loop, map-only k-means assignment, carry_col d2 +
+#          keep_vec through the SemDeDup stage, min(struct) exact
+#          dedup, anti-join distinct drops. Composite leads.
+#   2-4:   the other three BPE-trainer consumers (bpe_train_with_vocab
+#          rewritten: driver-side merge loop under the count guard,
+#          distributed loop now the over-cap fallback).
+#   5-7:   the other cosine-kernel / Lloyd's-assignment consumers
+#          (cosine_pairs_vectorized carry_col; _assign_cells rewritten
+#          map-only: packed-centroid broadcast + array_min argmin
+#          replacing the corpus-wide vec_id window shuffle).
+#   8-9:   kmeans_assign + ann_frontier_sweep — direct consumers of the
+#          map-only assignment (dedup_semantic_incremental rides
+#          kmeans_train_assign through the same _assign_cells).
+#   10:    streaming_lsh_dedup — consumer of the r12 per-batch job-count
+#          work (VERDICT r11 #7).
+#   11-40: the COMPLETE 30-name r7-latest cohort (the union's oldest
+#          rows) in tools/correctness_union.py report order
+#          (VERDICT r11 #2).
+#   41-50: the 10 oldest r8-latest rows, same order source — after r12
+#          no union row is older than r8.
+_ROUND12_PRIORITY = [
+    # the r12 rewrite consumers (composite leads)
+    "llm_corpus_pipeline",
+    "bpe_pack_pipeline",
+    "bpe_train_merges",
+    "bpe_subword_stats",
+    "dedup_semantic_clusters",
+    "dedup_semantic_incremental",
+    "dedup_embedding_cosine",
+    "kmeans_assign",
+    "ann_frontier_sweep",
+    "streaming_lsh_dedup",
+    # complete r7-latest cohort, union-report order
+    "scan_orc",
+    "rank_battery",
+    "correlated_subquery",
+    "range_join_bucketed",
+    "asof_join_window",
+    "array_functions",
+    "map_functions",
+    "null_semantics",
+    "scan_csv_permissive",
+    "pivot_sum",
+    "window_first_last",
+    "text_repetition_ratio",
+    "decontaminate_ngram",
+    "pii_redact",
+    "train_test_split",
+    "group_quota_sample",
+    "text_lang_id",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "multimodal_extract",
+    "streaming_windowed_agg",
+    "dedup_simhash_pairs",
+    "text_tfidf_topterms",
+    "multimodal_frame_sample",
+    "embedding_normalize",
+    "streaming_session_window",
+    "sessionize_batch",
+    "bucketed_join",
+    "join_skew_salted",
+    "bloom_join_prune",
+    # oldest r8-latest rows (freshness filler to exactly 50)
+    "movies_etl_movies",
+    "movies_etl_movies_ratings",
+    "approx_stats",
+    "scan_jsonl",
+    "scan_text",
+    "scan_binary_files",
+    "sink_dynamic_partition_overwrite",
+    "upsert_merge",
+    "scd2_intervals",
+    "skew_report",
+]
 
 # Round-11 window (exactly 50; registered total 215 after the one r11
 # addition; NOTES_r11.md carries the ledger). VERDICT r10 next-round #1
@@ -261,7 +347,7 @@ _ROUND10_PRIORITY = [
     "fill_if_zero",
 ]
 
-_CURRENT_PRIORITY = _ROUND11_PRIORITY
+_CURRENT_PRIORITY = _ROUND12_PRIORITY
 
 # Round-10 window retained for the ledger (NOTES_r10.md references it);
 # _ordered() consumes _CURRENT_PRIORITY.

@@ -547,7 +547,12 @@ def _merge_versioned(
 
 def _verify_dropped(cand: DataFrame, sh_all: DataFrame) -> DataFrame:
     """Jaccard-verify LSH candidates against the accumulated shingle
-    store and return the batch doc_ids with a verified (≥0.5) partner.
+    store and return the batch doc_ids with a verified (≥0.5) partner
+    — as a bag, not a set (r12): the sole consumer is a left_anti
+    probe, which is set-semantic on its probe side, so the old trailing
+    ``.distinct()`` bought nothing but one more candidate-sized
+    exchange + AQE stage per micro-batch. Duplicate id_b rows stay
+    bounded by the same |cand| ≤ |batch| × cap broadcast contract.
 
     Verify-shape adjudication, settled r11 in the CONTRACT regime
     (VERDICT r10 #3): the candidate frame is BROADCAST EXPLICITLY into
@@ -585,7 +590,6 @@ def _verify_dropped(cand: DataFrame, sh_all: DataFrame) -> DataFrame:
         .join(vb, "id_b")
         .filter(F.round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 4) >= 0.5)
         .select("id_b")
-        .distinct()
     )
 
 
@@ -704,7 +708,15 @@ def lsh_dedup_stream(
         # the candidate probe must stay map-only over the index read
         # instead of shuffling it — AQE would usually get there, but
         # only after planning with a shuffle it then rewrites.
-        touched = bands_b.select("band_id", "band_key").distinct()
+        # no .distinct() on touched/cand/dropped (r12): the semi join,
+        # the verify, and the anti join are all set-semantic on these
+        # inputs already (the broadcast hash build dedups touched's
+        # keys; duplicate candidate pairs re-verify the same partner;
+        # duplicate dropped ids anti-probe identically), and each
+        # distinct cost a batch-sized exchange + AQE stage per
+        # micro-batch — measured 93 → ~70 jobs for the 4-batch suite
+        # fixture (NOTES_r12.md).
+        touched = bands_b.select("band_id", "band_key")
         all_bands = D.guard_band_buckets(
             index_bands.unionByName(bands_b).join(
                 F.broadcast(touched), ["band_id", "band_key"], "left_semi"
@@ -719,12 +731,16 @@ def lsh_dedup_stream(
             aold.join(F.broadcast(bnew), ["band_id", "band_key"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
-            .distinct()
         )
         sh_all = index_sh.unionByName(sh_b).filter(F.size("shingles") > 0)
         dropped = _verify_dropped(cand, sh_all)
+        # dropped is batch-derived (≤ batch-size by the same contract as
+        # touched/bnew) — broadcast it so the anti join is map-only over
+        # the batch instead of shuffling both sides
         survivors = batch_df.select("doc_id").join(
-            dropped, batch_df["doc_id"] == dropped["id_b"], "left_anti"
+            F.broadcast(dropped),
+            batch_df["doc_id"] == dropped["id_b"],
+            "left_anti",
         )
         survivors.write.mode("overwrite").parquet(
             f"{work_dir}/out/batch={batch_id}"

@@ -876,12 +876,13 @@ def test_streaming_verify_dropped_is_store_map_only(spark):
     plan = df._jdf.queryExecution().explainString(jvm_mode)
     assert _nodes(plan, "BroadcastHashJoin") == 2, plan
     assert "SortMergeJoin" not in plan
-    # exactly TWO shuffle exchanges, both candidate-sized: the fixture
-    # cand's own distinct (inside the broadcast build) and the final
-    # dropped-ids distinct. A store-side exchange (broadcast hint
-    # dropped → SMJ/shuffled-hash on either verify join) would add a
-    # third. (The previous per-line 'Exchange hashpartitioning' regex
-    # was VACUOUS in formatted mode — the node name and its
-    # hashpartitioning Arguments print on different lines; review
-    # catch, r11.)
-    assert _nodes(plan, "Exchange") == 2, plan
+    # exactly ONE shuffle exchange, candidate-sized: the fixture cand's
+    # own distinct (inside the broadcast build). The r11 shape had a
+    # second — the trailing dropped-ids distinct — retired in r12
+    # because the anti-join consumer is set-semantic. A store-side
+    # exchange (broadcast hint dropped → SMJ/shuffled-hash on either
+    # verify join) would add more. (The previous per-line 'Exchange
+    # hashpartitioning' regex was VACUOUS in formatted mode — the node
+    # name and its hashpartitioning Arguments print on different lines;
+    # review catch, r11.)
+    assert _nodes(plan, "Exchange") == 1, plan
