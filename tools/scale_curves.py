@@ -27,8 +27,19 @@ input). Each measurement is a noop-format write; 2 reps, median-free:
 the MIN is reported (the reps guard against one-off GC/compaction
 stalls; we are measuring work, not contention).
 
-Usage: python tools/scale_curves.py [query ...]   (default: the 8
-VERDICT-listed names + span_dedup_sliding)
+--hundred (r12, VERDICT r11 #4) extends the curve to 100×: a SECOND
+10-way replication of the 10× fixture (doc_id += k2·1e9, tokens
+re-prefixed s{k2}_ so all 100 replicas stay lexically disjoint;
+l_orderkey += k2·1e10, l_partkey += k2·1e9) for the tables the three
+target queries scan. The 10× table showed every slope is
+fixed-cost-dominated (≤0.27 except triangle's 0.72) — the data term
+was mostly invisible; the 10×→100× SEGMENT slope
+log(t_100/t_10)/log(10) is the honest linearity check, measured where
+data volume finally dwarfs per-job overhead.
+
+Usage: python tools/scale_curves.py [--hundred] [query ...]
+(default: the 8 VERDICT-listed names + span_dedup_sliding; --hundred
+defaults to the three VERDICT r11 #4 names)
 """
 
 from __future__ import annotations
@@ -61,6 +72,14 @@ DEFAULT_QUERIES = [
     "curation_pipeline",
     "span_dedup",
     "span_dedup_sliding",
+]
+
+#: the three cheapest-to-scale heavyweights (VERDICT r11 #4) — the
+#: 100× tier targets
+HUNDRED_QUERIES = [
+    "span_dedup_sliding",
+    "cms_join_size_estimate",
+    "dedup_minhash_incremental",
 ]
 
 TPCH_TABLES = [
@@ -136,6 +155,63 @@ def build_dirs(spark) -> tuple[str, str]:
     return one, ten
 
 
+def build_hundred(spark) -> str:
+    """100× fixture: a second 10-way replication OF THE 10× TABLES
+    (composing shifts keeps the per-replica planted duplicate structure
+    identical while every cross-replica shingle/window hash stays
+    distinct — the same lexical-disjointness discipline as the 10×
+    build, applied once more). Only documents and lineitem replicate
+    (the three HUNDRED_QUERIES scan nothing else at scale); the rest
+    symlink 1×. Same completeness+scheme sentinel discipline."""
+    ten = f"{WORK}/sf10x"
+    hundred = f"{WORK}/sf100x"
+    scheme = f"outer=10;inner=10;text=s{{k2}}_r{{k}}_prefix;src={SRC_SF}"
+    sentinel = f"{WORK}/.fixture100_complete"
+    if os.path.isfile(sentinel):
+        with open(sentinel) as f:
+            if f.read() == scheme:
+                return hundred
+    shutil.rmtree(hundred, ignore_errors=True)
+    os.makedirs(hundred)
+    for t in TPCH_TABLES:
+        if t not in ("documents", "lineitem"):
+            os.symlink(f"{SRC_SF}/{t}.parquet", f"{hundred}/{t}.parquet")
+    docs = spark.read.parquet(f"{ten}/documents.parquet")
+    reps = None
+    for k2 in range(REPLICAS):
+        r = docs.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(k2 * 1_000_000_000)
+        ).withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(F.lit(f"s{k2}_"), t),
+                ),
+                " ",
+            ),
+        )
+        reps = r if reps is None else reps.unionByName(r)
+    reps.repartition(64).write.mode("overwrite").parquet(
+        f"{hundred}/documents.parquet"
+    )
+    li = spark.read.parquet(f"{ten}/lineitem.parquet")
+    reps = None
+    for k2 in range(REPLICAS):
+        r = li.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(k2 * 10_000_000_000)
+        ).withColumn(
+            "l_partkey", F.col("l_partkey") + F.lit(k2 * 1_000_000_000)
+        )
+        reps = r if reps is None else reps.unionByName(r)
+    reps.repartition(64).write.mode("overwrite").parquet(
+        f"{hundred}/lineitem.parquet"
+    )
+    with open(sentinel, "w") as f:
+        f.write(scheme)
+    return hundred
+
+
 def wall(spark, name: str, sf_dir: str, reps: int = 2) -> float:
     best = None
     for _ in range(reps):
@@ -151,10 +227,38 @@ def wall(spark, name: str, sf_dir: str, reps: int = 2) -> float:
 def main() -> None:
     import math
 
-    names = sys.argv[1:] or DEFAULT_QUERIES
+    args = sys.argv[1:]
+    hundred_mode = "--hundred" in args
+    names = [a for a in args if not a.startswith("--")]
     spark = get_spark()
     spark.range(1).count()
     one, ten = build_dirs(spark)
+    if hundred_mode:
+        names = names or HUNDRED_QUERIES
+        hundred = build_hundred(spark)
+        for name in names:
+            t1 = wall(spark, name, one)
+            t10 = wall(spark, name, ten)
+            t100 = wall(spark, name, hundred)
+            print(
+                json.dumps(
+                    {
+                        "query": name,
+                        "t_1x_sec": t1,
+                        "t_10x_sec": t10,
+                        "t_100x_sec": t100,
+                        "slope_1_10": round(
+                            math.log(t10 / t1) / math.log(10), 3
+                        ),
+                        "slope_10_100": round(
+                            math.log(t100 / t10) / math.log(10), 3
+                        ),
+                    }
+                ),
+                flush=True,
+            )
+        return
+    names = names or DEFAULT_QUERIES
     for name in names:
         t1 = wall(spark, name, one)
         t10 = wall(spark, name, ten)
