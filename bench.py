@@ -368,8 +368,15 @@ def _ratios_vs_ref(
 
 
 #: Drift beyond this factor (either direction) marks the calibration
-#: probe untrustworthy and triggers the one-shot re-probe.
-DRIFT_RETRY_THRESHOLD = 1.5
+#: probe untrustworthy and triggers the one-shot re-probe. Tightened
+#: 1.5 → 1.3 in r12: a capture with drift 0.714 sailed through the 1.5
+#: band while its raw per-query times matched the previous clean
+#: capture at median 0.97 — the battery alone had run fast (hot page
+#: cache on its scan/stream fixtures), so normalization inflated every
+#: pin ratio ~1.26×. At 1.3 that capture re-probes; a genuine ambient
+#: shift re-reads roughly the same and keeps the first value under the
+#: closer-to-1.0 acceptance rule below.
+DRIFT_RETRY_THRESHOLD = 1.3
 
 
 def _drift_should_retry(d0: float | None) -> bool:

@@ -10,10 +10,15 @@ import bench
 def test_retry_triggers_on_slow_and_fast_spikes():
     assert bench._drift_should_retry(1.6)
     assert bench._drift_should_retry(0.5)  # spiked-fast reading
-    assert not bench._drift_should_retry(1.4)
-    assert not bench._drift_should_retry(0.8)  # 1/1.5 ≈ 0.667 < 0.8
+    assert not bench._drift_should_retry(1.25)
+    assert not bench._drift_should_retry(0.8)  # 1/1.3 ≈ 0.769 < 0.8
     assert not bench._drift_should_retry(1.0)
     assert not bench._drift_should_retry(None)
+    # the r12 case that motivated tightening 1.5 → 1.3: a 0.714 battery
+    # (hot page cache on the probe fixtures) passed the old band while
+    # raw query times matched the previous clean capture — must re-probe
+    assert bench._drift_should_retry(0.714)
+    assert bench._drift_should_retry(1.35)
 
 
 def test_retry_accepted_only_when_closer_to_one():

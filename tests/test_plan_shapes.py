@@ -658,6 +658,67 @@ def test_sketch_queries_plan_shapes(spark, sf_dir):
         assert _nodes(plan, "HashAggregate") >= 2, name  # partial+final
 
 
+def test_kmeans_assignment_pass_is_map_only_over_corpus(spark):
+    """The r12 map-only Lloyd's assignment (`similarity._assign_cells`):
+    centroids pack into ONE broadcast row and the argmin is an
+    array_min over (d2, cell) structs — the corpus side must carry
+    ZERO exchanges, no window, no sort. The only Exchange in the whole
+    plan is the k-row centroid collect_list agg (SinglePartition); the
+    pre-r12 form showed a corpus-wide vec_id hashpartitioning Exchange
+    plus a Window/Sort per assignment pass — at 100 TB that was a full
+    corpus shuffle per Lloyd's iteration."""
+    from pyspark.sql import functions as F
+
+    from movies_etl_spark.operators.similarity import _assign_cells
+
+    v = spark.range(5_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 97).cast("double"), (F.col("id") % 89).cast("double")
+        ).alias("vd"),
+    )
+    cents = spark.range(4).select(
+        F.col("id").alias("cell"),
+        F.array(F.col("id").cast("double"), F.lit(0.0)).alias("centroid"),
+    )
+    df = _assign_cells(v, cents)
+    jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(jvm_mode)
+    assert "Window" not in plan, plan
+    assert _nodes(plan, "Sort") == 0, plan
+    assert _nodes(plan, "BroadcastNestedLoopJoin") == 1, plan
+    # exactly the centroid-agg exchange; a corpus-side hashpartitioning
+    # exchange would make this 2+
+    assert _nodes(plan, "Exchange") == 1, plan
+
+
+def test_kmeans_assignment_tie_breaks_to_lowest_cell_and_empty_parity(spark):
+    """Value edges of the map-only argmin: (a) equidistant centroids
+    resolve to the LOWEST cell id (struct min on (d2, cell) — the old
+    window's ORDER BY d2, cell); (b) an EMPTY centroid frame yields
+    zero rows, matching the old crossJoin-with-empty behavior, not
+    null-cell rows from array_min over an empty packed list."""
+    from pyspark.sql import functions as F
+
+    from movies_etl_spark.operators.similarity import _assign_cells
+
+    v = spark.createDataFrame([(7,)], "vec_id bigint").select(
+        "vec_id", F.array(F.lit(0.0), F.lit(0.0)).alias("vd")
+    )
+    cents = spark.createDataFrame(
+        [(5, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "cell bigint, centroid array<double>",
+    )
+    rows = _assign_cells(v, cents).collect()
+    assert len(rows) == 1
+    assert rows[0]["cell"] == 3 and rows[0]["d2"] == 1.0
+
+    empty = cents.filter(F.col("cell") < 0)
+    assert _assign_cells(v, empty).count() == 0
+
+
 def test_semdedup_pairs_stay_blocked(spark, sf_dir):
     """The SemDeDup pair stage must remain the guarded per-block
     Python kernel (one FlatMapGroupsInPandas over the cell key), never
