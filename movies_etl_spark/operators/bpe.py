@@ -145,7 +145,16 @@ def _train_local(
     Pair counts update INCREMENTALLY: only words containing the merged
     pair are re-walked per iteration (the pair→word index), so
     iterations after the first cost O(affected words), the same
-    asymptotic shape industrial in-memory trainers use."""
+    asymptotic shape industrial in-memory trainers use.
+
+    Known seam (documented, not hit by any fixture): initial symbols
+    here split by CODE POINT (python iteration, matching DuckDB's
+    string_split(word, '')), while the distributed path's
+    F.split(word, '') splits by UTF-16 code unit — a non-BMP character
+    (outside ASCII/BMP) would seed as one symbol locally and two
+    (surrogate halves) distributed. The oracle gate agrees with the
+    LOCAL semantics; a corpus with non-BMP words that also exceeds
+    max_local_vocab would need the distributed seeding aligned first."""
     from collections import Counter, defaultdict
 
     # [word, syms, freq]; syms seeded exactly like initial_symbols

@@ -714,7 +714,7 @@ def lsh_dedup_stream(
         # keys; duplicate candidate pairs re-verify the same partner;
         # duplicate dropped ids anti-probe identically), and each
         # distinct cost a batch-sized exchange + AQE stage per
-        # micro-batch — measured 93 → ~70 jobs for the 4-batch suite
+        # micro-batch — measured 93 → 74 jobs for the 4-batch suite
         # fixture (NOTES_r12.md).
         touched = bands_b.select("band_id", "band_key")
         all_bands = D.guard_band_buckets(
