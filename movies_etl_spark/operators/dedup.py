@@ -357,6 +357,47 @@ def candidate_pairs_minhash(
     return pairs.distinct()
 
 
+def verify_pairs(
+    pairs: DataFrame, sh_all: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Jaccard-verify candidate (id_a, id_b) pairs against a
+    (doc_id, shingles) table, returning the pairs at ≥ ``threshold`` —
+    as ONE shingle join + ONE pair regroup (r12), not two sequential
+    id-keyed joins: each pair explodes to (pair, member) roles, fetches
+    its shingle array in a single doc_id-keyed join, and regroups on
+    the pair struct (max-of-when picks each side; aggregate max skips
+    the other side's nulls) — two exchanges instead of four. Docs with
+    empty shingle arrays drop exactly like the classic inner joins
+    (their side stays null). ``pairs`` must be duplicate-free (the
+    regroup assumes ≤ 2 role rows per pair) — candidate_pairs_minhash's
+    contract already is."""
+    sh = sh_all.filter(F.size("shingles") > 0)
+    roles = pairs.select(
+        F.struct("id_a", "id_b").alias("__p"),
+        F.explode(F.array("id_a", "id_b")).alias("doc_id"),
+    )
+    return (
+        roles.join(sh, "doc_id")
+        .groupBy("__p")
+        .agg(
+            F.max(
+                F.when(F.col("doc_id") == F.col("__p.id_a"), F.col("shingles"))
+            ).alias("sh_a"),
+            F.max(
+                F.when(F.col("doc_id") == F.col("__p.id_b"), F.col("shingles"))
+            ).alias("sh_b"),
+        )
+        .filter(
+            F.col("sh_a").isNotNull()
+            & F.col("sh_b").isNotNull()
+            & (F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4) >= threshold)
+        )
+        .select(
+            F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b")
+        )
+    )
+
+
 def incremental_candidate_pairs(
     index_bands: DataFrame,
     delta_bands: DataFrame,

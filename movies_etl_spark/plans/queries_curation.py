@@ -995,41 +995,13 @@ def q_llm_corpus_pipeline(spark, sf_dir):
         .agg(F.min(F.struct("doc_id", "text")).alias("__f"))
         .select(F.col("__f.doc_id").alias("doc_id"), F.col("__f.text").alias("text"))
     )
-    # 3. MinHash-LSH near-dedup: banded candidates, Jaccard-verify, drop
-    #    the larger id of each verified pair. Verify is ONE shingle join
-    #    + ONE pair regroup (r12), not two sequential id-keyed joins:
-    #    each pair explodes to (pair, member) roles, fetches its shingle
-    #    array in a single doc_id-keyed join against the persisted
-    #    shingle table, and regroups on the pair struct (max-of-when
-    #    picks each side; aggregate max skips the other side's nulls) —
-    #    two exchanges instead of four, and docs filtered from the
-    #    shingle table (empty arrays) drop exactly like the old inner
-    #    joins (their side stays null).
+    # 3. MinHash-LSH near-dedup: banded candidates, Jaccard-verify
+    #    (the shared fused role-explode form — dedup.verify_pairs, r12:
+    #    one shingle join + one pair regroup, two exchanges instead of
+    #    four), drop the larger id of each verified pair.
     sh_all = caching.tracked_persist(D.shingled(ex, "text", "doc_id"))
     pairs = D.candidate_pairs_minhash(sh_all, "doc_id")
-    sh = sh_all.filter(F.size("shingles") > 0)
-    roles = pairs.select(
-        F.struct("id_a", "id_b").alias("__p"),
-        F.explode(F.array("id_a", "id_b")).alias("doc_id"),
-    )
-    verified = (
-        roles.join(sh, "doc_id")
-        .groupBy("__p")
-        .agg(
-            F.max(
-                F.when(F.col("doc_id") == F.col("__p.id_a"), F.col("shingles"))
-            ).alias("sh_a"),
-            F.max(
-                F.when(F.col("doc_id") == F.col("__p.id_b"), F.col("shingles"))
-            ).alias("sh_b"),
-        )
-        .filter(
-            F.col("sh_a").isNotNull()
-            & F.col("sh_b").isNotNull()
-            & (F.round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 4) >= 0.5)
-        )
-        .select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
-    )
+    verified = D.verify_pairs(pairs, sh_all)
     # Stage boundary (r9): the MinHash survivor set is consumed by BOTH
     # branches of the SemDeDup stage (memb→victims AND the sem
     # anti-join), so without a leaf here the candidate-generate+verify

@@ -1286,17 +1286,12 @@ def _verified_near_dup_edges(spark, sf_dir):
 def verified_edges(corpus):
     """Jaccard-verified (≥ 0.5) MinHash-LSH near-dup edges over any
     (doc_id, text) corpus — also consumed by the curation_pipeline
-    composite (queries_curation.py)."""
+    composite (queries_curation.py). Verification is the shared fused
+    role-explode form (dedup.verify_pairs, r12): one shingle join + one
+    pair regroup — two exchanges instead of the classic four."""
     sh_all = caching.tracked_persist(D.shingled(corpus, "text", "doc_id"))
     pairs = D.candidate_pairs_minhash(sh_all, "doc_id")
-    sh = sh_all.filter(F.size("shingles") > 0)
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    return (
-        pairs.join(a, "id_a").join(b, "id_b")
-        .filter(F.round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 4) >= 0.5)
-        .select("id_a", "id_b")
-    )
+    return D.verify_pairs(pairs, sh_all)
 
 
 @query(
