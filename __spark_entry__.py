@@ -104,16 +104,18 @@ SF_SMOKE_DIR = "/root/testdata/sf0.001"
 #          kmeans_train_assign through the same _assign_cells).
 #   10:    streaming_lsh_dedup — consumer of the r12 per-batch job-count
 #          work (VERDICT r11 #7).
-#   11-13: the three verified_edges consumers — late-r12 rewrite
+#   11-15: the five remaining verify consumers — late-r12 rewrite
 #          consumers (the fused role-explode Jaccard verify,
-#          dedup.verify_pairs, replaced the classic two-join verify
-#          shared by dedup_survivors / dedup_cluster_components /
-#          curation_pipeline), displacing the three newest r8 fillers
-#          per the standing re-validation rule.
-#   14-43: the COMPLETE 30-name r7-latest cohort (the union's oldest
+#          dedup.verify_pairs, replaced the classic two-join verify in
+#          verified_edges — dedup_survivors / dedup_cluster_components
+#          / curation_pipeline — and, with keep_jaccard, in
+#          dedup_minhash_lsh / dedup_minhash_incremental), displacing
+#          the five newest r8 fillers per the standing re-validation
+#          rule.
+#   16-45: the COMPLETE 30-name r7-latest cohort (the union's oldest
 #          rows) in tools/correctness_union.py report order
 #          (VERDICT r11 #2).
-#   44-50: the 7 oldest r8-latest rows, same order source — after r12
+#   46-50: the 5 oldest r8-latest rows, same order source — after r12
 #          no union row is older than r8.
 _ROUND12_PRIORITY = [
     # the r12 rewrite consumers (composite leads)
@@ -131,6 +133,8 @@ _ROUND12_PRIORITY = [
     "dedup_survivors",
     "dedup_cluster_components",
     "curation_pipeline",
+    "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
     # complete r7-latest cohort, union-report order
     "scan_orc",
     "rank_battery",
@@ -163,14 +167,12 @@ _ROUND12_PRIORITY = [
     "join_skew_salted",
     "bloom_join_prune",
     # oldest r8-latest rows (freshness filler to exactly 50; the last
-    # three displaced by slots 11-13, their r8 rows stand)
+    # five displaced by slots 11-15, their r8 rows stand)
     "movies_etl_movies",
     "movies_etl_movies_ratings",
     "approx_stats",
     "scan_jsonl",
     "scan_text",
-    "scan_binary_files",
-    "sink_dynamic_partition_overwrite",
 ]
 
 # Round-11 window (exactly 50; registered total 215 after the one r11

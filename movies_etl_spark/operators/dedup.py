@@ -358,7 +358,10 @@ def candidate_pairs_minhash(
 
 
 def verify_pairs(
-    pairs: DataFrame, sh_all: DataFrame, threshold: float = 0.5
+    pairs: DataFrame,
+    sh_all: DataFrame,
+    threshold: float = 0.5,
+    keep_jaccard: bool = False,
 ) -> DataFrame:
     """Jaccard-verify candidate (id_a, id_b) pairs against a
     (doc_id, shingles) table, returning the pairs at ≥ ``threshold`` —
@@ -370,12 +373,21 @@ def verify_pairs(
     empty shingle arrays drop exactly like the classic inner joins
     (their side stays null). ``pairs`` must be duplicate-free (the
     regroup assumes ≤ 2 role rows per pair) — candidate_pairs_minhash's
-    contract already is."""
+    contract already is. ``keep_jaccard`` adds the rounded-4 ``jac``
+    column (the value the threshold compared — the quantized boundary
+    statistic per the SCALE.md standing rule)."""
     sh = sh_all.filter(F.size("shingles") > 0)
     roles = pairs.select(
         F.struct("id_a", "id_b").alias("__p"),
         F.explode(F.array("id_a", "id_b")).alias("doc_id"),
     )
+    jac = F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4)
+    cols = [
+        F.col("__p.id_a").alias("id_a"),
+        F.col("__p.id_b").alias("id_b"),
+    ]
+    if keep_jaccard:
+        cols.append(jac.alias("jac"))
     return (
         roles.join(sh, "doc_id")
         .groupBy("__p")
@@ -390,11 +402,9 @@ def verify_pairs(
         .filter(
             F.col("sh_a").isNotNull()
             & F.col("sh_b").isNotNull()
-            & (F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4) >= threshold)
+            & (jac >= threshold)
         )
-        .select(
-            F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b")
-        )
+        .select(*cols)
     )
 
 

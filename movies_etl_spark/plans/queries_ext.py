@@ -269,19 +269,9 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     corpus = _near_corpus(spark, sf_dir)
     sh_all = caching.tracked_persist(D.shingled(corpus, "text", "doc_id"))
     pairs = D.candidate_pairs_minhash(sh_all, "doc_id")
-    sh = sh_all.filter(F.size("shingles") > 0)
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    verified = (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jac"),
-        )
-    )
-    return verified.filter(F.col("jac") >= 0.5).select("id_a", "id_b", "jac")
+    # shared fused verify (dedup.verify_pairs, r12): one shingle join +
+    # one pair regroup — two exchanges instead of four
+    return D.verify_pairs(pairs, sh_all, keep_jaccard=True)
 
 
 @query("dedup_minhash_incremental", oracle=_MINHASH_ORACLE)
@@ -335,21 +325,10 @@ def q_dedup_minhash_incremental(spark, sf_dir):
     new_pairs = D.incremental_candidate_pairs(index_bands, delta_bands, "doc_id")
     all_pairs = base_pairs.unionByName(new_pairs).distinct()
 
-    # --- verify against the shingle store ∪ delta shingles ---
+    # --- verify against the shingle store ∪ delta shingles (shared
+    # fused form — dedup.verify_pairs, r12) ---
     sh_all = spark.read.parquet(f"{store}/shingles").unionByName(sh_delta)
-    sh = sh_all.filter(F.size("shingles") > 0)
-    va = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    vb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    verified = (
-        all_pairs.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jac"),
-        )
-    )
-    out = verified.filter(F.col("jac") >= 0.5).select("id_a", "id_b", "jac")
+    out = D.verify_pairs(all_pairs, sh_all, keep_jaccard=True)
     # materialize BEFORE the maintenance append: the verify plan reads
     # the shingle store, and appending the delta first would double the
     # delta's shingle rows under it (the returned frame is lazy)
