@@ -369,13 +369,28 @@ def verify_pairs(
     id-keyed joins: each pair explodes to (pair, member) roles, fetches
     its shingle array in a single doc_id-keyed join, and regroups on
     the pair struct (max-of-when picks each side; aggregate max skips
-    the other side's nulls) — two exchanges instead of four. Docs with
-    empty shingle arrays drop exactly like the classic inner joins
-    (their side stays null). ``pairs`` must be duplicate-free (the
-    regroup assumes ≤ 2 role rows per pair) — candidate_pairs_minhash's
-    contract already is. ``keep_jaccard`` adds the rounded-4 ``jac``
-    column (the value the threshold compared — the quantized boundary
-    statistic per the SCALE.md standing rule)."""
+    the other side's nulls).
+
+    Why this is the scale shape: in the regime that matters — a
+    corpus-sized shingle table, too big to broadcast — the classic
+    two-join form exchanges the FULL shingle table twice (once per
+    side) plus a mid-join shuffle of pairs already carrying sh_a; the
+    fused form exchanges the full table ONCE (the roles side is
+    id-only, and the regroup moves 2·|pairs| rows with one array
+    each — the same array volume the old mid-join moved). At small
+    fixture SF the planner can instead broadcast the shingle table
+    under the classic form, so static plan-node counts there do not
+    show the win — the measured sf0.1 walls do (dedup_survivors
+    4.5 → 3.7-4.1 s, dedup_minhash_lsh 5.1 → 4.6 s), and the
+    broadcast path is exactly the one that dies at 100 TB.
+
+    Docs with empty shingle arrays drop exactly like the classic inner
+    joins (their side stays null). ``pairs`` must be duplicate-free
+    (the regroup assumes ≤ 2 role rows per pair) —
+    candidate_pairs_minhash's contract already is. ``keep_jaccard``
+    adds the rounded-4 ``jac`` column (the value the threshold
+    compared — the quantized boundary statistic per the SCALE.md
+    standing rule)."""
     sh = sh_all.filter(F.size("shingles") > 0)
     roles = pairs.select(
         F.struct("id_a", "id_b").alias("__p"),

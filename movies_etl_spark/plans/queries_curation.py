@@ -997,8 +997,9 @@ def q_llm_corpus_pipeline(spark, sf_dir):
     )
     # 3. MinHash-LSH near-dedup: banded candidates, Jaccard-verify
     #    (the shared fused role-explode form — dedup.verify_pairs, r12:
-    #    one shingle join + one pair regroup, two exchanges instead of
-    #    four), drop the larger id of each verified pair.
+    #    one shingle join + one pair regroup; one full-shingle-table
+    #    exchange instead of two at scale), drop the larger id of each
+    #    verified pair.
     sh_all = caching.tracked_persist(D.shingled(ex, "text", "doc_id"))
     pairs = D.candidate_pairs_minhash(sh_all, "doc_id")
     verified = D.verify_pairs(pairs, sh_all)

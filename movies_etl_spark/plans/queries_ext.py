@@ -270,7 +270,8 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     sh_all = caching.tracked_persist(D.shingled(corpus, "text", "doc_id"))
     pairs = D.candidate_pairs_minhash(sh_all, "doc_id")
     # shared fused verify (dedup.verify_pairs, r12): one shingle join +
-    # one pair regroup — two exchanges instead of four
+    # one pair regroup — one full-shingle-table exchange instead of two
+    # in the non-broadcastable regime (see the operator docstring)
     return D.verify_pairs(pairs, sh_all, keep_jaccard=True)
 
 
@@ -1267,7 +1268,8 @@ def verified_edges(corpus):
     (doc_id, text) corpus — also consumed by the curation_pipeline
     composite (queries_curation.py). Verification is the shared fused
     role-explode form (dedup.verify_pairs, r12): one shingle join + one
-    pair regroup — two exchanges instead of the classic four."""
+    pair regroup — one full-shingle-table exchange instead of the
+    classic form's two (see the operator docstring)."""
     sh_all = caching.tracked_persist(D.shingled(corpus, "text", "doc_id"))
     pairs = D.candidate_pairs_minhash(sh_all, "doc_id")
     return D.verify_pairs(pairs, sh_all)
