@@ -971,6 +971,45 @@ def test_bpe_local_trainer_whitespace_word_parity(spark):
     assert segs["\tab"].startswith("\t")
 
 
+def test_verify_pairs_matches_classic_two_join_verify(spark, sf_dir):
+    """The r12 fused role-explode verify (dedup.verify_pairs) must be
+    value-identical to the classic two-join verify it replaced, on the
+    real near-dup corpus and real LSH candidates — including the jac
+    column. (The fused form's win is exchange VOLUME — one
+    full-shingle-table exchange instead of two in the non-broadcast
+    regime — which node counts at fixture SF cannot show; this witness
+    pins the semantics so the shape is free to differ.)"""
+    from pyspark.sql import functions as F
+
+    from movies_etl_spark.operators import dedup as D
+    from movies_etl_spark.plans.queries_ext import _near_corpus
+
+    corpus = _near_corpus(spark, sf_dir)
+    sh_all = D.shingled(corpus, "text", "doc_id").persist()
+    try:
+        pairs = D.candidate_pairs_minhash(sh_all, "doc_id")
+        sh = sh_all.filter(F.size("shingles") > 0)
+        a = sh.select(
+            F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+        )
+        b = sh.select(
+            F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+        )
+        jac = F.round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 4)
+        classic = (
+            pairs.join(a, "id_a")
+            .join(b, "id_b")
+            .filter(jac >= 0.5)
+            .select("id_a", "id_b", jac.alias("jac"))
+        )
+        fused = D.verify_pairs(pairs, sh_all, keep_jaccard=True)
+        got_c = sorted(map(tuple, classic.collect()))
+        got_f = sorted(map(tuple, fused.collect()))
+        assert got_f == got_c and len(got_f) > 0
+    finally:
+        sh_all.unpersist()
+
+
 def test_cms_inner_product_disjoint_sets_estimate_zero(spark):
     """Two sketches over DISJOINT key sets must estimate a 0-row join —
     a hash row with no overlapping cells is inner product 0 and the min
