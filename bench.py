@@ -25,6 +25,28 @@ from movies_etl_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+
+def _drop_page_cache() -> bool:
+    """Best-effort OS page-cache drop before the capture (r12).
+
+    The calibration reference (BENCH_CAL_REF.json) was pinned on a
+    cold-cache capture; a capture taken right after a test run reads
+    its scan/stream probes from hot page cache, the drift factor comes
+    out ~0.7, and normalization inflates every per-query ratio ~1.3×
+    (measured — the discarded first r12 capture; the drift-retry band
+    cannot fix it because a re-probe reads the same hot cache). Root
+    only; silently skipped elsewhere and recorded in the detail JSON
+    either way. Opt out with SPARK_GRAFT_NO_DROP_CACHES=1."""
+    if os.environ.get("SPARK_GRAFT_NO_DROP_CACHES"):
+        return False
+    try:
+        os.sync()
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3")
+        return True
+    except OSError:
+        return False
+
 #: headline queries: the flagship fact-table path plus the operators that
 #: dominate cost at scale (shuffle-heavy aggregation, joins, window dedup,
 #: regex expression pipelines).
@@ -445,6 +467,8 @@ def main() -> None:
     from movies_etl_spark.plans import queries_mlprep  # noqa: F401
     from movies_etl_spark.plans import queries_scale  # noqa: F401
 
+    cache_dropped = _drop_page_cache()
+
     spark = get_spark(app_name="movies_etl_bench")
 
     # Warm the JVM/codegen once on a small query so the first timed entry
@@ -646,6 +670,7 @@ def main() -> None:
             d for d in drift_attempts if d is not None
         ] or None,
         "drift_ref": cal_ref_source,
+        "page_cache_dropped": cache_dropped,
         "sf": _sf_from_dir(SF_DIR),
         "n_queries": len(timings),
         "approx_rows_per_sec": round(rows_total / total) if total else None,
