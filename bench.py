@@ -675,6 +675,10 @@ def main() -> None:
         "n_queries": len(timings),
         "approx_rows_per_sec": round(rows_total / total) if total else None,
         "cluster_propagation_rounds": dedup.LAST_CC_ROUNDS or None,
+        # which connected_components path the suite exercised (r13:
+        # "local" = count-guarded driver union-find, 0 rounds by
+        # construction; "distributed" = the over-cap label loop)
+        "cluster_components_mode": dedup.LAST_CC_MODE or None,
         **cal,
         "ann_recall_at_5": ann_recall or None,
     }

@@ -1252,8 +1252,10 @@ def q_dedup_cluster_components(spark, sf_dir):
     """Dedup cluster resolution: MinHash-LSH verified pairs → connected
     components → canonical cluster id (min member). The oracle computes
     the same components via a recursive transitive closure; the engine
-    uses iterative min-label propagation (one label-table shuffle per
-    round, 2-3 rounds at near-dup diameters)."""
+    runs a count-guarded driver union-find over the verified edge list
+    (tiny relative to the corpus — one count + one collect, r13) with
+    iterative min-label propagation as the over-cap fallback (one
+    label-table shuffle per round, 2-3 rounds at near-dup diameters)."""
     return D.connected_components(_verified_near_dup_edges(spark, sf_dir))
 
 
@@ -1312,7 +1314,8 @@ def q_dedup_survivors(spark, sf_dir):
     anti-join the losers out of the corpus.
 
     Scale shape: every stage is the already-audited operator (band-bucket
-    candidate join, blocked verification, per-round label shuffle); the
+    candidate join, blocked verification, guarded-local components with
+    the per-round label shuffle as over-cap fallback — r13); the
     final keep/drop decision is one broadcast-sized anti-join (the
     dropped set is small relative to the corpus). This is the query a
     user actually runs nightly; the pieces exist separately for

@@ -240,16 +240,36 @@ def test_table_fingerprint_single_shuffle_no_sort(spark, sf_dir):
 
 
 def test_connected_components_lineage_truncated(spark, sf_dir):
-    """Iterative label propagation must return a LEAF-plan frame
-    (localCheckpoint per round), not a plan that embeds every round's
-    join tree: with persist alone the analyzed plan grows geometrically
-    with rounds and Catalyst pays seconds of optimization per downstream
-    action on already-cached data (the r3 curation_pipeline finding —
-    see SCALE.md 'Cluster components')."""
+    """connected_components must return a LEAF-plan frame, never a plan
+    that embeds the verify lineage or every propagation round's join
+    tree. r13 split: under the edge cap the components run driver-side
+    (union-find) and come back as a LocalTableScan — zero jobs, zero
+    exchanges in every downstream consumer plan; the over-cap
+    distributed loop still returns a localCheckpoint leaf (Scan
+    ExistingRDD) per round (with persist alone the analyzed plan grows
+    geometrically with rounds and Catalyst pays seconds of optimization
+    per downstream action on already-cached data — the r3
+    curation_pipeline finding; see SCALE.md 'Cluster components')."""
+    from movies_etl_spark.operators import dedup as D
+
     plan = _plan(spark, sf_dir, "dedup_cluster_components")
-    assert "Scan ExistingRDD" in plan, plan
-    assert "Scan parquet" not in plan, "rounds must not re-embed the scan"
+    assert D.LAST_CC_MODE == "local", "fixture edges must fit the cap"
+    assert "LocalTableScan" in plan, plan
+    assert "Scan parquet" not in plan, "labels must not re-embed the scan"
     assert len(plan) < 20_000, f"plan blew up to {len(plan)} chars"
+
+    # over-cap fallback: same leaf-plan property via the per-round
+    # localCheckpoint (forced by a zero cap on the same fixture edges)
+    from movies_etl_spark.plans.queries_ext import _verified_near_dup_edges
+
+    dist = D.connected_components(
+        _verified_near_dup_edges(spark, sf_dir), max_local_edges=0
+    )
+    dplan = _formatted(spark, dist)
+    assert D.LAST_CC_MODE == "distributed"
+    assert "Scan ExistingRDD" in dplan, dplan
+    assert "Scan parquet" not in dplan, "rounds must not re-embed the scan"
+    assert len(dplan) < 20_000, f"plan blew up to {len(dplan)} chars"
 
 
 def test_weighted_sample_uses_take_ordered(spark, sf_dir):

@@ -235,12 +235,52 @@ def test_connected_components_empty_edges_exits_first_round(spark):
     """F.sum over an empty labels frame is NULL: without the coalesce the
     convergence check never fires and the loop runs all max_iter rounds.
     Regression: empty edge list must terminate after one round and return
-    an empty labels frame."""
+    an empty labels frame — on BOTH execution paths (the r13 local path
+    takes it trivially; the forced distributed path needs the coalesce)."""
     from movies_etl_spark.operators.dedup import connected_components
 
     edges = spark.createDataFrame([], "id_a bigint, id_b bigint")
-    out = connected_components(edges, max_iter=50)
-    assert out.count() == 0
+    assert connected_components(edges, max_iter=50).count() == 0
+    assert (
+        connected_components(edges, max_iter=50, max_local_edges=0).count()
+        == 0
+    )
+
+
+def test_connected_components_local_distributed_parity(spark):
+    """r13 execution split (the r12 BPE playbook applied to the curation
+    build side): the count-guarded driver union-find and the over-cap
+    distributed label-propagation loop must return IDENTICAL labels.
+    Asserted on a seeded random multigraph (dense enough that the
+    distributed loop needs many propagation rounds) plus the adversarial
+    shapes: a self-loop singleton, a diameter-3 chain, and duplicate /
+    reversed edges."""
+    import random
+
+    from movies_etl_spark.operators import dedup as D
+
+    rng = random.Random(13)
+    edges = [(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(120)]
+    edges += [(100, 100), (200, 201), (201, 202), (202, 203), (201, 200)]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+
+    loc = {
+        (r["node"], r["component"])
+        for r in D.connected_components(df).collect()
+    }
+    assert D.LAST_CC_MODE == "local" and D.LAST_CC_ROUNDS == 0
+    dist = {
+        (r["node"], r["component"])
+        for r in D.connected_components(df, max_local_edges=0).collect()
+    }
+    assert D.LAST_CC_MODE == "distributed" and D.LAST_CC_ROUNDS > 1
+    assert loc == dist and len(loc) > 0
+    # canonical label is the min member id: every component labels itself
+    comps = {c for _, c in loc}
+    assert all(
+        c == min(n for n, cc in loc if cc == c) for c in comps
+    )
+    assert (100, 100) in loc and (203, 200) in loc
 
 
 def test_approx_stats_within_bounds(spark, sf_dir, duck):
