@@ -36,13 +36,17 @@ def _drop_page_cache() -> bool:
     (measured — the discarded first r12 capture; the drift-retry band
     cannot fix it because a re-probe reads the same hot cache). Root
     only; silently skipped elsewhere and recorded in the detail JSON
-    either way. Opt out with SPARK_GRAFT_NO_DROP_CACHES=1."""
+    either way. Opt out with SPARK_GRAFT_NO_DROP_CACHES=1.
+
+    Writes '1' (page cache only), not '3' (ADVICE r12): dentries/inodes
+    are not what the probes read hot, and evicting them degrades
+    co-located work beyond what the calibration regime needs."""
     if os.environ.get("SPARK_GRAFT_NO_DROP_CACHES"):
         return False
     try:
         os.sync()
         with open("/proc/sys/vm/drop_caches", "w") as f:
-            f.write("3")
+            f.write("1")
         return True
     except OSError:
         return False
@@ -398,6 +402,13 @@ def _ratios_vs_ref(
 #: pin ratio ~1.26×. At 1.3 that capture re-probes; a genuine ambient
 #: shift re-reads roughly the same and keeps the first value under the
 #: closer-to-1.0 acceptance rule below.
+#: Known asymmetry (ADVICE r12): only the INITIAL battery runs against
+#: a cold page cache — a retry re-probes after the first battery has
+#: warmed the scan/stream fixtures, so retries are biased fast. The
+#: closer-to-1.0 acceptance rule bounds the damage, and since r13 the
+#: battery is diagnostic-only whenever suite pins exist (the
+#: suite-median drift in _suite_drift is unaffected by battery cache
+#: state entirely).
 DRIFT_RETRY_THRESHOLD = 1.3
 
 
@@ -425,6 +436,18 @@ def _drift_accept_retry(d0: float | None, d1: float | None) -> bool:
 POST_OVER_PRE_CLEAN = 0.5
 
 
+def _median(ratios: list[float]) -> float | None:
+    if not ratios:
+        return None
+    ratios = sorted(ratios)
+    n = len(ratios)
+    return (
+        ratios[n // 2]
+        if n % 2
+        else (ratios[n // 2 - 1] + ratios[n // 2]) / 2
+    )
+
+
 def _drift_vs_ref(prev: dict, cal_now: dict[str, float]) -> float | None:
     """Ambient drift factor vs the pinned reference capture: the MEDIAN
     of per-probe now/ref ratios over the PROBE KEYS BOTH RAN (the
@@ -435,20 +458,58 @@ def _drift_vs_ref(prev: dict, cal_now: dict[str, float]) -> float | None:
     JIT state) drags the whole estimate — observed as a 1.148 battery
     read against a ~1.0 query median in the same capture. > 1 means
     this machine is currently slower than the reference."""
-    ratios = sorted(
-        v / prev[k]
-        for k, v in cal_now.items()
-        if isinstance(prev.get(k), (int, float)) and prev[k] and v
+    mid = _median(
+        [
+            v / prev[k]
+            for k, v in cal_now.items()
+            if isinstance(prev.get(k), (int, float)) and prev[k] and v
+        ]
     )
-    if not ratios:
+    return round(mid, 4) if mid is not None else None
+
+
+#: minimum pinned queries required before the suite-median drift is
+#: trusted over the battery (below this, one rewritten query could
+#: steer the median).
+MIN_SUITE_DRIFT_PINS = 20
+
+
+def _suite_drift(
+    timings: dict[str, float],
+    ref: dict[str, float],
+    min_pins: int = MIN_SUITE_DRIFT_PINS,
+) -> float | None:
+    """Suite-median drift (VERDICT r12 #2, the authoritative estimator):
+    the median of raw/pin over every query that has a pinned reference.
+    Self-consistent by construction — normalizing by it puts the median
+    per-query ratio at exactly 1.0, so the ratio column can never be
+    flooded by a battery artifact again (r12: the 5-probe battery read
+    0.783 while the suite-wide raw/pin median read 0.922 — an 18%
+    disagreement that put 43 false names over the 1.2 bar). Robust to
+    the handful of genuinely rewritten queries per round (median over
+    ~90+ pins; breakdown point 50%). Returns None below ``min_pins``
+    shared keys — new suites fall back to the battery."""
+    ratios = [
+        t / ref[q]
+        for q, t in timings.items()
+        if isinstance(ref.get(q), (int, float)) and ref[q] > 0
+    ]
+    if len(ratios) < min_pins:
         return None
-    n = len(ratios)
-    mid = (
-        ratios[n // 2]
-        if n % 2
-        else (ratios[n // 2 - 1] + ratios[n // 2]) / 2
-    )
-    return round(mid, 4)
+    return round(_median(ratios), 4)
+
+
+def _pick_drift(
+    battery: float | None, suite: float | None
+) -> tuple[float | None, str]:
+    """Normalization-factor selection: suite median when available
+    (self-consistent; see _suite_drift), battery otherwise (first
+    capture of a new suite / missing pins). Returns (drift, source)."""
+    if suite is not None:
+        return suite, "suite_median"
+    if battery is not None:
+        return battery, "battery"
+    return None, "none"
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -635,12 +696,20 @@ def main() -> None:
     )
     # reuse the pre-battery's reference read: normalization and the
     # drift guard must never normalize against different references
-    drift = _drift_vs_ref(cal_ref_pre, cal)
+    drift_battery = _drift_vs_ref(cal_ref_pre, cal)
+    query_ref, query_ref_source = _query_reference()
+    # r13 (VERDICT r12 #2): the battery is DIAGNOSTIC; the suite-median
+    # raw/pin is the normalization factor when enough pins exist
+    drift_suite = _suite_drift(timings, query_ref)
+    drift, drift_source_kind = _pick_drift(drift_battery, drift_suite)
     normalized = (
         {q: round(t / drift, 3) for q, t in timings.items()} if drift else None
     )
-    query_ref, query_ref_source = _query_reference()
     ratios_vs_ref, queries_unpinned = _ratios_vs_ref(normalized, query_ref)
+    # the authoritative per-query regression column (VERDICT r12 #2):
+    # raw seconds vs pin, no drift divisor anywhere — what the r11/r12
+    # adjudications had to reconstruct by hand lives in the artifact now
+    ratios_raw_vs_ref, _ = _ratios_vs_ref(timings, query_ref)
 
     full = {
         "metric": "headline_suite_wall",
@@ -653,9 +722,18 @@ def main() -> None:
         # any box; queries with no pin yet (new registrations) listed
         # explicitly
         "queries_ratio_vs_ref": ratios_vs_ref,
+        # raw/pin, no drift divisor — the authoritative regression
+        # signal (r13); the normalized column is convenience only
+        "queries_ratio_raw_vs_ref": ratios_raw_vs_ref,
         "queries_unpinned": queries_unpinned or None,
         "query_ref_source": query_ref_source,
-        "calibration_drift_vs_ref": drift,
+        # which estimator the normalization used, and both readings —
+        # an >~8% battery/suite disagreement marks the battery capture
+        # contaminated (r12: 0.783 battery vs 0.922 suite)
+        "drift_source_kind": drift_source_kind,
+        "drift_suite_vs_ref": drift_suite,
+        "calibration_drift_vs_ref": drift_battery,
+        "drift_applied": drift,
         "calibration_drift_post_vs_ref": drift_post,
         "calibration_post_over_pre": post_over_pre,
         # the clean-run comparator for post_over_pre, emitted so the
@@ -709,7 +787,13 @@ def main() -> None:
         compact["worst_ratio_vs_ref"] = dict(
             sorted(ratios_vs_ref.items(), key=lambda kv: -kv[1])[:5]
         )
+    # the raw-basis worst-5 leads (authoritative — no drift divisor)
+    if ratios_raw_vs_ref:
+        compact["worst_ratio_raw_vs_ref"] = dict(
+            sorted(ratios_raw_vs_ref.items(), key=lambda kv: -kv[1])[:5]
+        )
     compact.pop("queries_ratio_vs_ref", None)
+    compact.pop("queries_ratio_raw_vs_ref", None)
     compact.pop("queries_unpinned", None)
     compact["queries_are"] = "top10_slowest_of_n_queries"
     compact["detail_file"] = (

@@ -43,6 +43,47 @@ def test_drift_median_of_ratios():
     assert bench._drift_vs_ref({}, now) is None
 
 
+def test_suite_drift_is_median_raw_over_pin():
+    """The r13 authoritative estimator (VERDICT r12 #2), pinned with the
+    round's motivating values: the r12 driver capture's 5-probe battery
+    read 0.783 while the suite-wide raw/pin median read 0.922 — an 18%
+    disagreement that inflated every normalized ratio ~1.28× and put 43
+    false names over the 1.2 bar. The suite median must win whenever
+    enough pins exist, and normalizing by it puts the median per-query
+    ratio at exactly 1.0 (self-consistent by construction)."""
+    ref = {f"q{i}": 2.0 for i in range(30)}
+    # every query runs at 0.922× its pin — the r12 suite-wide reading
+    timings = {q: round(0.922 * v, 6) for q, v in ref.items()}
+    suite = bench._suite_drift(timings, ref)
+    assert suite == 0.922
+    # the contaminated battery reading must NOT be applied
+    drift, source = bench._pick_drift(0.783, suite)
+    assert (drift, source) == (0.922, "suite_median")
+    # normalized ratio of an untouched query is exactly 1.0
+    assert round(timings["q0"] / drift / ref["q0"], 3) == 1.0
+
+    # below the pin floor the battery is the only estimator left
+    few = {"q0": 1.844}
+    assert bench._suite_drift(few, ref) is None
+    assert bench._pick_drift(0.783, None) == (0.783, "battery")
+    assert bench._pick_drift(None, None) == (None, "none")
+
+
+def test_suite_drift_robust_to_rewritten_queries():
+    """A round's handful of intentionally-faster rewrites must not drag
+    the estimator: the median over the pinned majority holds even when
+    several queries moved 2× in either direction."""
+    ref = {f"q{i}": 1.0 for i in range(25)}
+    timings = {q: 1.0 for q in ref}
+    timings["q0"] = 0.5   # this round's cut
+    timings["q1"] = 0.45  # another cut
+    timings["q2"] = 2.1   # a regression under watch
+    assert bench._suite_drift(timings, ref) == 1.0
+    # unpinned names never enter the median
+    timings["brand_new_query"] = 99.0
+    assert bench._suite_drift(timings, ref) == 1.0
+
+
 def test_post_battery_is_diagnostic_only():
     """The post-suite battery must never reach the normalization
     factor: it is warm-biased vs the cold-pinned reference (a clean
