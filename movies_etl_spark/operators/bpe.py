@@ -44,9 +44,22 @@ EOW = "</w>"
 #: every consumer (bpe_pack_pipeline / llm_corpus_pipeline join
 #: F.broadcast(nsub)), so any vocab the pipeline can run at all already
 #: fits one JVM — the local loop only mirrors that bound on the driver.
-#: Checked with a count() BEFORE collecting, so an over-cap vocab falls
-#: back to the distributed loop instead of OOMing the driver.
+#: Checked with ONE aggregate action BEFORE collecting, so an over-cap
+#: vocab falls back to the distributed loop instead of OOMing the
+#: driver.
 MAX_LOCAL_VOCAB = 5_000_000
+
+#: Driver-side admission cap in total WORD CHARACTERS (ADVICE r12): row
+#: count alone under-measures _train_local's footprint, because the
+#: Python structures scale with SYMBOLS, not rows — per word character
+#: the trainer holds a syms-string slot (~2-4 B), a pair-Counter
+#: contribution, and a pair→word-index set entry (~60-80 B), roughly
+#: 100 B per character all-in, an order of magnitude over the
+#: serialized broadcast the row cap was calibrated against. 50M chars
+#: therefore bounds the local loop's peak at ~5 GB of driver heap; a
+#: near-row-cap vocab of LONG words (5M rows × 100-char words = 500M
+#: chars) now correctly diverts to the distributed loop.
+MAX_LOCAL_CHARS = 50_000_000
 
 
 def word_counts(df: DataFrame, text_col: str) -> DataFrame:
@@ -66,11 +79,25 @@ def initial_symbols(wc: DataFrame) -> DataFrame:
     joined by single spaces, plus the end-of-word marker.
     (word, syms, freq) — the word rides along so the trained vocabulary
     doubles as the word→segmentation ENCODING MAP (bpe_pack_pipeline
-    broadcasts it back onto the corpus)."""
+    broadcasts it back onto the corpus).
+
+    Characters are CODE POINTS (r13, ADVICE r12): regexp_extract_all
+    over '(?s).' — Java regex matches supplementary characters as one
+    code point — instead of F.split(word, ''), which splits by UTF-16
+    CODE UNIT and would seed a non-BMP character (emoji, supplementary
+    CJK) as two surrogate halves. This keeps the distributed path
+    byte-identical to _train_local's python iteration (code points) and
+    to the DuckDB oracle's string_split(word, ''), so the two engine
+    paths can no longer train different merge tables on the same corpus
+    depending only on whether the vocab exceeded the local cap."""
     return wc.select(
         "word",
         F.concat(
-            F.concat_ws(" ", F.split(F.col("word"), "")), F.lit(" " + EOW)
+            F.concat_ws(
+                " ",
+                F.regexp_extract_all(F.col("word"), F.lit("(?s)."), 0),
+            ),
+            F.lit(" " + EOW),
         ).alias("syms"),
         "freq",
     )
@@ -147,14 +174,12 @@ def _train_local(
     iterations after the first cost O(affected words), the same
     asymptotic shape industrial in-memory trainers use.
 
-    Known seam (documented, not hit by any fixture): initial symbols
-    here split by CODE POINT (python iteration, matching DuckDB's
-    string_split(word, '')), while the distributed path's
-    F.split(word, '') splits by UTF-16 code unit — a non-BMP character
-    (outside ASCII/BMP) would seed as one symbol locally and two
-    (surrogate halves) distributed. The oracle gate agrees with the
-    LOCAL semantics; a corpus with non-BMP words that also exceeds
-    max_local_vocab would need the distributed seeding aligned first."""
+    Initial symbols split by CODE POINT (python iteration) — since r13
+    the distributed path seeds identically (initial_symbols uses a
+    code-point regex, not the UTF-16 code-unit F.split), so both engine
+    paths and the DuckDB oracle agree on non-BMP characters; asserted
+    with a planted-emoji vocab over both paths in
+    tests/test_property_parity.py."""
     from collections import Counter, defaultdict
 
     # [word, syms, freq]; syms seeded exactly like initial_symbols
@@ -200,12 +225,15 @@ def bpe_train(
     wc: DataFrame,
     n_merges: int = 8,
     max_local_vocab: int = MAX_LOCAL_VOCAB,
+    max_local_chars: int = MAX_LOCAL_CHARS,
 ) -> DataFrame:
     """Train ``n_merges`` BPE merges over a (word, freq) table; returns
     the learned merge table (step, sym_a, sym_b, pair_cnt) — the
     artifact a tokenizer ships. See :func:`bpe_train_with_vocab` for
     the local/distributed execution split."""
-    merges, _ = bpe_train_with_vocab(spark, wc, n_merges, max_local_vocab)
+    merges, _ = bpe_train_with_vocab(
+        spark, wc, n_merges, max_local_vocab, max_local_chars
+    )
     return merges
 
 
@@ -244,6 +272,7 @@ def bpe_train_with_vocab(
     wc: DataFrame,
     n_merges: int = 8,
     max_local_vocab: int = MAX_LOCAL_VOCAB,
+    max_local_chars: int = MAX_LOCAL_CHARS,
 ) -> tuple[DataFrame, DataFrame]:
     """bpe_train plus the ENCODED vocabulary: the symbol table after the
     final merge IS every distinct word's subword segmentation, so
@@ -253,21 +282,28 @@ def bpe_train_with_vocab(
     word→segmentation ENCODING MAP ready to broadcast.
 
     Execution split (r12, VERDICT r11 #1): vocabularies within
-    ``max_local_vocab`` rows train in one count + one collect + an
-    in-memory incremental merge loop (:func:`_train_local`) — the
-    18-job distributed loop collapsed to 2, and the encoded map comes
-    back as a LocalRelation ready to broadcast. The count() guard runs
+    ``max_local_vocab`` rows AND ``max_local_chars`` total word
+    characters (ADVICE r12 — the Python merge structures scale with
+    symbols, not rows; see MAX_LOCAL_CHARS) train in one guard
+    aggregate + one collect + an in-memory incremental merge loop
+    (:func:`_train_local`) — the 18-job distributed loop collapsed to
+    2, and the encoded map comes back as a LocalRelation ready to
+    broadcast. The guard aggregate (count + char sum, ONE job) runs
     BEFORE the collect, so an over-cap vocab is diverted to
     :func:`_train_distributed` instead of OOMing the driver. Both paths
     produce byte-identical merge tables and segmentations (asserted in
-    tests/test_property_parity.py), and the same DuckDB oracle gates
-    both.
+    tests/test_property_parity.py, including a non-BMP planted vocab),
+    and the same DuckDB oracle gates both.
 
     This is the scale shape of tokenizer APPLICATION too: encode the
     distinct-word table once (vocab-bounded work), then the corpus maps
     through it with a broadcast join — the raw text is never re-walked
     per merge rule."""
-    if wc.count() <= max_local_vocab:
+    guard = wc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.length("word")), F.lit(0)).alias("chars"),
+    ).collect()[0]
+    if guard["n"] <= max_local_vocab and guard["chars"] <= max_local_chars:
         rows = [(r["word"], r["freq"]) for r in wc.collect()]
         merges, encoded = _train_local(rows, n_merges)
         merges_df = spark.createDataFrame(

@@ -403,12 +403,21 @@ def verify_pairs(
     broadcast path is exactly the one that dies at 100 TB.
 
     Docs with empty shingle arrays drop exactly like the classic inner
-    joins (their side stays null). ``pairs`` must be duplicate-free
-    (the regroup assumes ≤ 2 role rows per pair) —
-    candidate_pairs_minhash's contract already is. ``keep_jaccard``
-    adds the rounded-4 ``jac`` column (the value the threshold
-    compared — the quantized boundary statistic per the SCALE.md
-    standing rule)."""
+    joins (their side stays null). PRECONDITIONS, both enforced in-task
+    (ADVICE r12): ``pairs`` must be duplicate-free with id_a ≠ id_b
+    (candidate_pairs_minhash's contract already is) and ``sh_all`` must
+    be doc_id-UNIQUE — the regroup assumes ≤ 2 role rows per pair, and
+    a duplicate doc_id row (e.g. an incremental run re-verifying after
+    its maintenance append already landed the delta's shingles in the
+    store) would otherwise be silently collapsed by the max-of-when
+    where the classic two-join form would at least multiply rows. The
+    guard rides the aggregate the regroup already pays (a count column
+    + a non-foldable raise_error filter, the guard_band_buckets
+    pattern): zero extra shuffles, and a corrupted store fails loudly
+    with remediation instead of verifying one arbitrary copy.
+    ``keep_jaccard`` adds the rounded-4 ``jac`` column (the value the
+    threshold compared — the quantized boundary statistic per the
+    SCALE.md standing rule)."""
     sh = sh_all.filter(F.size("shingles") > 0)
     roles = pairs.select(
         F.struct("id_a", "id_b").alias("__p"),
@@ -421,6 +430,16 @@ def verify_pairs(
     ]
     if keep_jaccard:
         cols.append(jac.alias("jac"))
+    ok = F.when(
+        F.col("__nroles") > 2,
+        F.raise_error(
+            "verify_pairs: a candidate pair matched more than 2"
+            " (doc_id, shingles) rows — sh_all is not doc_id-unique"
+            " (duplicate shingle rows, e.g. a store re-verified after"
+            " its maintenance append). Deduplicate the shingle store"
+            " (or verify BEFORE appending the delta) and re-run."
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
     return (
         roles.join(sh, "doc_id")
         .groupBy("__p")
@@ -431,7 +450,9 @@ def verify_pairs(
             F.max(
                 F.when(F.col("doc_id") == F.col("__p.id_b"), F.col("shingles"))
             ).alias("sh_b"),
+            F.count(F.lit(1)).alias("__nroles"),
         )
+        .filter(ok)
         .filter(
             F.col("sh_a").isNotNull()
             & F.col("sh_b").isNotNull()

@@ -68,9 +68,13 @@ def main() -> None:
 
     orig_train = bpe.bpe_train_with_vocab
 
-    def train(spark_, wc, n_merges=8):
+    def train(spark_, wc, n_merges=8, *args, **kwargs):
+        # pass-through signature (ADVICE r12): the wrapped function has
+        # grown cap parameters; swallowing them here would profile a
+        # DIFFERENT training configuration than the query runs (or
+        # TypeError on callers passing them positionally)
         mark("(before bpe_train)")
-        out = orig_train(spark_, wc, n_merges)
+        out = orig_train(spark_, wc, n_merges, *args, **kwargs)
         mark(f"bpe_train_with_vocab ({n_merges} merges)")
         return out
 
