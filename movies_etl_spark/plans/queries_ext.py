@@ -324,7 +324,14 @@ def q_dedup_minhash_incremental(spark, sf_dir):
     sh_delta = caching.tracked_persist(D.shingled(delta, "text", "doc_id"))
     delta_bands = D.with_minhash_bands(sh_delta, "doc_id")
     new_pairs = D.incremental_candidate_pairs(index_bands, delta_bands, "doc_id")
-    all_pairs = base_pairs.unionByName(new_pairs).distinct()
+    # no distinct on the union (r13 write-audit find): the two sides are
+    # DISJOINT by construction — base_pairs has both ids < 1e6 (stored
+    # index self-join) while every incremental pair carries ≥ 1 delta id
+    # ≥ 1e6 — and each side is internally distinct already, so the old
+    # .distinct() was a redundant full exchange of the pair set (the
+    # same class as the r12 anti-join distinct drops). verify_pairs'
+    # duplicate-free precondition still holds.
+    all_pairs = base_pairs.unionByName(new_pairs)
 
     # --- verify against the shingle store ∪ delta shingles (shared
     # fused form — dedup.verify_pairs, r12) ---
