@@ -84,6 +84,90 @@ from movies_etl_spark.plans import queries_scale  # noqa: E402,F401
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
+# Round-13 window (exactly 50; registered total stays 215 — the
+# surface is saturated at 46/46 and VERDICT r12 ranked the round as
+# the curation build-side cut + drift-instrument fix + freshness, so
+# no new registrations; NOTES_r13.md carries the ledger):
+#   1:     curation_pipeline — THE r13 target (VERDICT r12 #1):
+#          connected_components rewritten with the count-guarded
+#          driver union-find path (distributed label loop now the
+#          over-cap fallback) — build 28 → 16 jobs.
+#   2-3:   the other two connected_components consumers.
+#   4-7:   the four BPE-trainer consumers (initial_symbols now seeds by
+#          CODE POINT aligning the distributed path with the local
+#          trainer/oracle on non-BMP text — VERDICT r12 #7/ADVICE; the
+#          local gate now also bounds total word chars — ADVICE r12).
+#          llm_corpus_pipeline is also a verify_pairs + exact-dedup
+#          consumer; slots 1-3 are also verify_pairs consumers (the
+#          in-task sh_all doc_id-uniqueness guard — ADVICE r12).
+#   8-9:   the two remaining verify_pairs consumers; 9 is also the
+#          write-audit rewrite (redundant pair-union distinct dropped,
+#          VERDICT r12 #4).
+#   10-44: the COMPLETE 35-name r8-latest cohort (the union's oldest
+#          rows) in tools/correctness_union.py report order
+#          (VERDICT r12 #3 — note: 35, not NOTES_r12's 36; the
+#          double-counted name was dedup_minhash_incremental, already
+#          in slot 9). Includes streaming_cms_freq, which is ALSO the
+#          r13 stream-merge rewrite consumer (AQE off around the
+#          versioned cell merge — VERDICT r12 #6).
+#   45-50: the 6 oldest r9-latest rows, same order source — after r13
+#          no union row is older than r9.
+_ROUND13_PRIORITY = [
+    # the r13 rewrite consumers (composite leads)
+    "curation_pipeline",
+    "dedup_cluster_components",
+    "dedup_survivors",
+    "llm_corpus_pipeline",
+    "bpe_pack_pipeline",
+    "bpe_train_merges",
+    "bpe_subword_stats",
+    "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
+    # complete r8-latest cohort, union-report order
+    "scan_binary_files",
+    "sink_dynamic_partition_overwrite",
+    "upsert_merge",
+    "scd2_intervals",
+    "skew_report",
+    "funnel_analysis",
+    "retention_cohorts",
+    "zscore_outliers",
+    "gapfill_daily",
+    "quantile_bucket",
+    "snapshot_diff",
+    "fuzzy_join_levenshtein",
+    "inverted_index",
+    "bm25_rank",
+    "concurrency_sweep",
+    "time_weighted_avg",
+    "rolling_range_window",
+    "domain_mix_sample",
+    "sequence_pack",
+    "streaming_sessionize",
+    "similarity_topk_vectorized",
+    "streaming_stream_join",
+    "event_transitions",
+    "session_paths",
+    "vocab_topk",
+    "bigram_lm_counts",
+    "span_dedup",
+    "table_fingerprint",
+    "partition_stats",
+    "mad_outliers",
+    "data_profile",
+    "streaming_cms_freq",
+    "parse_money",
+    "parse_date_multiform",
+    "validated_cast",
+    # oldest r9-latest rows (freshness filler to exactly 50)
+    "hierarchy_recursive_cte",
+    "json_typed_roundtrip",
+    "sink_jdbc_roundtrip",
+    "scan_error_checked",
+    "week_over_week",
+    "hopping_window_agg",
+]
+
 # Round-12 window (exactly 50; registered total stays 215 — the
 # surface is saturated at 46/46 and VERDICT r11 ranked the round as
 # the llm_corpus build-side cut + pin refresh + freshness, so no new
@@ -357,7 +441,7 @@ _ROUND10_PRIORITY = [
     "fill_if_zero",
 ]
 
-_CURRENT_PRIORITY = _ROUND12_PRIORITY
+_CURRENT_PRIORITY = _ROUND13_PRIORITY
 
 # Round-10 window retained for the ledger (NOTES_r10.md references it);
 # _ordered() consumes _CURRENT_PRIORITY.
