@@ -110,7 +110,15 @@ SF_SMOKE_DIR = "/root/testdata/sf0.001"
 #          in slot 9). Includes streaming_cms_freq, which is ALSO the
 #          r13 stream-merge rewrite consumer (AQE off around the
 #          versioned cell merge — VERDICT r12 #6).
-#   45-50: the 6 oldest r9-latest rows, same order source — after r13
+#   45-46: the two other versioned-merge rewrite consumers (the
+#          CMS twin's AQE-off tiny-state merge discipline applied to
+#          the HLL and hourly-rollup twins mid-round, 18 → 12 build
+#          jobs each; standing re-validation rule) —
+#          streaming_incremental_rollup is itself an r9-latest row, so
+#          the slot serves freshness too. These displace the two
+#          newest r9 fillers (week_over_week, hopping_window_agg),
+#          whose r9 rows stand.
+#   47-50: the 4 oldest r9-latest rows, same order source — after r13
 #          no union row is older than r9.
 _ROUND13_PRIORITY = [
     # the r13 rewrite consumers (composite leads)
@@ -159,13 +167,14 @@ _ROUND13_PRIORITY = [
     "parse_money",
     "parse_date_multiform",
     "validated_cast",
+    # the other two versioned-merge rewrite consumers (mid-round)
+    "streaming_incremental_rollup",
+    "streaming_hll_distinct",
     # oldest r9-latest rows (freshness filler to exactly 50)
     "hierarchy_recursive_cte",
     "json_typed_roundtrip",
     "sink_jdbc_roundtrip",
     "scan_error_checked",
-    "week_over_week",
-    "hopping_window_agg",
 ]
 
 # Round-12 window (exactly 50; registered total stays 215 — the
