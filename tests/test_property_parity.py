@@ -282,6 +282,13 @@ def test_connected_components_local_distributed_parity(spark):
     )
     assert (100, 100) in loc and (203, 200) in loc
 
+    # admission boundary: count == cap stays local (<=), cap − 1 diverts
+    n_edges = df.count()
+    D.connected_components(df, max_local_edges=n_edges).collect()
+    assert D.LAST_CC_MODE == "local"
+    D.connected_components(df, max_local_edges=n_edges - 1).collect()
+    assert D.LAST_CC_MODE == "distributed"
+
 
 def test_approx_stats_within_bounds(spark, sf_dir, duck):
     """Independent witness for the approx_stats error-bounds oracle
