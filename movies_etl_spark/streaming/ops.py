@@ -504,7 +504,9 @@ def incremental_hourly_rollup(
     )
     q.awaitTermination()
     last = _agg_versions(work_dir)[-1]
-    return spark.read.parquet(f"{work_dir}/agg/v={last}")
+    return spark.read.schema(ROLLUP_STATE_SCHEMA).parquet(
+        f"{work_dir}/agg/v={last}"
+    )
 
 
 def _tiny_merge_confs(spark: SparkSession):
@@ -526,6 +528,18 @@ def _tiny_merge_confs(spark: SparkSession):
             "spark.sql.shuffle.partitions": "8",
         },
     )
+
+
+#: On-disk versioned-state schemas (r13): passed explicitly to every
+#: prior-/final-version read, which skips the per-read parquet
+#: schema-inference job (measured: 1 Spark job per inferred read — one
+#: per merging micro-batch plus the post-stream read). The schema is
+#: part of the state contract anyway: a production pipeline reads it
+#: from the catalog, not from footers, and a drifted state file now
+#: fails loudly at read time instead of silently re-inferring.
+ROLLUP_STATE_SCHEMA = "h timestamp, cnt bigint, sum_cents bigint"
+HLL_STATE_SCHEMA = "day date, register bigint, rho int"
+CMS_STATE_SCHEMA = "seed int, cell bigint, cnt bigint"
 
 
 def _agg_versions(work_dir: str, upto: int | None = None) -> list[int]:
@@ -557,7 +571,9 @@ def _merge_versioned(
     same input (idempotent) instead of folding its own output back in."""
     prior = _agg_versions(work_dir, upto=batch_id)
     if prior:
-        prev = spark.read.parquet(f"{work_dir}/agg/v={prior[-1]}")
+        prev = spark.read.schema(ROLLUP_STATE_SCHEMA).parquet(
+            f"{work_dir}/agg/v={prior[-1]}"
+        )
         part = (
             prev.unionByName(part)
             .groupBy("h")
@@ -815,7 +831,9 @@ def _merge_versioned_regs(
     also keeps readers off half-written versions)."""
     prior = _agg_versions(work_dir, upto=batch_id)
     if prior:
-        prev = spark.read.parquet(f"{work_dir}/agg/v={prior[-1]}")
+        prev = spark.read.schema(HLL_STATE_SCHEMA).parquet(
+            f"{work_dir}/agg/v={prior[-1]}"
+        )
         part = (
             prev.unionByName(part)
             .groupBy("day", "register")
@@ -879,7 +897,9 @@ def incremental_distinct_rollup(
     )
     q.awaitTermination()
     last = _agg_versions(work_dir)[-1]
-    regs = spark.read.parquet(f"{work_dir}/agg/v={last}")
+    regs = spark.read.schema(HLL_STATE_SCHEMA).parquet(
+        f"{work_dir}/agg/v={last}"
+    )
     return SK.hll_estimate(regs, ["day"])
 
 
@@ -897,7 +917,9 @@ def _merge_versioned_cells(
     version < v makes the retry produce the identical file instead."""
     prior = _agg_versions(work_dir, upto=batch_id)
     if prior:
-        prev = spark.read.parquet(f"{work_dir}/agg/v={prior[-1]}")
+        prev = spark.read.schema(CMS_STATE_SCHEMA).parquet(
+            f"{work_dir}/agg/v={prior[-1]}"
+        )
         part = (
             prev.unionByName(part)
             .groupBy("seed", "cell")
@@ -984,8 +1006,10 @@ def incremental_cms_rollup(
     )
     q.awaitTermination()
     last = _agg_versions(work_dir)[-1]
-    merged = spark.read.parquet(f"{work_dir}/agg/v={last}")
-    bgb = spark.read.parquet(src)
+    merged = spark.read.schema(CMS_STATE_SCHEMA).parquet(
+        f"{work_dir}/agg/v={last}"
+    )
+    bgb = spark.read.schema("bigram STRING").parquet(src)
     exact = bgb.groupBy("bigram").agg(F.count(F.lit(1)).alias("exact_cnt"))
     cands = exact.orderBy(F.col("exact_cnt").desc(), "bigram").limit(20)
     est = SK.cms_point_estimate(merged, cands.select("bigram"), "bigram")
