@@ -111,14 +111,17 @@ SF_SMOKE_DIR = "/root/testdata/sf0.001"
 #          r13 stream-merge rewrite consumer (AQE off around the
 #          versioned cell merge — VERDICT r12 #6).
 #   45-46: the two other versioned-merge rewrite consumers (the
-#          CMS twin's AQE-off tiny-state merge discipline applied to
-#          the HLL and hourly-rollup twins mid-round, 18 → 12 build
-#          jobs each; standing re-validation rule) —
-#          streaming_incremental_rollup is itself an r9-latest row, so
-#          the slot serves freshness too. These displace the two
-#          newest r9 fillers (week_over_week, hopping_window_agg),
-#          whose r9 rows stand.
-#   47-50: the 4 oldest r9-latest rows, same order source — after r13
+#          CMS twin's AQE-off tiny-state merge discipline + explicit
+#          state-read schemas applied to the HLL and hourly-rollup
+#          twins mid-round, 18 → 8 build jobs each; standing
+#          re-validation rule) — streaming_incremental_rollup is
+#          itself an r9-latest row, so the slot serves freshness too.
+#          These displace the two newest r9 fillers (week_over_week,
+#          hopping_window_agg), whose r9 rows stand.
+#   47:    streaming_lsh_dedup — late-r13 explicit-store-schema
+#          rewrite consumer (73 → 67 build jobs), displacing
+#          scan_error_checked (its r9 row stands).
+#   48-50: the 3 oldest r9-latest rows, same order source — after r13
 #          no union row is older than r9.
 _ROUND13_PRIORITY = [
     # the r13 rewrite consumers (composite leads)
@@ -170,11 +173,15 @@ _ROUND13_PRIORITY = [
     # the other two versioned-merge rewrite consumers (mid-round)
     "streaming_incremental_rollup",
     "streaming_hll_distinct",
+    # late-r13 explicit-store-schema rewrite consumer (its per-batch
+    # index reads each paid a schema-inference job; the minhash twin
+    # is already slot 9) — displaces the newest r9 filler
+    # (scan_error_checked), whose r9 row stands
+    "streaming_lsh_dedup",
     # oldest r9-latest rows (freshness filler to exactly 50)
     "hierarchy_recursive_cte",
     "json_typed_roundtrip",
     "sink_jdbc_roundtrip",
-    "scan_error_checked",
 ]
 
 # Round-12 window (exactly 50; registered total stays 215 — the

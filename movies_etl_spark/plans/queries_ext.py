@@ -297,6 +297,12 @@ def q_dedup_minhash_incremental(spark, sf_dir):
     regime."""
     from movies_etl_spark.plans.registry import _scratch
 
+    # on-disk index schemas (r13): explicit on every store read — skips
+    # the per-read parquet schema-inference job (1 Spark job each; the
+    # schema is the index contract, catalog-known in a real pipeline)
+    sh_schema = "doc_id bigint, shingles array<bigint>"
+    band_schema = "doc_id bigint, band_id int, band_key string"
+    pair_schema = "id_a bigint, id_b bigint, jac double"
     store = _scratch("minhash_index", sf_dir)
     corpus = _near_corpus(spark, sf_dir)
     base = corpus.filter(F.col("doc_id") < 1000000)
@@ -306,9 +312,10 @@ def q_dedup_minhash_incremental(spark, sf_dir):
     sh_base = D.shingled(base, "text", "doc_id")
     sh_base.write.mode("overwrite").parquet(f"{store}/shingles")
     D.with_minhash_bands(
-        spark.read.parquet(f"{store}/shingles"), "doc_id"
+        spark.read.schema(sh_schema).parquet(f"{store}/shingles"),
+        "doc_id",
     ).write.mode("overwrite").parquet(f"{store}/bands")
-    index_bands = spark.read.parquet(f"{store}/bands")
+    index_bands = spark.read.schema(band_schema).parquet(f"{store}/bands")
     # yesterday's known pairs come FROM the index (self-join of stored
     # bands), not from a recompute of the documents
     a = index_bands.select(F.col("doc_id").alias("id_a"), "band_id", "band_key")
@@ -335,7 +342,9 @@ def q_dedup_minhash_incremental(spark, sf_dir):
 
     # --- verify against the shingle store ∪ delta shingles (shared
     # fused form — dedup.verify_pairs, r12) ---
-    sh_all = spark.read.parquet(f"{store}/shingles").unionByName(sh_delta)
+    sh_all = spark.read.schema(sh_schema).parquet(
+        f"{store}/shingles"
+    ).unionByName(sh_delta)
     out = D.verify_pairs(all_pairs, sh_all, keep_jaccard=True)
     # materialize BEFORE the maintenance append: the verify plan reads
     # the shingle store, and appending the delta first would double the
@@ -346,7 +355,7 @@ def q_dedup_minhash_incremental(spark, sf_dir):
     # sees today's documents in the index ---
     delta_bands.write.mode("append").parquet(f"{store}/bands")
     sh_delta.write.mode("append").parquet(f"{store}/shingles")
-    return spark.read.parquet(f"{store}/pairs")
+    return spark.read.schema(pair_schema).parquet(f"{store}/pairs")
 
 
 _SIMHASH_BIT_SQL = " + ".join(

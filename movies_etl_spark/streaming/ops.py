@@ -538,6 +538,8 @@ def _tiny_merge_confs(spark: SparkSession):
 #: from the catalog, not from footers, and a drifted state file now
 #: fails loudly at read time instead of silently re-inferring.
 ROLLUP_STATE_SCHEMA = "h timestamp, cnt bigint, sum_cents bigint"
+LSH_SHINGLE_SCHEMA = "doc_id bigint, shingles array<bigint>"
+LSH_BAND_SCHEMA = "doc_id bigint, band_id int, band_key string"
 HLL_STATE_SCHEMA = "day date, register bigint, rho int"
 CMS_STATE_SCHEMA = "seed int, cell bigint, cnt bigint"
 
@@ -731,8 +733,13 @@ def lsh_dedup_stream(
         bands_b = D.with_minhash_bands(sh_b, "doc_id").cache()
         band_dirs = _batches_below("bands", batch_id)
         if band_dirs:
-            index_bands = spark.read.parquet(*band_dirs)
-            index_sh = spark.read.parquet(
+            # explicit index schemas (r13): the per-batch store reads
+            # each paid a schema-inference job (see the state-schema
+            # constants above for the rationale)
+            index_bands = spark.read.schema(LSH_BAND_SCHEMA).parquet(
+                *band_dirs
+            )
+            index_sh = spark.read.schema(LSH_SHINGLE_SCHEMA).parquet(
                 *_batches_below("shingles", batch_id)
             )
         else:
