@@ -42,7 +42,10 @@ LAST_CC_MODE: str = ""
 #: payload (unlike the BPE vocab, which gates on characters too) — and
 #: the Python-side structures cost ~150-250 bytes per edge (two tuple
 #: ints + up to two parent-dict entries), so the default caps driver
-#: footprint at roughly 0.5 GB. Over-cap edge lists fall back to the
+#: footprint at roughly 0.5 GB (tracemalloc-measured r13: the
+#: union-find itself peaks at 55 B/edge = 0.10 GiB / 4.5 s wall on 2M
+#: random edges over a 1M-node space; the transient collected Row list
+#: adds ~0.2 GB — comfortably inside the bound). Over-cap edge lists fall back to the
 #: distributed label-propagation loop, which never materializes edges
 #: on the driver.
 MAX_LOCAL_EDGES = 2_000_000
