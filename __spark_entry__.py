@@ -178,10 +178,14 @@ _ROUND13_PRIORITY = [
     # is already slot 9) — displaces the newest r9 filler
     # (scan_error_checked), whose r9 row stands
     "streaming_lsh_dedup",
+    # late-r13 anti-join distinct-drop consumer (completing the r12
+    # class in the decontamination stage; curation_pipeline, the other
+    # consumer, is slot 1) — displaces sink_jdbc_roundtrip, whose r9
+    # row stands
+    "decontaminate_ngram",
     # oldest r9-latest rows (freshness filler to exactly 50)
     "hierarchy_recursive_cte",
     "json_typed_roundtrip",
-    "sink_jdbc_roundtrip",
 ]
 
 # Round-12 window (exactly 50; registered total stays 215 — the

@@ -109,11 +109,14 @@ def q_decontaminate_ngram(spark, sf_dir):
         .distinct()
     )
     corpus = with_grams.filter(F.col("doc_id") % 97 != 0)
+    # no .distinct() on the contaminated ids (r13, completing the r12
+    # class): left_anti is set-semantic on its build side, so the
+    # distinct was one extra full exchange of the same rows the join
+    # carries anyway (llm_corpus_pipeline dropped its copy in r12)
     contaminated = (
         corpus.select("doc_id", F.explode("gr").alias("ng"))
         .join(F.broadcast(ev), "ng", "left_semi")
         .select("doc_id")
-        .distinct()
     )
     return corpus.join(contaminated, "doc_id", "left_anti").select("doc_id", "lang")
 
@@ -535,11 +538,13 @@ def q_curation_pipeline(spark, sf_dir):
         .distinct()
     )
     corpus2 = qual.filter(F.col("doc_id") % 97 != 0)
+    # no .distinct() on the contaminated ids (r13, completing the r12
+    # class): the sole consumer is the left_anti below, set-semantic on
+    # its build side (llm_corpus_pipeline dropped its copy in r12)
     contaminated = (
         corpus2.select("doc_id", F.explode(C.word_ngrams(toks, 5)).alias("ng"))
         .join(F.broadcast(ev), "ng", "left_semi")
         .select("doc_id")
-        .distinct()
     )
     # the cleaned corpus feeds BOTH the LSH edge builder and the final
     # survivors anti-join — persist it so the quality filter + n-gram
