@@ -499,6 +499,56 @@ def _suite_drift(
     return round(_median(ratios), 4)
 
 
+def _contended_segments(
+    order: list[str],
+    ratios_raw: dict[str, float] | None,
+    threshold: float = 1.2,
+    window: int = 8,
+    min_hits: int = 4,
+) -> list[dict] | None:
+    """Detect SUITE-ORDER-LOCALIZED contention (r13): a burst of ambient
+    load inflates a contiguous block of queries while the rest of the
+    capture reads clean — a shape the suite-median drift correctly
+    ignores (median robust) but that previously took a hand adjudication
+    per capture (r12 capture B's curation block; r13 captures C/D/E,
+    each front- or mid-suite). A sliding window over suite order flags
+    spans where ≥ ``min_hits`` of ``window`` consecutive PINNED names
+    read above ``threshold`` raw-vs-pin; each span reports its first and
+    last hot name, hot count, and median hot ratio. Calibrated against
+    the seven committed r13 captures: flags exactly the three
+    hand-adjudicated ones (C/D/E) with the adjudicated segments, clean
+    on the other four. Unpinned names carry no signal and do not break
+    a span."""
+    if not ratios_raw:
+        return None
+    seq = [(q, ratios_raw[q]) for q in order if q in ratios_raw]
+    spans: list[dict] = []
+    i = 0
+    while i < len(seq):
+        win = seq[i : i + window]
+        if sum(1 for _, r in win if r > threshold) >= min_hits:
+            j = i + window
+            while j < len(seq) and any(
+                r > threshold for _, r in seq[j : j + window // 2]
+            ):
+                j += 1
+            hot = [(q, r) for q, r in seq[i:j] if r > threshold]
+            spans.append(
+                {
+                    "first": hot[0][0],
+                    "last": hot[-1][0],
+                    "n_hot": len(hot),
+                    "median_hot": round(
+                        _median([r for _, r in hot]), 2
+                    ),
+                }
+            )
+            i = j
+        else:
+            i += 1
+    return spans or None
+
+
 def _pick_drift(
     battery: float | None, suite: float | None
 ) -> tuple[float | None, str]:
@@ -726,6 +776,7 @@ def main() -> None:
     # raw seconds vs pin, no drift divisor anywhere — what the r11/r12
     # adjudications had to reconstruct by hand lives in the artifact now
     ratios_raw_vs_ref, _ = _ratios_vs_ref(timings, query_ref)
+    contended_segments = _contended_segments(HEADLINE, ratios_raw_vs_ref)
 
     full = {
         "metric": "headline_suite_wall",
@@ -760,6 +811,10 @@ def main() -> None:
             post_over_pre is not None
             and post_over_pre >= 2 * POST_OVER_PRE_CLEAN
         ),
+        # suite-order-localized contention spans (r13): the shape that
+        # previously took a per-capture hand adjudication; null on a
+        # clean capture
+        "contended_segments": contended_segments,
         "drift_attempts": [
             d for d in drift_attempts if d is not None
         ] or None,

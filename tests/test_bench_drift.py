@@ -84,6 +84,40 @@ def test_suite_drift_robust_to_rewritten_queries():
     assert bench._suite_drift(timings, ref) == 1.0
 
 
+def test_contended_segment_detector():
+    """r13: suite-order-localized contention (captures C/D/E) took a
+    hand adjudication per capture; the detector must flag a contiguous
+    hot block, report its boundaries, ignore scattered singles (the
+    ordinary pin-noise regime), skip unpinned names without breaking a
+    span, and read None on a clean capture."""
+    order = [f"q{i}" for i in range(30)]
+    clean = {q: 0.95 for q in order}
+    assert bench._contended_segments(order, clean) is None
+    assert bench._contended_segments(order, None) is None
+
+    # a contiguous 6-name hot block mid-suite (the capture-E shape)
+    hot = dict(clean)
+    for i in range(10, 16):
+        hot[f"q{i}"] = 1.5
+    spans = bench._contended_segments(order, hot)
+    assert spans and len(spans) == 1
+    assert spans[0]["first"] == "q10" and spans[0]["last"] == "q15"
+    assert spans[0]["n_hot"] == 6 and spans[0]["median_hot"] == 1.5
+
+    # scattered singles (pin noise) must NOT flag
+    noisy = dict(clean)
+    for i in (2, 9, 17, 25):
+        noisy[f"q{i}"] = 1.4
+    assert bench._contended_segments(order, noisy) is None
+
+    # unpinned names interleaved in the hot block don't break the span
+    gappy = dict(hot)
+    del gappy["q12"]  # q12 has no pin at all
+    spans = bench._contended_segments(order, gappy)
+    assert spans and spans[0]["n_hot"] == 5
+    assert spans[0]["first"] == "q10" and spans[0]["last"] == "q15"
+
+
 def test_post_battery_is_diagnostic_only():
     """The post-suite battery must never reach the normalization
     factor: it is warm-biased vs the cold-pinned reference (a clean
