@@ -549,6 +549,77 @@ def _contended_segments(
     return spans or None
 
 
+def _battery_contention(post_over_pre: float | None) -> bool:
+    """The original battery post/pre heuristic (r10): a post-suite
+    battery at ≥2× the clean warm ratio says contention ARRIVED
+    mid-suite broadly. Kept as a separately named diagnostic since r14 —
+    r13 showed it can miss an order-localized block the segment detector
+    catches (driver capture: 32 contiguous hot names, this read false)
+    and vice versa (front-loaded contention that's gone by suite end)."""
+    return (
+        post_over_pre is not None
+        and post_over_pre >= 2 * POST_OVER_PRE_CLEAN
+    )
+
+
+def _wall_excluding_contended(
+    order: list[str],
+    timings: dict[str, float],
+    spans: list[dict] | None,
+) -> tuple[float | None, int]:
+    """Headline wall with the contended spans subtracted (VERDICT r13
+    What's-wrong #2): on a segment-contended capture the suite-median
+    drift under-corrects BOTH halves by construction (it splits the
+    difference between the clean ~0.95 block and the hot ~1.6 block), so
+    the headline wall itself is not comparable across captures. This
+    emits the comparable residue: the SUM OF PER-QUERY TIMINGS for every
+    suite-order name OUTSIDE the flagged spans — a sum-of-timings basis
+    (excludes inter-query GC), documented as such in the artifact. Every
+    name positioned between a span's first and last hot query is
+    excluded, pinned or not: ambient contention hits by wall-clock
+    position, not by pin status. Returns (wall, n_excluded);
+    (None, 0) when no spans were flagged."""
+    if not spans or not timings:
+        return None, 0
+    excluded: set[str] = set()
+    for s in spans:
+        try:
+            i, j = order.index(s["first"]), order.index(s["last"])
+        except ValueError:
+            continue
+        excluded.update(order[i : j + 1])
+    kept = sum(t for q, t in timings.items() if q not in excluded)
+    n_excluded = sum(1 for q in timings if q in excluded)
+    return round(kept, 3), n_excluded
+
+
+#: disagreement band for the suite-drift anomaly check below: the r12
+#: motivating capture read battery 0.783 vs suite 0.922 (18%); clean
+#: captures agree within ~3-5%.
+SUITE_DRIFT_ANOMALY_BAND = 0.08
+
+
+def _suite_drift_anomaly(
+    battery: float | None,
+    suite: float | None,
+    band: float = SUITE_DRIFT_ANOMALY_BAND,
+) -> bool:
+    """ADVICE r13 #1: ``_suite_drift`` normalizes the suite by its own
+    raw/pin median, so a genuine regression touching ≥50% of pinned
+    queries is ABSORBED into the drift factor and the normalized column
+    reads ~1.0 — a uniform suite-wide slowdown could ship as a clean
+    capture. The one observable that separates that shape from ordinary
+    ambient drift: ambient contention moves the battery and the suite
+    TOGETHER, while a suite-wide code regression moves only the suite.
+    Flag when the suite median deviates from BOTH 1.0 and the battery
+    reading by more than ``band`` — the raw column
+    (queries_ratio_raw_vs_ref) is then the authoritative reading and the
+    capture must be adjudicated, not read at face value."""
+    if suite is None or battery is None:
+        return False
+    return abs(suite - 1) > band and abs(suite - battery) > band
+
+
 def _pick_drift(
     battery: float | None, suite: float | None
 ) -> tuple[float | None, str]:
@@ -777,6 +848,9 @@ def main() -> None:
     # adjudications had to reconstruct by hand lives in the artifact now
     ratios_raw_vs_ref, _ = _ratios_vs_ref(timings, query_ref)
     contended_segments = _contended_segments(HEADLINE, ratios_raw_vs_ref)
+    wall_excl, n_excl = _wall_excluding_contended(
+        HEADLINE, timings, contended_segments
+    )
 
     full = {
         "metric": "headline_suite_wall",
@@ -807,14 +881,37 @@ def main() -> None:
         # reading is interpretable in isolation: ~this value when
         # ambient held, ≳1 when contention arrived mid-suite
         "calibration_post_over_pre_clean": POST_OVER_PRE_CLEAN,
+        # the headline contention boolean (VERDICT r13 #2): ORs the
+        # battery post/pre heuristic with the segment detector — the
+        # driver's r13 capture shipped `false` here while the detector
+        # two fields away flagged a 32-name median-1.58 segment, and a
+        # consumer reading only this boolean called the capture clean
         "mid_suite_contention_suspected": (
-            post_over_pre is not None
-            and post_over_pre >= 2 * POST_OVER_PRE_CLEAN
+            _battery_contention(post_over_pre) or bool(contended_segments)
         ),
+        # the battery post/pre heuristic alone, kept as a separately
+        # named diagnostic (it sees broad mid-suite arrival; the segment
+        # detector sees order-localized blocks — r13 showed either can
+        # fire without the other)
+        "battery_contention_suspected": _battery_contention(post_over_pre),
         # suite-order-localized contention spans (r13): the shape that
         # previously took a per-capture hand adjudication; null on a
         # clean capture
         "contended_segments": contended_segments,
+        # the comparable wall on a segment-flagged capture (VERDICT r13
+        # What's-wrong #2): sum of per-query timings OUTSIDE the flagged
+        # spans (sum-of-timings basis — excludes inter-query GC); null
+        # on a clean capture, where `value` itself is the comparison
+        "wall_excluding_contended": wall_excl,
+        "n_queries_excluded_contended": n_excl or None,
+        # ADVICE r13 #1: true when the suite-median drift deviates from
+        # BOTH 1.0 and the battery beyond SUITE_DRIFT_ANOMALY_BAND — the
+        # one shape where the self-consistent estimator could absorb a
+        # ≥50%-of-suite code regression into the normalization; the raw
+        # ratio column is then the only valid reading
+        "suite_drift_anomaly_suspected": _suite_drift_anomaly(
+            drift_battery, drift_suite
+        ),
         "drift_attempts": [
             d for d in drift_attempts if d is not None
         ] or None,

@@ -216,3 +216,75 @@ def test_shared_cli_parser():
         cli.parse_args(["--dry-run=x"], flags, "u")
     with pytest.raises(SystemExit):  # positionals rejected by default
         cli.parse_args(["stray"], flags, "u")
+
+
+def test_contention_boolean_ors_segment_detector():
+    """VERDICT r13 #2: the driver's r13 capture shipped
+    `mid_suite_contention_suspected: false` (battery post/pre heuristic)
+    two fields from a detector-flagged 32-name median-1.58 segment — a
+    consumer reading only the boolean called the capture clean. The
+    headline boolean is now `_battery_contention(post_over_pre) or
+    bool(contended_segments)`; the battery heuristic stays as a
+    separately named diagnostic. Reproduce the capture's shape: 94
+    names, 32 contiguous hot (positions 33–64), clean tails, battery
+    post/pre in the clean band."""
+    order = [f"q{i}" for i in range(94)]
+    ratios = {q: 0.95 for q in order}
+    for i in range(33, 65):
+        ratios[f"q{i}"] = 1.58
+    spans = bench._contended_segments(order, ratios)
+    assert spans and spans[0]["n_hot"] == 32
+    # the r13 capture's battery heuristic read clean (post/pre ~0.36)
+    assert not bench._battery_contention(0.36)
+    # the OR'd headline boolean must flag anyway
+    assert bench._battery_contention(0.36) or bool(spans)
+    # and the battery heuristic still fires on its own shape
+    assert bench._battery_contention(1.1)
+    assert not bench._battery_contention(None)
+
+
+def test_wall_excluding_contended():
+    """VERDICT r13 What's-wrong #2: on a segment-contended capture the
+    suite-median drift under-corrects both halves by construction, so
+    the artifact now carries the comparable residue — the sum of
+    per-query timings OUTSIDE the flagged spans. Every name positioned
+    inside a span's [first..last] range is excluded, pinned or not
+    (contention hits by wall-clock position, not pin status)."""
+    order = [f"q{i}" for i in range(20)]
+    timings = {q: 1.0 for q in order}
+    ratios = {q: 0.95 for q in order}
+    for i in range(5, 11):
+        ratios[f"q{i}"] = 1.6
+    # q7 unpinned (mid-span) — must still be excluded by position
+    del ratios["q7"]
+    spans = bench._contended_segments(order, ratios)
+    assert spans and spans[0]["first"] == "q5" and spans[0]["last"] == "q10"
+    wall, n_excl = bench._wall_excluding_contended(order, timings, spans)
+    assert n_excl == 6  # q5..q10 inclusive, including unpinned q7
+    assert wall == 14.0  # 20 names at 1.0 s minus the 6 excluded
+    # clean capture: no spans -> null field, zero excluded
+    assert bench._wall_excluding_contended(order, timings, None) == (None, 0)
+
+
+def test_suite_drift_anomaly_warning():
+    """ADVICE r13 #1: _suite_drift normalizes by its own median, so a
+    genuine regression touching ≥50% of pinned queries is absorbed into
+    the drift factor and the normalized column reads ~1.0. The anomaly
+    flag fires when the suite median deviates from BOTH 1.0 and the
+    battery beyond the band — ambient contention moves battery and suite
+    together; a suite-wide code regression moves only the suite."""
+    # suite-wide code regression: suite 1.3, battery clean 1.0 -> flag
+    assert bench._suite_drift_anomaly(1.0, 1.3)
+    # ambient contention: both elevated together -> no flag
+    assert not bench._suite_drift_anomaly(1.28, 1.3)
+    # clean capture: both ~1.0 -> no flag
+    assert not bench._suite_drift_anomaly(0.98, 1.02)
+    # r12 motivating capture: battery 0.783 vs suite 0.922 — suite
+    # within the band of 1.0, so the (correct) suite normalization is
+    # NOT an anomaly even though the battery was contaminated
+    assert not bench._suite_drift_anomaly(0.783, 0.922)
+    # suite-wide speedup absorbed the same way (e.g. a box upgrade
+    # masking per-query attribution) also warrants a look
+    assert bench._suite_drift_anomaly(1.0, 0.85)
+    assert not bench._suite_drift_anomaly(None, 1.3)
+    assert not bench._suite_drift_anomaly(1.0, None)
