@@ -414,10 +414,17 @@ def verify_pairs(
     its maintenance append already landed the delta's shingles in the
     store) would otherwise be silently collapsed by the max-of-when
     where the classic two-join form would at least multiply rows. The
-    guard rides the aggregate the regroup already pays (a count column
-    + a non-foldable raise_error filter, the guard_band_buckets
-    pattern): zero extra shuffles, and a corrupted store fails loudly
-    with remediation instead of verifying one arbitrary copy.
+    guard rides the aggregate the regroup already pays (a count column,
+    zero extra shuffles) and is EMBEDDED in the sh_a/sh_b output columns
+    themselves (r14, ADVICE r13 #3): a guard that rode its own Filter
+    would be merged by Catalyst into one conjunction with the null/jac
+    predicate, and conjunct evaluation order is not contractually
+    guaranteed — a duplicate-store group that also failed the jac
+    predicate could be dropped before the guard evaluated. With the
+    guard inside the columns, every conjunct of the merged filter
+    references a guarded column and `when` evaluates its condition
+    first, so a corrupted store fails loudly for EVERY group — a hard
+    contract, not best-effort.
     ``keep_jaccard`` adds the rounded-4 ``jac`` column (the value the
     threshold compared — the quantized boundary statistic per the
     SCALE.md standing rule)."""
@@ -433,16 +440,21 @@ def verify_pairs(
     ]
     if keep_jaccard:
         cols.append(jac.alias("jac"))
-    ok = F.when(
-        F.col("__nroles") > 2,
-        F.raise_error(
-            "verify_pairs: a candidate pair matched more than 2"
-            " (doc_id, shingles) rows — sh_all is not doc_id-unique"
-            " (duplicate shingle rows, e.g. a store re-verified after"
-            " its maintenance append). Deduplicate the shingle store"
-            " (or verify BEFORE appending the delta) and re-run."
-        ).cast("boolean"),
-    ).otherwise(F.lit(True))
+    def _guarded(side: str):
+        # NullType raise_error coerces to the otherwise branch's array
+        # type; `when` evaluates its condition before either branch, so
+        # any consumption of this column on a >2-role group raises.
+        return F.when(
+            F.col("__nroles") > 2,
+            F.raise_error(
+                "verify_pairs: a candidate pair matched more than 2"
+                " (doc_id, shingles) rows — sh_all is not doc_id-unique"
+                " (duplicate shingle rows, e.g. a store re-verified after"
+                " its maintenance append). Deduplicate the shingle store"
+                " (or verify BEFORE appending the delta) and re-run."
+            ),
+        ).otherwise(F.col(side)).alias(side)
+
     return (
         roles.join(sh, "doc_id")
         .groupBy("__p")
@@ -455,7 +467,7 @@ def verify_pairs(
             ).alias("sh_b"),
             F.count(F.lit(1)).alias("__nroles"),
         )
-        .filter(ok)
+        .select("__p", _guarded("sh_a"), _guarded("sh_b"))
         .filter(
             F.col("sh_a").isNotNull()
             & F.col("sh_b").isNotNull()
@@ -822,7 +834,17 @@ def connected_components(
     # exactly ONCE: persist, then the guard count() materializes it and
     # every later access (the local path's collect, or the over-cap
     # path's localCheckpoint) reads the cache.
-    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    # Null endpoints carry no node identity: the distributed loop's
+    # label joins would drop them silently while the local union-find
+    # would TypeError on None-vs-int comparison (ADVICE r13 #2) — the
+    # two paths must not diverge on malformed input. Filter them here so
+    # BOTH paths see the same well-defined edge list; the filter rides
+    # the persist scan (zero extra jobs).
+    e0 = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .persist()
+    )
     if e0.count() <= max_local_edges:
         labels = _components_local([(r["u"], r["v"]) for r in e0.collect()])
         e0.unpersist()

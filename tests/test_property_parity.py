@@ -290,6 +290,39 @@ def test_connected_components_local_distributed_parity(spark):
     assert D.LAST_CC_MODE == "distributed"
 
 
+def test_connected_components_null_edges_aligned(spark):
+    """ADVICE r13 #2: a NULL edge endpoint used to crash the local
+    union-find (None-vs-int comparison) while the distributed loop
+    silently dropped it via join semantics — the two paths diverged on
+    malformed input. Null endpoints are now filtered at e0 construction,
+    so BOTH paths see the same well-defined edge list and return
+    identical labels; an all-null edge list is the empty graph."""
+    from movies_etl_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None), (None, None), (2, 5), (7, 7)],
+        "id_a bigint, id_b bigint",
+    )
+    loc = {
+        (r["node"], r["component"])
+        for r in D.connected_components(df).collect()
+    }
+    assert D.LAST_CC_MODE == "local"
+    dist = {
+        (r["node"], r["component"])
+        for r in D.connected_components(df, max_local_edges=0).collect()
+    }
+    assert D.LAST_CC_MODE == "distributed"
+    assert loc == dist
+    # null-endpoint edges contribute nothing; 3/4 never appear as nodes
+    assert loc == {(1, 1), (2, 1), (5, 1), (7, 7)}
+
+    all_null = spark.createDataFrame(
+        [(None, 1), (2, None)], "id_a bigint, id_b bigint"
+    )
+    assert D.connected_components(all_null).count() == 0
+
+
 def test_approx_stats_within_bounds(spark, sf_dir, duck):
     """Independent witness for the approx_stats error-bounds oracle
     (r8): the RAW sketch estimates (which the query no longer emits —
@@ -1167,6 +1200,21 @@ def test_verify_pairs_rejects_duplicate_shingle_rows(spark):
     bad = D.verify_pairs(pairs, sh_dup, threshold=0.1)
     with pytest.raises(Exception, match="not doc_id-unique"):
         bad.collect()
+
+    # ADVICE r13 #3 (hard contract, not best-effort): a duplicate-store
+    # group that ALSO fails the null/jac predicate must still raise.
+    # When the guard rode its own Filter, Catalyst merged it into one
+    # conjunction with the jac predicate and conjunct order could drop
+    # the group first; the guard now lives inside the sh_a/sh_b columns
+    # themselves, so every conjunct hits a guard. Shape: doc 1 tripled,
+    # doc 2 absent from the store -> sh_b null AND __nroles = 3.
+    sh_trip = spark.createDataFrame(
+        [(1, ["a b c"]), (1, ["a b c"]), (1, ["a b c"])],
+        "doc_id bigint, shingles array<string>",
+    )
+    worse = D.verify_pairs(pairs, sh_trip, threshold=0.1)
+    with pytest.raises(Exception, match="not doc_id-unique"):
+        worse.collect()
 
 
 def test_cms_inner_product_disjoint_sets_estimate_zero(spark):
