@@ -2013,6 +2013,19 @@ ANN_FRONTIER_IVF_NPROBES: dict[str, list[int]] = {
     "clus": [1, 2],
 }
 
+#: r14 exec-side experiment (VERDICT r13 #6): when True the frontier's
+#: candidate generation shares ONE signature-table scan per (corpus,
+#: family) arm — the corpus explodes over the arm's distinct plane
+#: widths and joins once against the cfg-tagged union of every config's
+#: probe rows — instead of one broadcast join (and one corpus scan) per
+#: config. Candidate sets are provably identical per config; adjudicated
+#: by tools/ab_frontier_shared.py (values + interleaved timings).
+#: ADOPTED r14: 15-row output identical, exec 84 → 62 jobs, interleaved
+#: warm medians 8.755 → 7.958 s (0.909) at sf0.1 — and the 100-TB shape
+#: is one pass over the corpus-scale signature table per arm instead of
+#: one per config.
+FRONTIER_SHARED_SCAN = True
+
 
 def _frontier_row_sql(
     corpus: str,
@@ -2373,6 +2386,69 @@ def q_ann_frontier_sweep(spark, sf_dir):
             out.append(tag(cand, corpus_tag, "lsh", f"p{p}_r{r}", len(offs)))
         return out
 
+    def lsh_cands_shared(corpus_tag, c_all, q_all, configs):
+        """ONE corpus scan for the whole LSH arm (r14, VERDICT r13 #6):
+        the per-config joins each rescan c_all with a different bucket
+        modulus; here the corpus explodes over the arm's DISTINCT plane
+        widths (4 rows/vector iso, 1 clustered) and joins once against
+        the cfg-tagged union of every config's probe rows on the
+        (width, probe_bucket) equi key. Identical candidate sets per
+        config: a vector has exactly one bucket at each width and a
+        config's probe buckets are distinct, so each (cfg, query,
+        neighbor) matches at most once, exactly as the per-config join.
+        At 100 TB this is the difference between len(configs) passes
+        over the corpus-scale signature table and one pass with a small
+        constant row expansion."""
+        widths = sorted({p for p, _ in configs})
+        parts = []
+        for p, r in configs:
+            offs = SIM.multiprobe_offsets(p, r)
+            meta_rows.append((corpus_tag, "lsh", f"p{p}_r{r}", len(offs)))
+            parts.append(
+                q_all.withColumn(
+                    "off",
+                    F.explode(
+                        F.expr("array(" + ",".join(map(str, offs)) + ")")
+                    ),
+                ).select(
+                    F.lit(f"p{p}_r{r}").alias("cfg"),
+                    F.lit(p).alias("qp"),
+                    "query_id",
+                    "qvec",
+                    "qnrm",
+                    (F.col("qbucket") % F.lit(1 << p))
+                    .bitwiseXOR(F.col("off"))
+                    .cast("int")
+                    .alias("probe_bucket"),
+                )
+            )
+        probes = parts[0]
+        for pr in parts[1:]:
+            probes = probes.unionByName(pr)
+        c_exp = c_all.withColumn(
+            "pp",
+            F.explode(F.expr("array(" + ",".join(map(str, widths)) + ")")),
+        ).withColumn(
+            # per-row modulus: python-side F.shiftleft wants a literal
+            # numBits, so the width-dependent 1<<pp goes through expr
+            "kbucket",
+            F.expr("cast(bucket % shiftleft(1, pp) as int)"),
+        )
+        cand = c_exp.join(
+            F.broadcast(probes),
+            (F.col("pp") == F.col("qp"))
+            & (F.col("kbucket") == F.col("probe_bucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        ).select(
+            F.lit(corpus_tag).alias("corpus"),
+            F.lit("lsh").alias("family"),
+            "cfg",
+            "query_id",
+            "neighbor_id",
+            sim.alias("sim"),
+        )
+        return [cand]
+
     def ivf_cands(corpus_tag, cells, cent, q_all, nprobes):
         """cells: (neighbor_id, cvec, cnrm, cell); cent: (cell,
         centroid) — broadcast; one routed frame shared across nprobes."""
@@ -2400,21 +2476,73 @@ def q_ann_frontier_sweep(spark, sf_dir):
             out.append(tag(cand, corpus_tag, "ivf", f"np{n}", n))
         return out
 
+    def ivf_cands_shared(corpus_tag, cells, cent, q_all, nprobes):
+        """ONE cells scan for the whole IVF arm (r14): the per-nprobe
+        joins each rescan the cell-keyed corpus; here the cfg-tagged
+        union of every nprobe's routed probe rows joins once on the
+        cell equi key. Probe-row volume is identical to the per-config
+        form (sum of nprobes rows per query either way); only the
+        corpus-side scan count changes."""
+        routed = q_all.crossJoin(F.broadcast(cent)).select(
+            "query_id",
+            "qvec",
+            "qnrm",
+            "cell",
+            F.round(cosine(F.col("qvec"), F.col("centroid")), 6).alias(
+                "csim"
+            ),
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.desc("csim"), F.asc("cell")
+        )
+        best = routed.withColumn("r", F.row_number().over(wq))
+        parts = []
+        for n in nprobes:
+            meta_rows.append((corpus_tag, "ivf", f"np{n}", n))
+            parts.append(
+                best.filter(F.col("r") <= n).select(
+                    F.lit(f"np{n}").alias("cfg"),
+                    "query_id",
+                    "qvec",
+                    "qnrm",
+                    "cell",
+                )
+            )
+        bnp = parts[0]
+        for pr in parts[1:]:
+            bnp = bnp.unionByName(pr)
+        cand = (
+            cells.join(F.broadcast(bnp), "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                F.lit(corpus_tag).alias("corpus"),
+                F.lit("ivf").alias("family"),
+                "cfg",
+                "query_id",
+                "neighbor_id",
+                sim.alias("sim"),
+            )
+        )
+        return [cand]
+
+    _lsh = lsh_cands_shared if FRONTIER_SHARED_SCAN else lsh_cands
+    _ivf = ivf_cands_shared if FRONTIER_SHARED_SCAN else ivf_cands
+
     max_p = max(p for p, _ in ANN_FRONTIER_CONFIGS)
     cands = []
 
     # ---- isotropic corpus ----
     ci, qi, exact_i, denom_i = corpus_frames(e, 0, 8, max_p, cell_col="label")
-    cands += lsh_cands("iso", ci, qi, ANN_FRONTIER_CONFIGS)
+    cands += _lsh("iso", ci, qi, ANN_FRONTIER_CONFIGS)
     cent_i = SIM.label_centroids(ci, "cvec", "cell")
-    cands += ivf_cands("iso", ci, cent_i, qi, ANN_FRONTIER_IVF_NPROBES["iso"])
+    cands += _ivf("iso", ci, cent_i, qi, ANN_FRONTIER_IVF_NPROBES["iso"])
 
     # ---- clustered fixture ----
     cf = caching.tracked_local_checkpoint(
         SIM.clustered_fixture(e), eager=False
     )
     cc, qc, exact_c, denom_c = corpus_frames(cf, 8, 16, 8)
-    cands += lsh_cands("clus", cc, qc, ANN_FRONTIER_LSH_CLUSTERED)
+    cands += _lsh("clus", cc, qc, ANN_FRONTIER_LSH_CLUSTERED)
     # trained coarse quantizer: Lloyd's k=8 cells + their centroids,
     # checkpointed at the trained-artifact boundary
     assigned = caching.tracked_local_checkpoint(
@@ -2428,7 +2556,7 @@ def q_ann_frontier_sweep(spark, sf_dir):
     cent_c = SIM.label_centroids(
         cf.join(assigned, "vec_id"), "embedding", "cell"
     ).select("cell", "centroid")
-    cands += ivf_cands(
+    cands += _ivf(
         "clus", cells_c, cent_c, qc, ANN_FRONTIER_IVF_NPROBES["clus"]
     )
 
