@@ -635,6 +635,115 @@ def _verify_dropped(cand: DataFrame, sh_all: DataFrame) -> DataFrame:
     )
 
 
+def _lsh_batches_below(work_dir: str, kind: str, batch_id: int) -> list[str]:
+    """Index dirs of ``kind`` (bands/shingles) for batches STRICTLY
+    below ``batch_id`` — the retry-idempotence read rule: a retried
+    batch regenerates identical output because it never sees its own
+    prior write."""
+    try:
+        ids = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(f"{work_dir}/{kind}")
+            if d.startswith("batch=")
+        ]
+    except FileNotFoundError:
+        return []
+    return [
+        f"{work_dir}/{kind}/batch={i}" for i in sorted(ids) if i < batch_id
+    ]
+
+
+def lsh_dedup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    work_dir: str,
+    max_bucket_rows: int | None = None,
+) -> None:
+    """ONE micro-batch of the streaming MinHash-LSH near-dedup — the
+    foreachBatch body of ``lsh_dedup_stream``, extracted to module level
+    (r14) so the store-side scale harness (tools/scale_lsh_store.py)
+    measures the EXACT shipped per-batch plan against pre-built stores
+    instead of a reimplementation that could drift. Shingles + bands the
+    batch's own documents, reads the accumulated band/shingle index for
+    batches strictly below ``batch_id``, candidate-joins batch-touched
+    buckets, Jaccard-verifies, and writes survivors/bands/shingles into
+    ``batch=N``-addressed dirs (overwrite → retry-idempotent)."""
+    from movies_etl_spark.operators import dedup as D
+
+    sh_b = D.shingled(batch_df, "text", "doc_id").cache()
+    bands_b = D.with_minhash_bands(sh_b, "doc_id").cache()
+    band_dirs = _lsh_batches_below(work_dir, "bands", batch_id)
+    if band_dirs:
+        # explicit index schemas (r13): the per-batch store reads
+        # each paid a schema-inference job (see the state-schema
+        # constants above for the rationale)
+        index_bands = spark.read.schema(LSH_BAND_SCHEMA).parquet(
+            *band_dirs
+        )
+        index_sh = spark.read.schema(LSH_SHINGLE_SCHEMA).parquet(
+            *_lsh_batches_below(work_dir, "shingles", batch_id)
+        )
+    else:
+        index_bands = bands_b.limit(0)
+        index_sh = sh_b.limit(0)
+    # batch-touched buckets only (untouched index buckets cannot
+    # pair with this batch), then the same bucket-size hard-fail as
+    # the batch path — a viral template accumulating in one band
+    # bucket fails loudly instead of squaring the candidate join.
+    # The batch-derived sides are broadcast EXPLICITLY (r10): the
+    # scale contract already assumes the micro-batch is
+    # broadcast-size (docstring), so the touched-bucket prune and
+    # the candidate probe must stay map-only over the index read
+    # instead of shuffling it — AQE would usually get there, but
+    # only after planning with a shuffle it then rewrites.
+    # no .distinct() on touched/cand/dropped (r12): the semi join,
+    # the verify, and the anti join are all set-semantic on these
+    # inputs already (the broadcast hash build dedups touched's
+    # keys; duplicate candidate pairs re-verify the same partner;
+    # duplicate dropped ids anti-probe identically), and each
+    # distinct cost a batch-sized exchange + AQE stage per
+    # micro-batch — measured 93 → 74 jobs for the 4-batch suite
+    # fixture (NOTES_r12.md).
+    touched = bands_b.select("band_id", "band_key")
+    all_bands = D.guard_band_buckets(
+        index_bands.unionByName(bands_b).join(
+            F.broadcast(touched), ["band_id", "band_key"], "left_semi"
+        ),
+        max_bucket_rows
+        if max_bucket_rows is not None
+        else D.MAX_BAND_BUCKET_ROWS,
+    )
+    bnew = bands_b.select(F.col("doc_id").alias("id_b"), "band_id", "band_key")
+    aold = all_bands.select(F.col("doc_id").alias("id_a"), "band_id", "band_key")
+    cand = (
+        aold.join(F.broadcast(bnew), ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    sh_all = index_sh.unionByName(sh_b).filter(F.size("shingles") > 0)
+    dropped = _verify_dropped(cand, sh_all)
+    # dropped is batch-derived (≤ batch-size by the same contract as
+    # touched/bnew) — broadcast it so the anti join is map-only over
+    # the batch instead of shuffling both sides
+    survivors = batch_df.select("doc_id").join(
+        F.broadcast(dropped),
+        batch_df["doc_id"] == dropped["id_b"],
+        "left_anti",
+    )
+    survivors.write.mode("overwrite").parquet(
+        f"{work_dir}/out/batch={batch_id}"
+    )
+    bands_b.write.mode("overwrite").parquet(
+        f"{work_dir}/bands/batch={batch_id}"
+    )
+    sh_b.write.mode("overwrite").parquet(
+        f"{work_dir}/shingles/batch={batch_id}"
+    )
+    sh_b.unpersist()
+    bands_b.unpersist()
+
+
 def lsh_dedup_stream(
     spark: SparkSession,
     corpus: DataFrame,
@@ -679,8 +788,6 @@ def lsh_dedup_stream(
 
     from pyspark.sql import Window
 
-    from movies_etl_spark.operators import dedup as D
-
     src = f"{work_dir}/src"
     os.makedirs(src, exist_ok=True)
     # One-pass chunk scaffolding (r10): the r9 shape ran corpus.count()
@@ -715,91 +822,8 @@ def lsh_dedup_stream(
         mt = time.time() - (n_chunks - c) * 10  # ascending mtimes = order
         os.utime(dst, (mt, mt))
 
-    def _batches_below(kind: str, batch_id: int) -> list[str]:
-        try:
-            ids = [
-                int(d.split("=", 1)[1])
-                for d in os.listdir(f"{work_dir}/{kind}")
-                if d.startswith("batch=")
-            ]
-        except FileNotFoundError:
-            return []
-        return [
-            f"{work_dir}/{kind}/batch={i}" for i in sorted(ids) if i < batch_id
-        ]
-
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        sh_b = D.shingled(batch_df, "text", "doc_id").cache()
-        bands_b = D.with_minhash_bands(sh_b, "doc_id").cache()
-        band_dirs = _batches_below("bands", batch_id)
-        if band_dirs:
-            # explicit index schemas (r13): the per-batch store reads
-            # each paid a schema-inference job (see the state-schema
-            # constants above for the rationale)
-            index_bands = spark.read.schema(LSH_BAND_SCHEMA).parquet(
-                *band_dirs
-            )
-            index_sh = spark.read.schema(LSH_SHINGLE_SCHEMA).parquet(
-                *_batches_below("shingles", batch_id)
-            )
-        else:
-            index_bands = bands_b.limit(0)
-            index_sh = sh_b.limit(0)
-        # batch-touched buckets only (untouched index buckets cannot
-        # pair with this batch), then the same bucket-size hard-fail as
-        # the batch path — a viral template accumulating in one band
-        # bucket fails loudly instead of squaring the candidate join.
-        # The batch-derived sides are broadcast EXPLICITLY (r10): the
-        # scale contract already assumes the micro-batch is
-        # broadcast-size (docstring), so the touched-bucket prune and
-        # the candidate probe must stay map-only over the index read
-        # instead of shuffling it — AQE would usually get there, but
-        # only after planning with a shuffle it then rewrites.
-        # no .distinct() on touched/cand/dropped (r12): the semi join,
-        # the verify, and the anti join are all set-semantic on these
-        # inputs already (the broadcast hash build dedups touched's
-        # keys; duplicate candidate pairs re-verify the same partner;
-        # duplicate dropped ids anti-probe identically), and each
-        # distinct cost a batch-sized exchange + AQE stage per
-        # micro-batch — measured 93 → 74 jobs for the 4-batch suite
-        # fixture (NOTES_r12.md).
-        touched = bands_b.select("band_id", "band_key")
-        all_bands = D.guard_band_buckets(
-            index_bands.unionByName(bands_b).join(
-                F.broadcast(touched), ["band_id", "band_key"], "left_semi"
-            ),
-            max_bucket_rows
-            if max_bucket_rows is not None
-            else D.MAX_BAND_BUCKET_ROWS,
-        )
-        bnew = bands_b.select(F.col("doc_id").alias("id_b"), "band_id", "band_key")
-        aold = all_bands.select(F.col("doc_id").alias("id_a"), "band_id", "band_key")
-        cand = (
-            aold.join(F.broadcast(bnew), ["band_id", "band_key"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-        )
-        sh_all = index_sh.unionByName(sh_b).filter(F.size("shingles") > 0)
-        dropped = _verify_dropped(cand, sh_all)
-        # dropped is batch-derived (≤ batch-size by the same contract as
-        # touched/bnew) — broadcast it so the anti join is map-only over
-        # the batch instead of shuffling both sides
-        survivors = batch_df.select("doc_id").join(
-            F.broadcast(dropped),
-            batch_df["doc_id"] == dropped["id_b"],
-            "left_anti",
-        )
-        survivors.write.mode("overwrite").parquet(
-            f"{work_dir}/out/batch={batch_id}"
-        )
-        bands_b.write.mode("overwrite").parquet(
-            f"{work_dir}/bands/batch={batch_id}"
-        )
-        sh_b.write.mode("overwrite").parquet(
-            f"{work_dir}/shingles/batch={batch_id}"
-        )
-        sh_b.unpersist()
-        bands_b.unpersist()
+        lsh_dedup_batch(spark, batch_df, batch_id, work_dir, max_bucket_rows)
 
     stream = (
         spark.readStream.schema("doc_id BIGINT, text STRING")
