@@ -84,6 +84,92 @@ from movies_etl_spark.plans import queries_scale  # noqa: E402,F401
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
+# Round-14 window (exactly 50; registered total stays 215 — the
+# surface is saturated at 46/46 and VERDICT r13 ranked the round as
+# the r9-cohort rotation + contention-flag fix + exec-side A/B, so no
+# new registrations; NOTES_r14.md carries the ledger):
+#   1-6:   the r14 dedup rewrite consumers — connected_components now
+#          filters null edge endpoints so the local union-find and the
+#          distributed label loop see the same well-defined edge list
+#          (ADVICE r13 #2), and verify_pairs' sh_all doc_id-uniqueness
+#          guard moved INTO the sh_a/sh_b output columns so it is a
+#          hard contract under Catalyst filter-merging (ADVICE r13 #3).
+#          Consumer set: the 3 components consumers + the 3 other
+#          verify_pairs consumers.
+#   7:     ann_frontier_sweep — the r14 exec-side A/B ADOPTED (VERDICT
+#          r13 #6): candidate generation shares one signature-table
+#          scan per (corpus, family) arm via cfg-tagged probe unions;
+#          84 → 62 exec jobs, identical values
+#          (tools/ab_frontier_shared.py).
+#   8:     streaming_lsh_dedup — its foreachBatch body extracted to
+#          module level (lsh_dedup_batch) for the store-side 100×
+#          measurement (VERDICT r13 #5); behavior-identical, standing
+#          re-validation rule applies.
+#   9-46:  the COMPLETE 38-name r9-latest cohort (the union's oldest
+#          rows) in tools/correctness_union.py report order (VERDICT
+#          r13 #1 — the union's count of 38 is authoritative over
+#          NOTES_r13's tail note of 35; reconciliation in NOTES_r14).
+#   47-50: the 4 oldest r10-latest rows, same order source — after r14
+#          no union row is older than r10.
+_ROUND14_PRIORITY = [
+    # r14 dedup rewrite consumers (components null-edge alignment +
+    # verify_pairs hard-contract guard)
+    "curation_pipeline",
+    "dedup_cluster_components",
+    "dedup_survivors",
+    "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
+    "llm_corpus_pipeline",
+    # exec-side A/B adoption (shared signature scans)
+    "ann_frontier_sweep",
+    # per-batch core extraction for the store-side 100× row
+    "streaming_lsh_dedup",
+    # complete r9-latest cohort, union-report order
+    "sink_jdbc_roundtrip",
+    "scan_error_checked",
+    "week_over_week",
+    "hopping_window_agg",
+    "winsorize_robust_scale",
+    "weighted_sample_topk",
+    "similarity_ann_lsh",
+    "dedup_embedding_cosine_vectorized",
+    "embedding_block_guard",
+    "streaming_dedup_watermark",
+    "streaming_foreach_batch_sink",
+    "dedup_survivor_policy",
+    "minhash_jaccard_estimate",
+    "dedup_exact_normalized",
+    "streaming_hopping_window",
+    "lang_id_confusion",
+    "ann_recall_eval",
+    "dedup_containment",
+    "gopher_quality_flags",
+    "compact_small_files",
+    "pivot_dynamic",
+    "fk_violations",
+    "zorder_key",
+    "scan_schema_evolution",
+    "rollup_cascade",
+    "copurchase_pairs",
+    "conditional_agg",
+    "pagerank_parts",
+    "degree_distribution",
+    "rolling_distinct_users",
+    "bigram_perplexity",
+    "topic_tag_rules",
+    "cooccurrence_topk",
+    "group_rare_collapse",
+    "chunk_sliding_window",
+    "oov_rate",
+    "embedding_dim_stats",
+    "stratified_kfold_assign",
+    # oldest r10-latest rows (freshness filler to exactly 50)
+    "groupby_count",
+    "pivot_counts",
+    "null_count_per_column",
+    "value_counts",
+]
+
 # Round-13 window (exactly 50; registered total stays 215 — the
 # surface is saturated at 46/46 and VERDICT r12 ranked the round as
 # the curation build-side cut + drift-instrument fix + freshness, so
@@ -461,7 +547,7 @@ _ROUND10_PRIORITY = [
     "fill_if_zero",
 ]
 
-_CURRENT_PRIORITY = _ROUND13_PRIORITY
+_CURRENT_PRIORITY = _ROUND14_PRIORITY
 
 # Round-10 window retained for the ledger (NOTES_r10.md references it);
 # _ordered() consumes _CURRENT_PRIORITY.
