@@ -923,8 +923,27 @@ def test_ann_frontier_shared_frames_are_leaves(spark, sf_dir):
     )
     # 15 config branches × probe/window subplans; bound guards against
     # re-embedding regressions (denominator-scan form read ~535k ON TOP
-    # of per-branch growth; leaf form ~490k at sf0.01)
+    # of per-branch growth; leaf form ~490k at sf0.01; r14 shared-scan
+    # form ~119k executed — the formatted bound stays as the outer net)
     assert len(plan) < 560_000, f"plan blew up to {len(plan)} chars"
+
+
+def test_ann_frontier_shares_scans_across_configs(spark, sf_dir):
+    """r14 shared-scan adoption (VERDICT r13 #6): candidate generation
+    joins ONCE per (corpus, family) arm against a cfg-tagged probe
+    union instead of once per config. Pin the executed plan's join and
+    leaf-scan counts: the shared form reads 9 BroadcastHashJoins / 61
+    ExistingRDD scans at sf0.01 where the per-config form read 31 / 85
+    — a regression back to per-config joins trips both bounds long
+    before it reaches those numbers."""
+    from movies_etl_spark.plans import registry
+
+    df = registry.QUERIES["ann_frontier_sweep"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bhj = plan.count("BroadcastHashJoin")
+    scans = plan.count("Scan ExistingRDD")
+    assert bhj <= 14, f"candidate joins un-shared? BroadcastHashJoin={bhj}"
+    assert scans <= 70, f"signature scans un-shared? ExistingRDD={scans}"
 
 
 def test_streaming_verify_dropped_is_store_map_only(spark):
