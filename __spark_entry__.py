@@ -105,11 +105,17 @@ SF_SMOKE_DIR = "/root/testdata/sf0.001"
 #          module level (lsh_dedup_batch) for the store-side 100×
 #          measurement (VERDICT r13 #5); behavior-identical, standing
 #          re-validation rule applies.
-#   9-46:  the COMPLETE 38-name r9-latest cohort (the union's oldest
+#   9:     cms_join_size_estimate — the round's SECOND exec-side A/B
+#          adoption (mid-round swap, r13 precedent): dual-counter
+#          single-pass sketch build + fused exact side (4 → 2 lineitem
+#          scans, 3 → 1 joins; tools/ab_cms_fused.py). Displaced the
+#          slot-50 r10 filler (value_counts — stays r10-latest, rotates
+#          in r15).
+#   10-47: the COMPLETE 38-name r9-latest cohort (the union's oldest
 #          rows) in tools/correctness_union.py report order (VERDICT
 #          r13 #1 — the union's count of 38 is authoritative over
 #          NOTES_r13's tail note of 35; reconciliation in NOTES_r14).
-#   47-50: the 4 oldest r10-latest rows, same order source — after r14
+#   48-50: the 3 oldest r10-latest rows, same order source — after r14
 #          no union row is older than r10.
 _ROUND14_PRIORITY = [
     # r14 dedup rewrite consumers (components null-edge alignment +
@@ -124,6 +130,8 @@ _ROUND14_PRIORITY = [
     "ann_frontier_sweep",
     # per-batch core extraction for the store-side 100× row
     "streaming_lsh_dedup",
+    # exec-side A/B adoption #2 (fused dual-sketch join-size estimator)
+    "cms_join_size_estimate",
     # complete r9-latest cohort, union-report order
     "sink_jdbc_roundtrip",
     "scan_error_checked",
@@ -163,11 +171,11 @@ _ROUND14_PRIORITY = [
     "oov_rate",
     "embedding_dim_stats",
     "stratified_kfold_assign",
-    # oldest r10-latest rows (freshness filler to exactly 50)
+    # oldest r10-latest rows (freshness filler to exactly 50;
+    # value_counts displaced by the slot-9 mid-round swap)
     "groupby_count",
     "pivot_counts",
     "null_count_per_column",
-    "value_counts",
 ]
 
 # Round-13 window (exactly 50; registered total stays 215 — the

@@ -362,6 +362,79 @@ def cms_merge(partials: DataFrame) -> DataFrame:
     return partials.groupBy("seed", "cell").agg(F.sum("cnt").alias("cnt"))
 
 
+def cms_partials_pair(
+    df: DataFrame,
+    key_col: str,
+    shard_col,
+    tag: Column,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """One-pass DUAL cell table: sketches a relation and a predicate-
+    defined sub-relation (``tag``) from a single scan. Because the
+    sub-relation's rows are a subset of the base rows with the SAME key
+    column, its sketch lives inside the base sketch's cell table as a
+    second counter: per (shard, seed, cell) the base count plus the
+    count of tagged rows — exactly the two tables
+    ``cms_partials(df)`` / ``cms_partials(df.filter(tag))`` would
+    produce, minus one full scan (and the tagged side's cells are
+    guaranteed aligned, since they are computed once). Output
+    (shard, seed, cell, cnt, cnt_tag)."""
+    key = F.col(key_col)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seed"), _cms_cell(key, i, width).alias("cell")
+            )
+            for i in range(CMS_DEPTH)
+        ]
+    )
+    return (
+        df.select(_as_shard(shard_col), tag.alias("__tag"), F.explode(rows).alias("rc"))
+        .select(
+            "shard",
+            F.col("rc.seed").alias("seed"),
+            F.col("rc.cell").alias("cell"),
+            "__tag",
+        )
+        .groupBy("shard", "seed", "cell")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count_if(F.col("__tag")).alias("cnt_tag"),
+        )
+    )
+
+
+def cms_merge_pair(partials: DataFrame) -> DataFrame:
+    """Merge for the dual cell table: both counters sum independently
+    (each is an ordinary CMS merge)."""
+    return partials.groupBy("seed", "cell").agg(
+        F.sum("cnt").alias("cnt"), F.sum("cnt_tag").alias("cnt_tag")
+    )
+
+
+def cms_inner_product_pair(merged: DataFrame) -> DataFrame:
+    """Inner product between the base sketch and the tagged sub-sketch
+    when both live in ONE dual cell table (cms_partials_pair →
+    cms_merge_pair): Σ_w cnt[w]·cnt_tag[w] per hash row, min over the
+    full seed spine (missing/empty rows read 0 — same zero-evidence
+    rule as cms_inner_product). Identical to
+    ``cms_inner_product(base, tagged)`` — a tagged cell absent from the
+    base table cannot exist (subset), and base cells with cnt_tag = 0
+    contribute 0 exactly as the equi-join's dropped rows do — but with
+    NO join: the dual table is already cell-aligned. Returns one row
+    (est)."""
+    per_seed = merged.groupBy("seed").agg(
+        F.sum(F.col("cnt") * F.col("cnt_tag")).alias("ip")
+    )
+    spine = merged.sparkSession.range(CMS_DEPTH).select(
+        F.col("id").cast("int").alias("seed")
+    )
+    filled = spine.join(per_seed, "seed", "left").select(
+        F.coalesce(F.col("ip"), F.lit(0)).alias("ip")
+    )
+    return filled.agg(F.min("ip").alias("est"))
+
+
 def cms_point_estimate(
     merged: DataFrame,
     candidates: DataFrame,

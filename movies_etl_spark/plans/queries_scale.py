@@ -2551,6 +2551,20 @@ _CMS_JOIN_ORACLE = """
 """
 
 
+#: r14 exec-side experiment #2 (the VERDICT r13 #6 budget, second
+#: target): when True, cms_join_size_estimate builds BOTH sketches from
+#: ONE lineitem pass (the filtered side is a predicate-subset of the
+#: base, so a dual-counter cell table — sketch.cms_partials_pair —
+#: reproduces both sketches cell-aligned and the inner product needs no
+#: (seed, cell) join at all), and the exact-rides-along term fuses its
+#: two groupBys + equi-join into one conditional aggregate. Values
+#: provably identical (subset ⇒ same cells; cnt_tag = the filtered
+#: sketch's cnt; zero-tag cells contribute 0 exactly as the join's
+#: dropped rows). Adjudicated by tools/ab_cms_fused.py — numbers there
+#: and in NOTES_r14.
+CMS_JOIN_FUSED = True
+
+
 @query("cms_join_size_estimate", oracle=_CMS_JOIN_ORACLE)
 def q_cms_join_size_estimate(spark, sf_dir):
     """Join-size estimation from stored sketches — the count-min inner
@@ -2558,8 +2572,11 @@ def q_cms_join_size_estimate(spark, sf_dir):
     cardinality of lineitem ⋈ returned-lineitem on l_partkey, estimated
     as min-over-rows of the CMS cell inner products WITHOUT executing
     the join — how an optimizer prices join orders from sketch metadata
-    at 100 TB (the two ≤ d·w cell tables join on (seed, cell); neither
-    fact table moves). Width 65536 here (the point-query sketch's 1024
+    at 100 TB (the sub-relation is a predicate-subset of the base, so
+    ONE scan builds a dual-counter ≤ d·w cell table and the inner
+    product is cell-local — no (seed, cell) join, and neither fact
+    table ever moves; the per-relation two-table path is kept behind
+    CMS_JOIN_FUSED for independently-stored sketches). Width 65536 here (the point-query sketch's 1024
     would drown this pair's |A|·|B|/w ≈ 880k additive bound; at 64k the
     bound is ~14k against a 621k true size — sizing w to the workload
     is the estimator's one design decision, stated in the docstring
@@ -2569,25 +2586,45 @@ def q_cms_join_size_estimate(spark, sf_dir):
     from movies_etl_spark.operators import sketch as SK
 
     li = _t(spark, sf_dir, "lineitem")
-    la = li.select((F.col("l_orderkey") % 4).alias("shard"), "l_partkey")
-    lb = li.filter(F.col("l_returnflag") == "R").select(
-        (F.col("l_orderkey") % 4).alias("shard"), "l_partkey"
-    )
-    ca = SK.cms_merge(SK.cms_partials(la, "l_partkey", "shard", width=65536))
-    cb = SK.cms_merge(SK.cms_partials(lb, "l_partkey", "shard", width=65536))
-    est = SK.cms_inner_product(ca, cb).select(
-        F.col("est").cast("long").alias("est_join_rows")
-    )
-    fa = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ca"))
-    fb = (
-        li.filter(F.col("l_returnflag") == "R")
-        .groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("cb"))
-    )
-    exact = (
-        fa.join(fb, "l_partkey")
-        .agg(F.sum(F.col("ca") * F.col("cb")).alias("exact_join_rows"))
-    )
+    is_r = F.col("l_returnflag") == "R"
+    if CMS_JOIN_FUSED:
+        la = li.select(
+            (F.col("l_orderkey") % 4).alias("shard"), "l_partkey", is_r.alias("is_r")
+        )
+        merged = SK.cms_merge_pair(
+            SK.cms_partials_pair(la, "l_partkey", "shard", F.col("is_r"), width=65536)
+        )
+        est = SK.cms_inner_product_pair(merged).select(
+            F.col("est").cast("long").alias("est_join_rows")
+        )
+        exact = (
+            li.groupBy("l_partkey")
+            .agg(
+                F.count(F.lit(1)).alias("ca"),
+                F.count_if(is_r).alias("cb"),
+            )
+            .agg(F.sum(F.col("ca") * F.col("cb")).alias("exact_join_rows"))
+        )
+    else:
+        la = li.select((F.col("l_orderkey") % 4).alias("shard"), "l_partkey")
+        lb = li.filter(is_r).select(
+            (F.col("l_orderkey") % 4).alias("shard"), "l_partkey"
+        )
+        ca = SK.cms_merge(SK.cms_partials(la, "l_partkey", "shard", width=65536))
+        cb = SK.cms_merge(SK.cms_partials(lb, "l_partkey", "shard", width=65536))
+        est = SK.cms_inner_product(ca, cb).select(
+            F.col("est").cast("long").alias("est_join_rows")
+        )
+        fa = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ca"))
+        fb = (
+            li.filter(is_r)
+            .groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).alias("cb"))
+        )
+        exact = (
+            fa.join(fb, "l_partkey")
+            .agg(F.sum(F.col("ca") * F.col("cb")).alias("exact_join_rows"))
+        )
     return est.crossJoin(exact).select(
         "est_join_rows",
         "exact_join_rows",

@@ -986,3 +986,23 @@ def test_streaming_verify_dropped_is_store_map_only(spark):
     # name and its hashpartitioning Arguments print on different lines;
     # review catch, r11.)
     assert _nodes(plan, "Exchange") == 1, plan
+
+
+def test_cms_join_size_fused_scans_lineitem_twice(spark, sf_dir):
+    """r14 fusion adoption (the second exec-side target of VERDICT r13
+    #6's budget): the estimator's two sketches ride ONE dual-counter
+    lineitem pass (the filtered relation is a predicate-subset of the
+    base) and the exact-rides-along term is one conditional aggregate —
+    two lineitem scans total where the per-relation form read four,
+    with the (seed, cell) inner-product join and the exact-side
+    l_partkey join both gone (the one surviving BroadcastHashJoin is
+    the 4-row seed spine)."""
+    from movies_etl_spark.plans import registry
+
+    df = registry.QUERIES["cms_join_size_estimate"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = plan.count("lineitem.parquet")
+    bhj = plan.count("BroadcastHashJoin")
+    assert scans == 2, f"dual-sketch pass un-fused? lineitem scans={scans}"
+    assert bhj <= 1, f"cell/exact joins back? BroadcastHashJoin={bhj}"
+    assert "SortMergeJoin" not in plan

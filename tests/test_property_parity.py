@@ -1280,3 +1280,64 @@ def test_winnowing_guarantee_property():
         assert fa & fb, (run_len, off_a, off_b, tail_a, tail_b)
 
     check()
+
+
+def test_cms_partials_pair_matches_per_relation_sketches(spark):
+    """The r14 fusion's algebra: a dual-counter cell table built from
+    ONE pass over (relation, tag-predicate) must equal the two cell
+    tables cms_partials builds from the relation and its filtered
+    subset — cnt cell-for-cell on the base, cnt_tag cell-for-cell on
+    the subset (absent subset cells ⇔ cnt_tag 0) — and the cell-local
+    inner product must equal cms_inner_product over the two separate
+    sketches."""
+    from pyspark.sql import functions as F
+
+    from movies_etl_spark.operators import sketch as SK
+
+    data = spark.range(500).select(
+        (F.col("id") % 97).cast("string").alias("k"),
+        (F.col("id") % 3).alias("s"),
+        (F.col("id") % 5 == 0).alias("tag"),
+    )
+    dual = SK.cms_merge_pair(
+        SK.cms_partials_pair(data, "k", "s", F.col("tag"))
+    )
+    base = SK.cms_merge(SK.cms_partials(data, "k", "s"))
+    sub = SK.cms_merge(SK.cms_partials(data.filter("tag"), "k", "s"))
+
+    got_base = {
+        (r["seed"], r["cell"]): r["cnt"] for r in dual.collect()
+    }
+    want_base = {(r["seed"], r["cell"]): r["cnt"] for r in base.collect()}
+    assert got_base == want_base
+    got_sub = {
+        (r["seed"], r["cell"]): r["cnt_tag"]
+        for r in dual.collect()
+        if r["cnt_tag"] > 0
+    }
+    want_sub = {(r["seed"], r["cell"]): r["cnt"] for r in sub.collect()}
+    assert got_sub == want_sub
+
+    est_pair = SK.cms_inner_product_pair(dual).collect()[0]["est"]
+    est_join = SK.cms_inner_product(base, sub).collect()[0]["est"]
+    assert est_pair == est_join
+
+
+def test_cms_join_fused_matches_per_relation_variant(spark, sf_dir):
+    """Gate-flip identity for the adopted fusion (the same contract
+    tools/ab_cms_fused.py asserts at sf0.1, pinned here at the test
+    SF so a regression cannot hide between A/B runs): both variants of
+    cms_join_size_estimate return the identical single row."""
+    from movies_etl_spark.plans import queries_scale as QS
+    from movies_etl_spark.plans import registry
+
+    fn = registry.QUERIES["cms_join_size_estimate"]
+    saved = QS.CMS_JOIN_FUSED
+    try:
+        QS.CMS_JOIN_FUSED = False
+        base = [tuple(r) for r in fn(spark, sf_dir).collect()]
+        QS.CMS_JOIN_FUSED = True
+        fused = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    finally:
+        QS.CMS_JOIN_FUSED = saved
+    assert base == fused, (base, fused)
