@@ -148,9 +148,22 @@ def shingled(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def with_minhash_bands(sh_df: DataFrame, id_col: str) -> DataFrame:
-    """(id, shingles) → exploded (id, band_id, band_key) rows."""
-    sig = minhash_signature(F.col("shingles"))
+def with_minhash_bands(
+    sh_df: DataFrame, id_col: str, sig_cols: list[str] | None = None
+) -> DataFrame:
+    """(id, shingles) → exploded (id, band_id, band_key) rows.
+
+    ``sig_cols`` (r14): names of PRECOMPUTED signature columns on
+    ``sh_df`` to band from, instead of re-deriving the 8 array_min
+    folds from ``shingles``. Callers that already materialize the
+    signature for their own output (minhash_jaccard_estimate persists
+    it once and reads it three times) pass the column names; the
+    default ``None`` recomputes exactly as before — band keys are the
+    same concat arithmetic either way."""
+    if sig_cols is not None:
+        sig = [F.col(c) for c in sig_cols]
+    else:
+        sig = minhash_signature(F.col("shingles"))
     bands = band_keys(sig)
     banded = sh_df.select(
         F.col(id_col),
@@ -315,6 +328,7 @@ def candidate_pairs_minhash(
     sh_df: DataFrame,
     id_col: str,
     max_bucket_rows: int = MAX_BAND_BUCKET_ROWS,
+    sig_cols: list[str] | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b), deduplicated across bands,
     with the band-bucket size cap ENFORCED — a bucket past
@@ -349,8 +363,10 @@ def candidate_pairs_minhash(
     cap-bounded list (10k bigint ids ≈ 80 KB per bucket row), and the
     final pair ``distinct`` is the only other exchange. ``sh_df`` is a
     (id, shingles) frame — persist it if verification will reuse the
-    shingles."""
-    bands = with_minhash_bands(sh_df, id_col)
+    shingles. ``sig_cols`` passes precomputed signature columns through
+    to with_minhash_bands (callers that persist the signature anyway —
+    see minhash_jaccard_estimate — avoid re-deriving the folds here)."""
+    bands = with_minhash_bands(sh_df, id_col, sig_cols=sig_cols)
     w = Window.partitionBy("band_id", "band_key").orderBy(id_col)
     capped = bands.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") <= F.lit(max_bucket_rows + 1)

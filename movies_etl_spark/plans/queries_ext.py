@@ -1645,6 +1645,17 @@ _MINHASH_EST_SQL = " + ".join(
     f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(D.N_MINHASH)
 )
 
+#: r14 exec-side experiment #3: when True, minhash_jaccard_estimate
+#: materializes the 8 signature columns INTO its tracked persist and
+#: its three signature consumers (banding inside
+#: candidate_pairs_minhash via sig_cols, and the a/b verify sides)
+#: read them, instead of each re-deriving the array_min folds from the
+#: persisted shingles — 3 fold evaluations per doc → 1, for 8 longs/doc
+#: of extra persist. Values identical by construction (same fold, same
+#: band concat). Adjudicated by tools/ab_minhash_sig.py — numbers there
+#: and in NOTES_r14.
+MINHASH_EST_SHARED_SIG = True
+
 @query(
     "minhash_jaccard_estimate",
     oracle=f"""
@@ -1680,22 +1691,48 @@ def q_minhash_jaccard_estimate(spark, sf_dir):
 
     Costs nothing new at scale: signatures and shingles are already
     computed for banding; the estimate is 8 integer equality checks per
-    candidate pair riding the existing verify join."""
+    candidate pair riding the existing verify join. With
+    MINHASH_EST_SHARED_SIG the 8 array_min folds run ONCE per doc at
+    persist time (the signature columns ride the tracked persist) and
+    banding + both join sides read them, instead of each of the three
+    consumers re-deriving the folds from the persisted shingles."""
     corpus = _near_corpus(spark, sf_dir)
-    sh_all = caching.tracked_persist(D.shingled(corpus, "text", "doc_id"))
-    pairs = D.candidate_pairs_minhash(sh_all, "doc_id")
-    sh = sh_all.filter(F.size("shingles") > 0)
     sig = D.minhash_signature(F.col("shingles"))
-    a = sh.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("shingles").alias("sh_a"),
-        *[s.alias(f"ma{i}") for i, s in enumerate(sig)],
-    )
-    b = sh.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("shingles").alias("sh_b"),
-        *[s.alias(f"mb{i}") for i, s in enumerate(sig)],
-    )
+    if MINHASH_EST_SHARED_SIG:
+        m_cols = [f"m{i}" for i in range(D.N_MINHASH)]
+        sh_all = caching.tracked_persist(
+            D.shingled(corpus, "text", "doc_id").select(
+                "doc_id",
+                "shingles",
+                *[s.alias(c) for s, c in zip(sig, m_cols)],
+            )
+        )
+        pairs = D.candidate_pairs_minhash(sh_all, "doc_id", sig_cols=m_cols)
+        sh = sh_all.filter(F.size("shingles") > 0)
+        a = sh.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("shingles").alias("sh_a"),
+            *[F.col(c).alias(f"ma{i}") for i, c in enumerate(m_cols)],
+        )
+        b = sh.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("shingles").alias("sh_b"),
+            *[F.col(c).alias(f"mb{i}") for i, c in enumerate(m_cols)],
+        )
+    else:
+        sh_all = caching.tracked_persist(D.shingled(corpus, "text", "doc_id"))
+        pairs = D.candidate_pairs_minhash(sh_all, "doc_id")
+        sh = sh_all.filter(F.size("shingles") > 0)
+        a = sh.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("shingles").alias("sh_a"),
+            *[s.alias(f"ma{i}") for i, s in enumerate(sig)],
+        )
+        b = sh.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("shingles").alias("sh_b"),
+            *[s.alias(f"mb{i}") for i, s in enumerate(sig)],
+        )
     agree = sum(
         F.when(F.col(f"ma{i}") == F.col(f"mb{i}"), 1).otherwise(0)
         for i in range(D.N_MINHASH)

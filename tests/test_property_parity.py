@@ -1341,3 +1341,57 @@ def test_cms_join_fused_matches_per_relation_variant(spark, sf_dir):
     finally:
         QS.CMS_JOIN_FUSED = saved
     assert base == fused, (base, fused)
+
+
+def test_with_minhash_bands_sig_cols_matches_refold(spark):
+    """The r14 shared-signature passthrough: banding from precomputed
+    signature columns must emit the identical (id, band_id, band_key)
+    rows as re-deriving the folds from shingles — same fold, same band
+    concat, so any drift means the sig_cols path wired the wrong
+    columns."""
+    from pyspark.sql import functions as F
+
+    from movies_etl_spark.operators import dedup as D
+
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("tok"), (F.col("id") % 7).cast("string"),
+            F.lit(" alpha beta gamma delta epsilon zeta"),
+        ).alias("text"),
+    )
+    sh = D.shingled(docs, "text", "doc_id")
+    sig = D.minhash_signature(F.col("shingles"))
+    m_cols = [f"m{i}" for i in range(D.N_MINHASH)]
+    sh_sig = sh.select(
+        "doc_id", "shingles", *[s.alias(c) for s, c in zip(sig, m_cols)]
+    )
+    want = sorted(
+        tuple(r) for r in D.with_minhash_bands(sh, "doc_id").collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in D.with_minhash_bands(
+            sh_sig, "doc_id", sig_cols=m_cols
+        ).collect()
+    )
+    assert got == want
+
+
+def test_minhash_estimate_shared_sig_matches_refold_variant(spark, sf_dir):
+    """Gate-flip identity for the adopted shared-signature form (the
+    same contract tools/ab_minhash_sig.py asserts at sf0.1, pinned
+    here at the test SF)."""
+    from movies_etl_spark.plans import queries_ext as QE
+    from movies_etl_spark.plans import registry
+
+    fn = registry.QUERIES["minhash_jaccard_estimate"]
+    saved = QE.MINHASH_EST_SHARED_SIG
+    try:
+        QE.MINHASH_EST_SHARED_SIG = False
+        base = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+        QE.MINHASH_EST_SHARED_SIG = True
+        shared = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    finally:
+        QE.MINHASH_EST_SHARED_SIG = saved
+    assert base == shared, (base[:3], shared[:3])
