@@ -46,14 +46,34 @@ BATCH_ID_OFFSET = 10_000_000_000  # batch ids sit above every store id
 
 
 def synth_docs(spark, lo: int, hi: int):
-    """Deterministic ~40-token docs over an overlapping vocabulary (the
-    ab_verify_prune generator) — shingle sets do real Jaccard work."""
+    """Deterministic ~40-token docs, UNIQUE per id (r14 continuation
+    fix): the first committed axis used the ab_verify_prune generator
+    (token values = id·(j+7) mod 997), whose texts depend only on
+    id mod 997 — so the store carried exact-duplicate families of
+    ~n/997 docs (a survivor store is near-dup-free by construction;
+    candidates per batch doc grew WITH store size, confounding the
+    scan-term reading) and the "novel" batch half were copies too
+    (betrayed by n_dropped = 500, not 250, in the first committed
+    rows). Mixing id//997 into every token value makes texts unique
+    per id while the dup half (re-synthesized from the SAME ids) stays
+    exact copies; random cross-id shingle overlap is negligible, so
+    band buckets hold only the planted families — the production
+    store shape."""
+    hi_part = (F.col("id") / F.lit(997)).cast("long")
     return spark.range(lo, hi).select(
         F.col("id").alias("doc_id"),
         F.concat_ws(
             " ",
             *[
-                F.concat(F.lit(f"w{j}_"), ((F.col("id") * (j + 7)) % 997))
+                F.concat(
+                    F.lit(f"w{j}_"),
+                    (
+                        (F.col("id") * (j + 7) + hi_part * (j * 31 + 5))
+                        % 99_991
+                    ),
+                    F.lit("_"),
+                    (hi_part * (j + 13)) % 9_973,
+                )
                 for j in range(40)
             ],
         ).alias("text"),
@@ -122,10 +142,14 @@ def main() -> None:
         walls[n] = round(best, 3)
         surv = spark.read.parquet(f"{base}/out/batch=1").count()
         dropped[n] = batch_rows - surv
-        # the planted duplicate half must actually be dropped, else the
-        # verify stage measured nothing
-        assert dropped[n] >= batch_rows // 2, (
-            f"store n={n}: only {dropped[n]} dropped — fixture broken"
+        # exactly the planted duplicate half must drop: fewer means the
+        # verify stage measured nothing; MORE means the "novel" half
+        # wasn't novel (the defect the r14 continuation fixed — the old
+        # generator's texts depended only on id mod 997, so every
+        # committed row read n_dropped = 500)
+        assert dropped[n] == batch_rows // 2, (
+            f"store n={n}: {dropped[n]} dropped, want exactly "
+            f"{batch_rows // 2} — fixture broken"
         )
         print(
             json.dumps(
