@@ -111,11 +111,17 @@ SF_SMOKE_DIR = "/root/testdata/sf0.001"
 #          scans, 3 → 1 joins; tools/ab_cms_fused.py). Displaced the
 #          slot-50 r10 filler (value_counts — stays r10-latest, rotates
 #          in r15).
-#   10-47: the COMPLETE 38-name r9-latest cohort (the union's oldest
+#   10:    funnel_analysis — the fourth exec-side adoption (mid-round
+#          swap): one-pass window-stack funnel, found by the new
+#          tools/audit_scans.py (5 runtime events scans → 1; jobs
+#          11 → 4; tools/ab_funnel_onepass.py). Displaced the slot-50
+#          r10 filler (null_count_per_column — stays r10-latest,
+#          rotates r15).
+#   11-48: the COMPLETE 38-name r9-latest cohort (the union's oldest
 #          rows) in tools/correctness_union.py report order (VERDICT
 #          r13 #1 — the union's count of 38 is authoritative over
 #          NOTES_r13's tail note of 35; reconciliation in NOTES_r14).
-#   48-50: the 3 oldest r10-latest rows, same order source — after r14
+#   49-50: the 2 oldest r10-latest rows, same order source — after r14
 #          no union row is older than r10.
 _ROUND14_PRIORITY = [
     # r14 dedup rewrite consumers (components null-edge alignment +
@@ -132,6 +138,8 @@ _ROUND14_PRIORITY = [
     "streaming_lsh_dedup",
     # exec-side A/B adoption #2 (fused dual-sketch join-size estimator)
     "cms_join_size_estimate",
+    # exec-side A/B adoption #4 (one-pass window-stack funnel)
+    "funnel_analysis",
     # complete r9-latest cohort, union-report order
     "sink_jdbc_roundtrip",
     "scan_error_checked",
@@ -172,10 +180,10 @@ _ROUND14_PRIORITY = [
     "embedding_dim_stats",
     "stratified_kfold_assign",
     # oldest r10-latest rows (freshness filler to exactly 50;
-    # value_counts displaced by the slot-9 mid-round swap)
+    # value_counts and null_count_per_column displaced by the slot-9
+    # and slot-10 mid-round swaps)
     "groupby_count",
     "pivot_counts",
-    "null_count_per_column",
 ]
 
 # Round-13 window (exactly 50; registered total stays 215 — the

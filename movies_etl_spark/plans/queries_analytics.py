@@ -43,6 +43,16 @@ def _micros(c) -> "F.Column":
 # ===========================================================================
 
 
+#: r14 exec-side adoption #4 (found by tools/audit_scans.py — the
+#: per-stage funnel read the events fact table FIVE times at runtime,
+#: final adaptive plan, one exchange reused): when True the funnel is
+#: one scan + one user_id exchange + a three-window stack + a
+#: partitioning-reusing dedup aggregate. Values identical (the
+#: conditional window min IS the stage join+filter+min). Adjudicated
+#: by tools/ab_funnel_onepass.py — numbers there and in NOTES_r14.
+FUNNEL_ONE_PASS = True
+
+
 @query(
     "funnel_analysis",
     oracle="""
@@ -66,12 +76,73 @@ def _micros(c) -> "F.Column":
 def q_funnel_analysis(spark, sf_dir):
     """Ordered conversion funnel (view -> later click -> later purchase):
     users reaching each stage, where each stage's timestamp must strictly
-    follow the previous stage's first occurrence. Three aggregations all
-    keyed on user_id — the shuffles share one key, and each stage's join
-    input shrinks monotonically (AQE broadcasts the later stages at
-    runtime). The event scan is filtered per stage, so column pruning +
-    predicate pushdown reach parquet; no self-join of the full table."""
+    follow the previous stage's first occurrence.
+
+    ONE-PASS form (r14 continuation — found by tools/audit_scans.py:
+    the per-stage form read the events FACT table five times at
+    runtime): one scan, one user_id exchange, then a stack of three
+    unordered window minimums over the SAME partitioning (each stage's
+    conditional min references the previous stage's partition-constant
+    — no sort, no re-exchange, and the window's spillable row buffer
+    instead of an aggregation buffer holding per-user arrays), a
+    partitioning-reusing per-user dedup aggregate, and one global
+    count row fanned out to the three stage rows. The per-stage form
+    (kept behind FUNNEL_ONE_PASS) re-scanned and re-shuffled per stage
+    with two joins; values identical — the window minimum over the
+    'ts > previous stage' predicate IS the per-stage join+filter+min."""
     e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    if FUNNEL_ONE_PASS:
+        w = Window.partitionBy("user_id")
+        et = F.col("event_type")
+        s1 = e.withColumn(
+            "t_view", F.min(F.when(et == "view", F.col("ts"))).over(w)
+        )
+        s2 = s1.withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (et == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        s3 = s2.withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (et == "purchase") & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        per_user = s3.groupBy("user_id").agg(
+            F.max("t_view").alias("t_view"),
+            F.max("t_click").alias("t_click"),
+            F.max("t_purchase").alias("t_purchase"),
+        )
+        counts = per_user.agg(
+            F.count("t_view").alias("n_view"),
+            F.count("t_click").alias("n_click"),
+            F.count("t_purchase").alias("n_purchase"),
+        )
+        return counts.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("1_view").alias("stage"),
+                        F.col("n_view").cast("long").alias("users"),
+                    ),
+                    F.struct(
+                        F.lit("2_click").alias("stage"),
+                        F.col("n_click").cast("long").alias("users"),
+                    ),
+                    F.struct(
+                        F.lit("3_purchase").alias("stage"),
+                        F.col("n_purchase").cast("long").alias("users"),
+                    ),
+                )
+            ).alias("s")
+        ).select("s.stage", "s.users")
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")

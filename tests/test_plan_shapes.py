@@ -1006,3 +1006,21 @@ def test_cms_join_size_fused_scans_lineitem_twice(spark, sf_dir):
     assert scans == 2, f"dual-sketch pass un-fused? lineitem scans={scans}"
     assert bhj <= 1, f"cell/exact joins back? BroadcastHashJoin={bhj}"
     assert "SortMergeJoin" not in plan
+
+
+def test_funnel_one_pass_scans_events_once(spark, sf_dir):
+    """r14 one-pass funnel (found by tools/audit_scans.py — the
+    per-stage form read events five times at runtime): one fact scan,
+    and the three conditional stage minimums stack over ONE user_id
+    exchange (windows share the partitioning; the dedup aggregate
+    reuses it — the only other exchanges are the 1-row global count
+    and its fan-out)."""
+    from movies_etl_spark.plans import registry
+
+    df = registry.QUERIES["funnel_analysis"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = plan.count("events.parquet")
+    assert scans == 1, f"per-stage scans back? events scans={scans}"
+    assert plan.count("SortMergeJoin") == 0 and plan.count(
+        "BroadcastHashJoin"
+    ) == 0, "stage joins back?"

@@ -1395,3 +1395,22 @@ def test_minhash_estimate_shared_sig_matches_refold_variant(spark, sf_dir):
     finally:
         QE.MINHASH_EST_SHARED_SIG = saved
     assert base == shared, (base[:3], shared[:3])
+
+
+def test_funnel_one_pass_matches_per_stage_variant(spark, sf_dir):
+    """Gate-flip identity for the adopted one-pass funnel (the same
+    contract tools/ab_funnel_onepass.py asserts at sf0.1, pinned here
+    at the test SF): both variants return identical stage counts."""
+    from movies_etl_spark.plans import queries_analytics as QA
+    from movies_etl_spark.plans import registry
+
+    fn = registry.QUERIES["funnel_analysis"]
+    saved = QA.FUNNEL_ONE_PASS
+    try:
+        QA.FUNNEL_ONE_PASS = False
+        base = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+        QA.FUNNEL_ONE_PASS = True
+        onepass = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    finally:
+        QA.FUNNEL_ONE_PASS = saved
+    assert base == onepass, (base, onepass)

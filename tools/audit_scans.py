@@ -111,8 +111,17 @@ def main() -> None:
         try:
             df = fn(spark, sf)
             if do_exec:
-                df.write.format("noop").mode("overwrite").save()
+                # collect (NOT a noop write): df.write plans a separate
+                # queryExecution, leaving df's own adaptive plan
+                # unexecuted — the final plan with its ReusedExchange
+                # nodes only exists on the executed one. Smoke-SF frames
+                # are driver-sized (driver_sim collects them wholesale).
+                df.collect()
             plan = df._jdf.queryExecution().executedPlan().toString()
+            # an executed AdaptiveSparkPlan prints "== Current Plan =="
+            # AND "== Initial Plan ==" — counting both would double
+            # every scan; keep only the current (final) section
+            plan = plan.split("== Initial Plan ==")[0]
         except Exception:
             errors.append(name)
             traceback.print_exc(limit=1, file=sys.stderr)
