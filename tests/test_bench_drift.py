@@ -180,10 +180,28 @@ def test_query_ref_generator_rejects_small_sf_captures():
     smoke = {"sf": 0.01, "queries_normalized": {"q": 0.02}}
     legacy_no_sf = {"queries_normalized": {"q": 1.0}}
     no_map = {"sf": 0.1}
+    # r14 continuation: a detector-flagged contended capture stays
+    # committed as evidence but must not mint pins — its hot names
+    # price ambient load, not code (capture K: a 12-name median-1.33
+    # block read one query at 3.2x that probed 0.6-0.7x clean).
+    contended = {
+        "sf": 0.1,
+        "queries_normalized": {"q": 1.0},
+        "contended_segments": [
+            {"first": "a", "last": "b", "median_hot": 1.33, "n_hot": 12}
+        ],
+    }
+    clean_empty_segments = {
+        "sf": 0.1,
+        "queries_normalized": {"q": 1.0},
+        "contended_segments": [],
+    }
     assert mod.capture_ok(good)
     assert not mod.capture_ok(smoke)
     assert not mod.capture_ok(legacy_no_sf)
     assert not mod.capture_ok(no_map)
+    assert not mod.capture_ok(contended)
+    assert mod.capture_ok(clean_empty_segments)
 
 def test_shared_cli_parser():
     """tools/_cli.parse_args — the one flag-parsing loop the three

@@ -47,8 +47,27 @@ def capture_ok(d: dict) -> bool:
     overwritten by one) carries 10-100x smaller timings and would
     silently drag every median down, making every untouched query read
     as a large phantom regression — the exact artifact class this tool
-    exists to kill (review catch, r11)."""
-    return bool(d.get("queries_normalized")) and d.get("sf") == 0.1
+    exists to kill (review catch, r11).
+
+    Segment-flagged captures are also excluded (r14 continuation): a
+    capture with a detector-flagged contended block carries hot names
+    whose normalized timings price ambient load, not code — r14's
+    capture K read minhash_jaccard_estimate at 3.2x inside a 12-name
+    median-1.33 block while the same query probed 0.6-0.7x on four
+    clean captures. Such captures stay committed as evidence; they
+    just don't mint pins. (Suite-median drift under-corrects a bimodal
+    capture by construction — the r13 VERDICT's reading — so exclusion,
+    not normalization, is the right treatment here.)"""
+    if not (bool(d.get("queries_normalized")) and d.get("sf") == 0.1):
+        return False
+    if d.get("contended_segments"):
+        print(
+            "skipping segment-flagged capture "
+            f"(contended_segments={d['contended_segments']!r:.80})",
+            file=sys.stderr,
+        )
+        return False
+    return True
 
 
 def collect(n_captures: int) -> tuple[dict[str, float], int]:
