@@ -2405,3 +2405,47 @@ def test_llm_corpus_pipeline_matches_independent_python(spark, sf_dir):
         for r in QUERIES["llm_corpus_pipeline"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_funnel_matches_independent_pandas_walk(spark, sf_dir):
+    """Independent witness for the r14 one-pass funnel: a pure-pandas
+    per-user walk (min view ts, then first click strictly after it,
+    then first purchase strictly after that) — a third formulation
+    next to the Spark window stack and the DuckDB per-stage-CTE
+    oracle, so a shared misreading of the ordered-stage semantics
+    cannot survive all three (the replay-oracle lesson: both engines
+    replaying the same wrong formulation stays green)."""
+    import pandas as pd
+
+    import __spark_entry__ as m
+
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    n_view = n_click = n_purchase = 0
+    for _, g in ev.groupby("user_id"):
+        views = g.loc[g.event_type == "view", "ts"]
+        if views.empty:
+            continue
+        n_view += 1
+        t_view = views.min()
+        clicks = g.loc[(g.event_type == "click") & (g.ts > t_view), "ts"]
+        if clicks.empty:
+            continue
+        n_click += 1
+        t_click = clicks.min()
+        purchases = g.loc[
+            (g.event_type == "purchase") & (g.ts > t_click), "ts"
+        ]
+        if not purchases.empty:
+            n_purchase += 1
+
+    got = {
+        r["stage"]: r["users"]
+        for r in m.queries()["funnel_analysis"](spark, sf_dir).collect()
+    }
+    assert got == {
+        "1_view": n_view,
+        "2_click": n_click,
+        "3_purchase": n_purchase,
+    }, (got, n_view, n_click, n_purchase)
