@@ -421,10 +421,15 @@ def cms_inner_product_pair(merged: DataFrame) -> DataFrame:
     ``cms_inner_product(base, tagged)`` — a tagged cell absent from the
     base table cannot exist (subset), and base cells with cnt_tag = 0
     contribute 0 exactly as the equi-join's dropped rows do — but with
-    NO join: the dual table is already cell-aligned. Returns one row
-    (est)."""
-    per_seed = merged.groupBy("seed").agg(
-        F.sum(F.col("cnt") * F.col("cnt_tag")).alias("ip")
+    NO join: the dual table is already cell-aligned. NULL cells (from
+    NULL keys: md5(NULL) → NULL cell) are dropped here, exactly as the
+    (seed, cell) equi-join drops them (NULL never equi-matches), so the
+    identity holds for null-key inputs too (ADVICE r14 #2). Returns one
+    row (est)."""
+    per_seed = (
+        merged.filter(F.col("cell").isNotNull())
+        .groupBy("seed")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_tag")).alias("ip"))
     )
     spine = merged.sparkSession.range(CMS_DEPTH).select(
         F.col("id").cast("int").alias("seed")

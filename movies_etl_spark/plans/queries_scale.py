@@ -2558,10 +2558,16 @@ _CMS_JOIN_ORACLE = """
 #: reproduces both sketches cell-aligned and the inner product needs no
 #: (seed, cell) join at all), and the exact-rides-along term fuses its
 #: two groupBys + equi-join into one conditional aggregate. Values
-#: provably identical (subset ⇒ same cells; cnt_tag = the filtered
-#: sketch's cnt; zero-tag cells contribute 0 exactly as the join's
-#: dropped rows). Adjudicated by tools/ab_cms_fused.py — numbers there
-#: and in NOTES_r14.
+#: identical UNCONDITIONALLY as of r15 (ADVICE r14 #1/#2): subset ⇒
+#: same cells; cnt_tag = the filtered sketch's cnt; zero-tag cells
+#: contribute 0 exactly as the join's dropped rows; null keys are
+#: filtered on both exact sides (the old path dropped them only via
+#: inner-join null semantics), both exact sums coalesce to 0 on empty
+#: input (zero-'R' or empty lineitem), and cms_inner_product_pair drops
+#: NULL-cell rows exactly as the (seed, cell) equi-join did.
+#: Adjudicated by tools/ab_cms_fused.py — numbers there and in
+#: NOTES_r14; degenerate-input identity pinned in
+#: test_cms_join_fused_identity_degenerate_inputs.
 CMS_JOIN_FUSED = True
 
 
@@ -2587,6 +2593,12 @@ def q_cms_join_size_estimate(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     is_r = F.col("l_returnflag") == "R"
+    # Null join keys never equi-match, so the exact side of BOTH
+    # variants filters them explicitly (the old path dropped them only
+    # implicitly via the inner join's null semantics) and both sums
+    # coalesce to 0 on empty input — the gate-flip identity is
+    # unconditional, not TPC-H-schema-conditional (ADVICE r14 #1).
+    li_k = li.filter(F.col("l_partkey").isNotNull())
     if CMS_JOIN_FUSED:
         la = li.select(
             (F.col("l_orderkey") % 4).alias("shard"), "l_partkey", is_r.alias("is_r")
@@ -2598,12 +2610,16 @@ def q_cms_join_size_estimate(spark, sf_dir):
             F.col("est").cast("long").alias("est_join_rows")
         )
         exact = (
-            li.groupBy("l_partkey")
+            li_k.groupBy("l_partkey")
             .agg(
                 F.count(F.lit(1)).alias("ca"),
                 F.count_if(is_r).alias("cb"),
             )
-            .agg(F.sum(F.col("ca") * F.col("cb")).alias("exact_join_rows"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("ca") * F.col("cb")), F.lit(0)
+                ).alias("exact_join_rows")
+            )
         )
     else:
         la = li.select((F.col("l_orderkey") % 4).alias("shard"), "l_partkey")
@@ -2615,15 +2631,19 @@ def q_cms_join_size_estimate(spark, sf_dir):
         est = SK.cms_inner_product(ca, cb).select(
             F.col("est").cast("long").alias("est_join_rows")
         )
-        fa = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ca"))
+        fa = li_k.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ca"))
         fb = (
-            li.filter(is_r)
+            li_k.filter(is_r)
             .groupBy("l_partkey")
             .agg(F.count(F.lit(1)).alias("cb"))
         )
         exact = (
             fa.join(fb, "l_partkey")
-            .agg(F.sum(F.col("ca") * F.col("cb")).alias("exact_join_rows"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("ca") * F.col("cb")), F.lit(0)
+                ).alias("exact_join_rows")
+            )
         )
     return est.crossJoin(exact).select(
         "est_join_rows",

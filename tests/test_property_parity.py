@@ -1323,6 +1323,100 @@ def test_cms_partials_pair_matches_per_relation_sketches(spark):
     assert est_pair == est_join
 
 
+def test_cms_inner_product_pair_null_keys_match_equi_join(spark):
+    """ADVICE r14 #2: NULL keys hash to NULL cells (md5(NULL) → NULL);
+    the per-relation inner product drops them via the (seed, cell)
+    equi-join's null semantics, so cms_inner_product_pair must drop
+    its NULL-cell rows too — the identity holds on null-key inputs,
+    not just for non-null keys."""
+    from pyspark.sql import functions as F
+
+    from movies_etl_spark.operators import sketch as SK
+
+    data = spark.range(200).select(
+        F.when(F.col("id") % 7 == 0, F.lit(None))
+        .otherwise((F.col("id") % 53).cast("string"))
+        .alias("k"),
+        (F.col("id") % 3).alias("s"),
+        (F.col("id") % 4 == 0).alias("tag"),
+    )
+    dual = SK.cms_merge_pair(
+        SK.cms_partials_pair(data, "k", "s", F.col("tag"))
+    )
+    base = SK.cms_merge(SK.cms_partials(data, "k", "s"))
+    sub = SK.cms_merge(SK.cms_partials(data.filter("tag"), "k", "s"))
+    est_pair = SK.cms_inner_product_pair(dual).collect()[0]["est"]
+    est_join = SK.cms_inner_product(base, sub).collect()[0]["est"]
+    assert est_pair == est_join
+
+    # all-null degenerate: both paths see zero usable cells → est 0
+    allnull = spark.range(20).select(
+        F.lit(None).cast("string").alias("k"),
+        F.lit(0).alias("s"),
+        (F.col("id") % 2 == 0).alias("tag"),
+    )
+    dual0 = SK.cms_merge_pair(
+        SK.cms_partials_pair(allnull, "k", "s", F.col("tag"))
+    )
+    base0 = SK.cms_merge(SK.cms_partials(allnull, "k", "s"))
+    sub0 = SK.cms_merge(SK.cms_partials(allnull.filter("tag"), "k", "s"))
+    est_pair0 = SK.cms_inner_product_pair(dual0).collect()[0]["est"]
+    est_join0 = SK.cms_inner_product(base0, sub0).collect()[0]["est"]
+    assert est_pair0 == est_join0 == 0
+
+
+def test_cms_join_fused_identity_degenerate_inputs(spark, tmp_path):
+    """ADVICE r14 #1: the fused/per-relation gate-flip identity on the
+    two degenerate shapes TPC-H can't produce — NULL l_partkey rows
+    (old equi-join dropped them implicitly; both variants now filter
+    explicitly) and zero 'R' rows (old path's sum-over-empty-join read
+    NULL; both sums now coalesce to 0)."""
+    from pyspark.sql import functions as F
+
+    from movies_etl_spark.plans import queries_scale as QS
+    from movies_etl_spark.plans import registry
+
+    fn = registry.QUERIES["cms_join_size_estimate"]
+    saved = QS.CMS_JOIN_FUSED
+
+    def both(sf_dir):
+        try:
+            QS.CMS_JOIN_FUSED = False
+            base = [tuple(r) for r in fn(spark, sf_dir).collect()]
+            QS.CMS_JOIN_FUSED = True
+            fused = [tuple(r) for r in fn(spark, sf_dir).collect()]
+        finally:
+            QS.CMS_JOIN_FUSED = saved
+        return base, fused
+
+    # shape 1: null join keys mixed in, some 'R' rows
+    d1 = str(tmp_path / "nullkeys")
+    spark.range(100).select(
+        F.col("id").alias("l_orderkey"),
+        F.when(F.col("id") % 5 == 0, F.lit(None))
+        .otherwise(F.col("id") % 11)
+        .alias("l_partkey"),
+        F.when(F.col("id") % 3 == 0, F.lit("R"))
+        .otherwise(F.lit("N"))
+        .alias("l_returnflag"),
+    ).write.parquet(f"{d1}/lineitem.parquet")
+    base, fused = both(d1)
+    assert base == fused, (base, fused)
+    # the exact side must have dropped the null-key rows on both paths
+    assert base[0][1] > 0
+
+    # shape 2: zero 'R' rows — exact_join_rows must read 0, not NULL
+    d2 = str(tmp_path / "nor")
+    spark.range(50).select(
+        F.col("id").alias("l_orderkey"),
+        (F.col("id") % 7).alias("l_partkey"),
+        F.lit("N").alias("l_returnflag"),
+    ).write.parquet(f"{d2}/lineitem.parquet")
+    base, fused = both(d2)
+    assert base == fused, (base, fused)
+    assert base[0][1] == 0 and base[0][1] is not None
+
+
 def test_cms_join_fused_matches_per_relation_variant(spark, sf_dir):
     """Gate-flip identity for the adopted fusion (the same contract
     tools/ab_cms_fused.py asserts at sf0.1, pinned here at the test

@@ -142,15 +142,27 @@ def main() -> None:
         walls[n] = round(best, 3)
         surv = spark.read.parquet(f"{base}/out/batch=1").count()
         dropped[n] = batch_rows - surv
-        # exactly the planted duplicate half must drop: fewer means the
-        # verify stage measured nothing; MORE means the "novel" half
+        # the planted duplicate half must drop: fewer means the verify
+        # stage measured nothing; many MORE means the "novel" half
         # wasn't novel (the defect the r14 continuation fixed — the old
         # generator's texts depended only on id mod 997, so every
-        # committed row read n_dropped = 500)
-        assert dropped[n] == batch_rows // 2, (
-            f"store n={n}: {dropped[n]} dropped, want exactly "
-            f"{batch_rows // 2} — fixture broken"
+        # committed row read n_dropped = 500). A tiny over-band
+        # tolerates accidental cross-id shingle collisions (rare but
+        # not impossible; ADVICE r14 #3) — a collision is FLAGGED on
+        # the row instead of aborting the whole measurement run.
+        half = batch_rows // 2
+        tol = max(2, batch_rows // 100)
+        assert half <= dropped[n] <= half + tol, (
+            f"store n={n}: {dropped[n]} dropped, want [{half}, "
+            f"{half + tol}] — fixture broken"
         )
+        if dropped[n] != half:
+            print(
+                f"# WARN store n={n}: {dropped[n] - half} extra drops "
+                "(accidental near-dup collision) — row flagged, run "
+                "continues",
+                flush=True,
+            )
         print(
             json.dumps(
                 {"n_store": n, "wall_sec": walls[n], "jobs": jobs[n],
