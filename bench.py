@@ -604,20 +604,28 @@ def _suite_drift_anomaly(
     suite: float | None,
     band: float = SUITE_DRIFT_ANOMALY_BAND,
 ) -> bool:
-    """ADVICE r13 #1: ``_suite_drift`` normalizes the suite by its own
-    raw/pin median, so a genuine regression touching ≥50% of pinned
-    queries is ABSORBED into the drift factor and the normalized column
-    reads ~1.0 — a uniform suite-wide slowdown could ship as a clean
-    capture. The one observable that separates that shape from ordinary
-    ambient drift: ambient contention moves the battery and the suite
-    TOGETHER, while a suite-wide code regression moves only the suite.
-    Flag when the suite median deviates from BOTH 1.0 and the battery
-    reading by more than ``band`` — the raw column
-    (queries_ratio_raw_vs_ref) is then the authoritative reading and the
-    capture must be adjudicated, not read at face value."""
+    """ADVICE r13 #1, re-specified r15 (VERDICT r14 #1): ``_suite_drift``
+    normalizes the suite by its own raw/pin median, so a genuine
+    regression touching ≥50% of pinned queries is ABSORBED into the
+    drift factor and the normalized column reads ~1.0 — a uniform
+    suite-wide slowdown could ship as a clean capture. The one
+    observable that separates that shape from ordinary ambient drift:
+    ambient contention moves the battery and the suite TOGETHER, while
+    a suite-wide code regression moves only the suite — and moves it
+    SLOW. The flag is therefore DIRECTIONAL: fire only when the suite
+    median is slow beyond the band (suite > 1 + band) AND slower than
+    the battery beyond the band (suite − battery > band). The r14
+    symmetric form fired on eight clean captures (B/E/F/G/H/I/J/M —
+    all suite-FAST vs stale-or-ambient pins, battery flat: pin lag plus
+    fast ambient, a shape a code regression cannot produce) and was on
+    track to be learned-ignored; a suite-fast split is now silent (the
+    raw column and the per-round pin re-mint already cover it). When
+    the flag fires, the raw column (queries_ratio_raw_vs_ref) is the
+    authoritative reading and the capture must be adjudicated, not read
+    at face value."""
     if suite is None or battery is None:
         return False
-    return abs(suite - 1) > band and abs(suite - battery) > band
+    return (suite - 1) > band and (suite - battery) > band
 
 
 def _pick_drift(

@@ -285,24 +285,40 @@ def test_wall_excluding_contended():
 
 
 def test_suite_drift_anomaly_warning():
-    """ADVICE r13 #1: _suite_drift normalizes by its own median, so a
-    genuine regression touching ≥50% of pinned queries is absorbed into
-    the drift factor and the normalized column reads ~1.0. The anomaly
-    flag fires when the suite median deviates from BOTH 1.0 and the
-    battery beyond the band — ambient contention moves battery and suite
-    together; a suite-wide code regression moves only the suite."""
-    # suite-wide code regression: suite 1.3, battery clean 1.0 -> flag
+    """VERDICT r14 #1: the flag is DIRECTIONAL — only the
+    suite-slow/battery-clean shape (the one a suite-wide code
+    regression produces) fires. Each observed r14 capture shape is
+    encoded below with its committed numbers; the r14 symmetric form
+    fired on all eight clean captures (pin lag + fast ambient) and
+    none of them may fire now."""
+    # synthetic suite-wide code regression: suite slow 1.3, battery
+    # clean 1.0 -> FIRES (the only shape that should)
     assert bench._suite_drift_anomaly(1.0, 1.3)
-    # ambient contention: both elevated together -> no flag
-    assert not bench._suite_drift_anomaly(1.28, 1.3)
-    # clean capture: both ~1.0 -> no flag
+    # r14 captures B/E (battery ~1.03, suite ~0.85): suite FAST vs
+    # stale pins, battery flat — pin lag + fast ambient, a shape a
+    # code regression cannot produce -> silent
+    assert not bench._suite_drift_anomaly(1.03, 0.85)
+    # r14 captures F-I/J/M (battery ~1.0, suite 0.83-0.91) -> silent
+    assert not bench._suite_drift_anomaly(1.0, 0.83)
+    assert not bench._suite_drift_anomaly(0.98, 0.91)
+    # r14 capture D (battery 0.938, suite 0.945 agreeing) -> silent
+    assert not bench._suite_drift_anomaly(0.938, 0.945)
+    # r14 captures K/L (genuine mid-suite contention): ambient moves
+    # battery and suite together -> silent here, the SEGMENT detector
+    # carries the signal for order-localized contention
+    assert not bench._suite_drift_anomaly(1.35, 1.3)
+    # clean capture: both ~1.0 -> silent
     assert not bench._suite_drift_anomaly(0.98, 1.02)
     # r12 motivating capture: battery 0.783 vs suite 0.922 — suite
     # within the band of 1.0, so the (correct) suite normalization is
     # NOT an anomaly even though the battery was contaminated
     assert not bench._suite_drift_anomaly(0.783, 0.922)
-    # suite-wide speedup absorbed the same way (e.g. a box upgrade
-    # masking per-query attribution) also warrants a look
-    assert bench._suite_drift_anomaly(1.0, 0.85)
+    # suite slow but battery slower (front-loaded ambient that cleared
+    # before the post battery ran backwards? no — battery elevated
+    # ABOVE suite means ambient, not code) -> silent
+    assert not bench._suite_drift_anomaly(1.5, 1.3)
+    # suite slow AND well above an only-mildly-elevated battery: the
+    # suite moved beyond what ambient explains -> fires
+    assert bench._suite_drift_anomaly(1.1, 1.3)
     assert not bench._suite_drift_anomaly(None, 1.3)
     assert not bench._suite_drift_anomaly(1.0, None)
