@@ -84,6 +84,82 @@ from movies_etl_spark.plans import queries_scale  # noqa: E402,F401
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
+# Round-15 window (exactly 50; registered total stays 215 — the
+# surface is saturated at 46/46 and VERDICT r14 ranked the round as
+# the anomaly-flag directional fix + the r10-cohort rotation + pin
+# re-mints + exec-side A/B cadence, so no new registrations;
+# NOTES_r15.md carries the ledger):
+#   1:     cms_join_size_estimate — consumer of the r15 ADVICE fixes
+#          (cms_inner_product_pair NULL-cell drop, ADVICE r14 #2; both
+#          exact variants filter null l_partkey + coalesce-to-0,
+#          ADVICE r14 #1). Its union row is r14-fresh; the slot exists
+#          because the operator code changed this round —
+#          re-validating rewritten-code consumers outranks pure
+#          freshness (the standing rule).
+#   2-42:  the COMPLETE 41-name r10-latest cohort (the union's oldest
+#          rows after r14) in tools/correctness_union.py report order
+#          (VERDICT r14 #2 — re-counted at round start: exactly 41,
+#          matching the judge's histogram, including the twice-
+#          displaced value_counts and null_count_per_column).
+#   43-50: the 8 oldest r11-latest rows, same order source — after r15
+#          no union row is older than r11.
+_ROUND15_PRIORITY = [
+    # r15 ADVICE-fix consumer (dual-sketch estimator identities made
+    # unconditional)
+    "cms_join_size_estimate",
+    # complete r10-latest cohort, union-report order
+    "null_count_per_column",
+    "value_counts",
+    "describe_stats",
+    "histogram",
+    "constant_column_detector",
+    "join_inner_equi",
+    "join_left_equi",
+    "join_semi",
+    "join_anti",
+    "filter_key_exists",
+    "filter_equality",
+    "filter_conflict_rows",
+    "dropna_column",
+    "prune_null_columns",
+    "select_reorder",
+    "drop_columns",
+    "rename_columns",
+    "canonicalize_keys",
+    "collect_map_column",
+    "dedup_by_key",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "topk_per_group",
+    "orderby_limit",
+    "cast_typed",
+    "fill_if_zero",
+    "movies_etl_ratings",
+    "groupby_count_salted",
+    "entropy_profile",
+    "embedding_quantize",
+    "similarity_topk",
+    "similarity_ann_multiprobe",
+    "ann_rerank",
+    "streaming_dedup",
+    "triangle_count",
+    "quantile_sketch_merge",
+    "hll_distinct_shards",
+    "heavy_hitters_cms",
+    "quantile_sketch_by_group",
+    "hll_set_overlap",
+    # oldest r11-latest rows (freshness filler to exactly 50)
+    "fillna_zero",
+    "from_unix_seconds",
+    "scan_json",
+    "scan_csv",
+    "scan_csv_inferred",
+    "sink_parquet_overwrite",
+    "sink_append_chunked",
+    "window_running_sum",
+]
+
 # Round-14 window (exactly 50; registered total stays 215 — the
 # surface is saturated at 46/46 and VERDICT r13 ranked the round as
 # the r9-cohort rotation + contention-flag fix + exec-side A/B, so no
@@ -563,7 +639,7 @@ _ROUND10_PRIORITY = [
     "fill_if_zero",
 ]
 
-_CURRENT_PRIORITY = _ROUND14_PRIORITY
+_CURRENT_PRIORITY = _ROUND15_PRIORITY
 
 # Round-10 window retained for the ledger (NOTES_r10.md references it);
 # _ordered() consumes _CURRENT_PRIORITY.
