@@ -692,6 +692,18 @@ def q_bm25_rank(spark, sf_dir):
 # Time-series ops: sweep-line concurrency, TWAP, rolling range windows
 # ===========================================================================
 
+#: r15 exec-side A/B (the VERDICT r14 #5 named candidate, queued from
+#: the r14 scan-audit board): the sweep's ±1 endpoint union read the
+#: events fact table twice, and BOTH two-phase prefix-sum consumers
+#: (per-shard cumsum + shard totals) re-derive it — four runtime scans
+#: total. When True the endpoints come from ONE scan via an explode of
+#: a 2-struct (t, delta) array: same rows, same types (both deltas are
+#: int literals, both timestamps the same ntz cast), so values are
+#: identical by construction; runtime events scans drop 4 → 2.
+#: Adjudicated by tools/ab_concurrency_onescan.py — numbers there and
+#: in NOTES_r15.
+CONCURRENCY_ONE_SCAN = True
+
 
 @query(
     "concurrency_sweep",
@@ -741,9 +753,30 @@ def q_concurrency_sweep(spark, sf_dir):
         .cast("timestamp_ntz")
         .alias("t1"),
     )
-    pts = iv.select(
-        "event_id", F.col("t0").alias("t"), F.lit(1).alias("delta")
-    ).unionAll(iv.select("event_id", F.col("t1").alias("t"), F.lit(-1).alias("delta")))
+    if CONCURRENCY_ONE_SCAN:
+        pts = iv.select(
+            "event_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("t0").alias("t"), F.lit(1).alias("delta")
+                    ),
+                    F.struct(
+                        F.col("t1").alias("t"), F.lit(-1).alias("delta")
+                    ),
+                )
+            ).alias("pt"),
+        ).select(
+            "event_id",
+            F.col("pt.t").alias("t"),
+            F.col("pt.delta").alias("delta"),
+        )
+    else:
+        pts = iv.select(
+            "event_id", F.col("t0").alias("t"), F.lit(1).alias("delta")
+        ).unionAll(
+            iv.select("event_id", F.col("t1").alias("t"), F.lit(-1).alias("delta"))
+        )
     pts = pts.withColumn("day", F.to_date("t"))
     off = C.global_running_offset(
         pts, "delta", "day", [F.col("t"), F.col("delta"), F.col("event_id")]

@@ -1024,3 +1024,29 @@ def test_funnel_one_pass_scans_events_once(spark, sf_dir):
     assert plan.count("SortMergeJoin") == 0 and plan.count(
         "BroadcastHashJoin"
     ) == 0, "stage joins back?"
+
+
+def test_concurrency_sweep_scans_events_twice(spark, sf_dir):
+    """r15 one-scan sweep-line endpoints (the VERDICT r14 #5 named
+    candidate): the ±1 endpoint union read events twice and BOTH
+    two-phase prefix-sum consumers re-derived it — four scans in the
+    plan. The explode form leaves exactly the two consumer scans (the
+    per-shard cumsum pass and the shard-totals pass — the prefix-sum
+    correctness design), each fed by one explode."""
+    from movies_etl_spark.plans import queries_analytics as QA
+    from movies_etl_spark.plans import registry
+
+    fn = registry.QUERIES["concurrency_sweep"]
+    df = fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = plan.count("events.parquet")
+    assert scans == 2, f"endpoint union back? events scans={scans}"
+    saved = QA.CONCURRENCY_ONE_SCAN
+    try:
+        QA.CONCURRENCY_ONE_SCAN = False
+        plan_u = (
+            fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        QA.CONCURRENCY_ONE_SCAN = saved
+    assert plan_u.count("events.parquet") == 4, "union baseline moved"

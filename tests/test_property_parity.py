@@ -1508,3 +1508,23 @@ def test_funnel_one_pass_matches_per_stage_variant(spark, sf_dir):
     finally:
         QA.FUNNEL_ONE_PASS = saved
     assert base == onepass, (base, onepass)
+
+
+def test_concurrency_one_scan_matches_union_variant(spark, sf_dir):
+    """Gate-flip identity for the r15 one-scan sweep-line endpoints
+    (the same contract tools/ab_concurrency_onescan.py asserts at
+    sf0.1, pinned here at the test SF): the explode form and the
+    two-scan union form return identical per-day concurrency rows."""
+    from movies_etl_spark.plans import queries_analytics as QA
+    from movies_etl_spark.plans import registry
+
+    fn = registry.QUERIES["concurrency_sweep"]
+    saved = QA.CONCURRENCY_ONE_SCAN
+    try:
+        QA.CONCURRENCY_ONE_SCAN = False
+        base = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+        QA.CONCURRENCY_ONE_SCAN = True
+        onescan = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    finally:
+        QA.CONCURRENCY_ONE_SCAN = saved
+    assert base == onescan, (base, onescan)
