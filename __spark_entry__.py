@@ -101,14 +101,19 @@ SF_SMOKE_DIR = "/root/testdata/sf0.001"
 #          (VERDICT r14 #2 — re-counted at round start: exactly 41,
 #          matching the judge's histogram, including the twice-
 #          displaced value_counts and null_count_per_column).
-#   43-49: the 7 oldest r11-latest rows, same order source — after r15
-#          no union row is older than r11 (window_running_sum was
-#          displaced by the slot-50 mid-round swap; stays r11-latest,
-#          rotates r16).
-#   50:    concurrency_sweep — the r15 exec-side A/B adoption (one-scan
-#          sweep-line endpoints: events scans 4 → 2, values identical;
-#          tools/ab_concurrency_onescan.py), swapped in mid-round per
-#          the r13/r14 precedent.
+#   43-47: the 5 oldest r11-latest rows, same order source
+#          (window_running_sum, sink_parquet_overwrite, and
+#          sink_append_chunked displaced by the three mid-round swaps;
+#          stay r11-latest, rotate r16).
+#   48-49: ann_recall_eval + ann_recall_clustered — the r15 exec-side
+#          A/B adoption #2 (shared-scan recall audits: 4/5 resident
+#          embeddings scans → one lazy-checkpoint materialization,
+#          values identical; tools/ab_recall_shared.py), swapped in
+#          mid-round as rewrite consumers.
+#   50:    concurrency_sweep — the r15 exec-side A/B adoption #1
+#          (one-scan sweep-line endpoints: events scans 4 → 2, values
+#          identical; tools/ab_concurrency_onescan.py), swapped in
+#          mid-round per the r13/r14 precedent.
 _ROUND15_PRIORITY = [
     # r15 ADVICE-fix consumer (dual-sketch estimator identities made
     # unconditional)
@@ -155,18 +160,21 @@ _ROUND15_PRIORITY = [
     "heavy_hitters_cms",
     "quantile_sketch_by_group",
     "hll_set_overlap",
-    # oldest r11-latest rows (freshness filler to exactly 50;
-    # window_running_sum displaced by the slot-50 mid-round swap —
-    # stays r11-latest, rotates r16)
+    # oldest r11-latest rows (freshness filler; window_running_sum,
+    # sink_parquet_overwrite, and sink_append_chunked displaced by the
+    # three mid-round swaps — stay r11-latest, rotate r16)
     "fillna_zero",
     "from_unix_seconds",
     "scan_json",
     "scan_csv",
     "scan_csv_inferred",
-    "sink_parquet_overwrite",
-    "sink_append_chunked",
-    # exec-side A/B adoption (one-scan sweep-line endpoints, mid-round
-    # swap per the r13/r14 precedent; tools/ab_concurrency_onescan.py)
+    # exec-side A/B adoption #2 (shared-scan recall audits, mid-round
+    # swap; tools/ab_recall_shared.py)
+    "ann_recall_eval",
+    "ann_recall_clustered",
+    # exec-side A/B adoption #1 (one-scan sweep-line endpoints,
+    # mid-round swap per the r13/r14 precedent;
+    # tools/ab_concurrency_onescan.py)
     "concurrency_sweep",
 ]
 

@@ -1050,3 +1050,35 @@ def test_concurrency_sweep_scans_events_twice(spark, sf_dir):
     finally:
         QA.CONCURRENCY_ONE_SCAN = saved
     assert plan_u.count("events.parquet") == 4, "union baseline moved"
+
+
+def test_recall_audits_share_one_corpus_scan(spark, sf_dir):
+    """r15 shared-scan recall audits (the board's two standing
+    eval-harness rows): with RECALL_SHARED_SCAN the corpus (or the
+    clustered fixture) is a lazy-checkpoint leaf, so the exact arm,
+    the LSH arm, and both query-set derivations reference ZERO parquet
+    subtrees — 4 (eval) / 5 (clustered) resident scans become one
+    materialization. The flipped gate restores the per-arm baselines,
+    pinning both shapes."""
+    from movies_etl_spark.plans import queries_ext as QE
+
+    # per-arm baselines count PLAN-STRING parquet references (the
+    # formatted explain), not the audit's resident-scan count: the
+    # clustered fixture references embeddings twice per derivation
+    # (corpus + broadcast centers), so its per-arm plan shows 8 refs
+    # where the executed-plan audit counted 5 resident scans.
+    for name, per_arm_scans in (
+        ("ann_recall_eval", 4),
+        ("ann_recall_clustered", 8),
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "Scan ExistingRDD" in plan, f"{name}: no checkpoint leaf"
+        n = plan.count("embeddings.parquet")
+        assert n == 0, f"{name}: parquet subtrees back ({n})"
+        saved = QE.RECALL_SHARED_SCAN
+        try:
+            QE.RECALL_SHARED_SCAN = False
+            n_u = _plan(spark, sf_dir, name).count("embeddings.parquet")
+        finally:
+            QE.RECALL_SHARED_SCAN = saved
+        assert n_u == per_arm_scans, f"{name}: baseline moved ({n_u})"

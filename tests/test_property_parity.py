@@ -1528,3 +1528,25 @@ def test_concurrency_one_scan_matches_union_variant(spark, sf_dir):
     finally:
         QA.CONCURRENCY_ONE_SCAN = saved
     assert base == onescan, (base, onescan)
+
+
+def test_recall_shared_scan_matches_per_arm_variant(spark, sf_dir):
+    """Gate-flip identity for the r15 shared-scan recall audits (the
+    same contract tools/ab_recall_shared.py asserts at sf0.1, pinned
+    here at the test SF): the checkpoint-leaf form and the per-arm
+    parquet-scan form return identical per-query recall rows for both
+    audits."""
+    from movies_etl_spark.plans import queries_ext as QE
+    from movies_etl_spark.plans import registry
+
+    saved = QE.RECALL_SHARED_SCAN
+    for name in ("ann_recall_eval", "ann_recall_clustered"):
+        fn = registry.QUERIES[name]
+        try:
+            QE.RECALL_SHARED_SCAN = False
+            base = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+            QE.RECALL_SHARED_SCAN = True
+            shared = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+        finally:
+            QE.RECALL_SHARED_SCAN = saved
+        assert base == shared, (name, base, shared)
