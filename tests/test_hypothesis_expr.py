@@ -118,10 +118,18 @@ _MONEY_FRAGS = [
     "$", " ", "1", "12", "123", "1234", ".5", ".", ",000", ",00", ".000",
     "million", "billion", "milion", "Million", "BILLION", "illion", "m",
     "b", "–", "-", "—", "-word", "[3]", "est.", "USD", " to ", "4,383",
+    # leading-zero / long digit runs (same shape class that found the
+    # year-0 date crash — VERDICT r15 #1): exercise float conversion and
+    # the thousands-group regex on degenerate numerals.
+    "0000", "00007", "000", ",0000", "0.000",
 ]
 _DATE_FRAGS = [
     "July", "March", "December", "Smarch", " ", ",", "11", "39", "07",
     "1990", "2024", "-", ".", "x", "0", "3", "31, ", "1, ", "word",
+    # degenerate-year shapes (VERDICT r15 #1: "00007" crashed the date
+    # family via a year-0 parse): leading-zero runs, 5+ digit runs, and
+    # the MINYEAR/MAXYEAR boundary years.
+    "0000", "00007", "000", "0001", "9999", "99999", "00",
 ]
 _RT_FRAGS = [
     "1", "02", "120", " ", "hour", "hours", "hr", "h", "ho",
