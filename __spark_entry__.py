@@ -84,7 +84,88 @@ from movies_etl_spark.plans import queries_scale  # noqa: E402,F401
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
-# Round-15 window (exactly 50; registered total stays 215 — the
+# Round-16 window (exactly 50; registered total stays 215 — the surface
+# remains saturated at 46/46 and VERDICT r15 ranked the round as the
+# year-zero date-parse fix + the r11-cohort rotation, so no new
+# registrations; NOTES_r16.md carries the ledger):
+#   1-4:   the 4 registered consumers of the r16 date-family fix
+#          (VERDICT r15 #1: _bound_pydate guards to_date_inferred /
+#          parse_date_column / to_date_std against sub-year-1 and
+#          >9999 results — judge-reproduced crash on "00007").
+#          parse_date_multiform + validated_cast (r13-latest) and
+#          movies_etl_movies + movies_etl_movies_ratings (r12-latest);
+#          the fifth consumer (the fixture pipeline) is test-only.
+#          Re-validating rewritten-code consumers outranks pure
+#          freshness (the standing rule).
+#   5-42:  the COMPLETE 38-name r11-latest cohort (the union's oldest
+#          rows after r15) in tools/correctness_union.py report order
+#          (VERDICT r15 #2 — re-counted at round start: exactly 38,
+#          matching the judge's histogram, including the three
+#          displaced fillers window_running_sum /
+#          sink_parquet_overwrite / sink_append_chunked).
+#   43-50: the 8 oldest r12-latest rows, same order source, skipping
+#          the two r12 names already placed at 3-4. After r16 no
+#          union row is older than r12.
+_ROUND16_PRIORITY = [
+    # r16 date-family fix consumers (VERDICT r15 #1)
+    "parse_date_multiform",
+    "validated_cast",
+    "movies_etl_movies",
+    "movies_etl_movies_ratings",
+    # complete r11-latest cohort, union-report order
+    "sink_parquet_overwrite",
+    "sink_append_chunked",
+    "window_running_sum",
+    "rollup_agg",
+    "cube_agg",
+    "value_counts_array",
+    "groupby_count_salted_aqe_off",
+    "sample_hash",
+    "grouping_sets",
+    "explode_tokens",
+    "json_extract",
+    "partition_pruned_scan",
+    "set_union_all",
+    "set_except_all",
+    "corr_covar",
+    "unpivot_stack",
+    "percentile_by_group",
+    "date_arithmetic",
+    "string_functions",
+    "flagship_user_activity",
+    "aqp_sampled_groupby",
+    "token_count",
+    "text_quality_score",
+    "doc_fingerprint",
+    "dedup_exact",
+    "similarity_ann_ivf",
+    "dedup_incremental",
+    "training_data_filter",
+    "similarity_ivf_nprobe",
+    "span_dedup_sliding",
+    "data_quality_gate",
+    "quantile_sketch_cdf",
+    "regexp_extract_id",
+    "join_list_cell",
+    "strip_citations",
+    "parse_running_time",
+    "strip_money_ranges",
+    "feature_hash_vectorize",
+    # oldest r12-latest rows (union-report order; movies_etl_movies and
+    # movies_etl_movies_ratings already hold slots 3-4) — freshness filler
+    "approx_stats",
+    "scan_orc",
+    "scan_jsonl",
+    "scan_text",
+    "rank_battery",
+    "correlated_subquery",
+    "range_join_bucketed",
+    "asof_join_window",
+]
+
+# Round-15 window retained for the ledger (NOTES_r15.md references it);
+# _ordered() consumes _CURRENT_PRIORITY.
+# (exactly 50; registered total stays 215 — the
 # surface is saturated at 46/46 and VERDICT r14 ranked the round as
 # the anomaly-flag directional fix + the r10-cohort rotation + pin
 # re-mints + exec-side A/B cadence, so no new registrations;
@@ -657,7 +738,7 @@ _ROUND10_PRIORITY = [
     "fill_if_zero",
 ]
 
-_CURRENT_PRIORITY = _ROUND15_PRIORITY
+_CURRENT_PRIORITY = _ROUND16_PRIORITY
 
 # Round-10 window retained for the ledger (NOTES_r10.md references it);
 # _ordered() consumes _CURRENT_PRIORITY.
