@@ -628,6 +628,23 @@ def _suite_drift_anomaly(
     return (suite - 1) > band and (suite - battery) > band
 
 
+def _suite_fast_split(
+    battery: float | None,
+    suite: float | None,
+    band: float = SUITE_DRIFT_ANOMALY_BAND,
+) -> bool:
+    """ADVICE r15 #2: the directional re-spec of the anomaly flag made
+    the suite-FAST split (suite − battery < −band: box upgrade, stale
+    pins, or queries genuinely doing less work, self-normalized away)
+    silent. That shape is benign for regression-hunting but still worth
+    machine visibility — a consumer of the capture stream should not
+    have to re-derive it from queries_ratio_raw_vs_ref. Informational
+    only: it is NOT an anomaly and does not gate a capture."""
+    if suite is None or battery is None:
+        return False
+    return (suite - battery) < -band
+
+
 def _pick_drift(
     battery: float | None, suite: float | None
 ) -> tuple[float | None, str]:
@@ -912,12 +929,22 @@ def main() -> None:
         # on a clean capture, where `value` itself is the comparison
         "wall_excluding_contended": wall_excl,
         "n_queries_excluded_contended": n_excl or None,
-        # ADVICE r13 #1: true when the suite-median drift deviates from
-        # BOTH 1.0 and the battery beyond SUITE_DRIFT_ANOMALY_BAND — the
-        # one shape where the self-consistent estimator could absorb a
-        # ≥50%-of-suite code regression into the normalization; the raw
+        # ADVICE r13 #1, directional since r15 (VERDICT r14 #1): true
+        # only when the suite median is SLOW beyond the band (suite >
+        # 1 + SUITE_DRIFT_ANOMALY_BAND) AND slower than the battery
+        # beyond the band (suite − battery > band) — the one shape a
+        # suite-wide code regression produces that ambient contention
+        # (which moves battery and suite together) cannot; the raw
         # ratio column is then the only valid reading
         "suite_drift_anomaly_suspected": _suite_drift_anomaly(
+            drift_battery, drift_suite
+        ),
+        # ADVICE r15 #2, informational (NOT an anomaly): the suite-FAST
+        # split (suite − battery < −band) the directional re-spec made
+        # silent — box upgrade / stale pins / less work, absorbed by
+        # self-normalization; kept machine-visible so consumers need
+        # not re-derive it from queries_ratio_raw_vs_ref
+        "suite_drift_fast_split": _suite_fast_split(
             drift_battery, drift_suite
         ),
         "drift_attempts": [

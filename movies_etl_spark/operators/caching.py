@@ -58,6 +58,34 @@ def live_checkpoints() -> int:
     return len(_CHECKPOINTED)
 
 
+#: One shared lazy checkpoint per (session, key) — ADVICE r15 #3: the
+#: recall audits minted a fresh corpus checkpoint on EVERY invocation,
+#: so a long multi-rep bench session pinned one resident corpus copy
+#: per rep until GC happened to reap the wrapper; storage-memory growth
+#: was load-bearing on GC timing. Strong refs are intentional (the
+#: per-session lifetime IS the design — see _CHECKPOINTED); the session
+#: identity check drops entries from stopped/replaced sessions.
+_SHARED_CHECKPOINTS: dict[object, tuple[object, DataFrame]] = {}
+
+
+def shared_local_checkpoint(df: DataFrame, key: object) -> DataFrame:
+    """Memoized :func:`tracked_local_checkpoint` (lazy) keyed by
+    ``(df.sparkSession, key)``.
+
+    Callers use this for deterministic, input-immutable frames (a
+    projection of a parquet table, a deterministic fixture) where every
+    invocation would otherwise pin an identical resident copy. Bounds
+    checkpoint accumulation at one per key per session instead of one
+    per invocation."""
+    sess = df.sparkSession
+    hit = _SHARED_CHECKPOINTS.get(key)
+    if hit is not None and hit[0] is sess:
+        return hit[1]
+    out = tracked_local_checkpoint(df, eager=False)
+    _SHARED_CHECKPOINTS[key] = (sess, out)
+    return out
+
+
 def tracked_persist(df: DataFrame) -> DataFrame:
     """``df.persist()`` plus registration for end-of-query release."""
     df = df.persist()

@@ -1929,9 +1929,13 @@ def q_ann_recall_eval(spark, sf_dir):
     from movies_etl_spark.operators import caching
 
     e = _t(spark, sf_dir, "embeddings")
+    # shared (memoized) per session+sf: a multi-rep bench session reuses
+    # one resident corpus copy instead of pinning one per rep (ADVICE
+    # r15 #3); the projection is immutable parquet, so reuse is sound.
     base = (
-        caching.tracked_local_checkpoint(
-            e.select("vec_id", "embedding"), eager=False
+        caching.shared_local_checkpoint(
+            e.select("vec_id", "embedding"),
+            key=("recall_corpus", sf_dir),
         )
         if RECALL_SHARED_SCAN
         else e
@@ -2040,7 +2044,12 @@ def q_ann_recall_clustered(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     cl = SIM.clustered_fixture(e)
     if RECALL_SHARED_SCAN:
-        cl = caching.tracked_local_checkpoint(cl, eager=False)
+        # memoized per session+sf (ADVICE r15 #3): the fixture is pure
+        # deterministic arithmetic on immutable parquet, so bench reps
+        # reuse one resident copy instead of pinning one per rep.
+        cl = caching.shared_local_checkpoint(
+            cl, key=("recall_clustered_fixture", sf_dir)
+        )
     qset = cl.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
     exact = SIM.topk_bruteforce(cl, qset, k=5).select("query_id", "neighbor_id")
     ann = SIM.topk_multiprobe_lsh(

@@ -322,3 +322,29 @@ def test_suite_drift_anomaly_warning():
     assert bench._suite_drift_anomaly(1.1, 1.3)
     assert not bench._suite_drift_anomaly(None, 1.3)
     assert not bench._suite_drift_anomaly(1.0, None)
+
+
+def test_suite_fast_split_informational():
+    """ADVICE r15 #2: the suite-FAST split the directional re-spec made
+    silent stays machine-visible as a separate INFORMATIONAL field —
+    it must never coincide with the anomaly flag (disjoint directions)."""
+    # r14 capture-B shape: battery flat, suite fast -> fast-split true
+    assert bench._suite_fast_split(1.03, 0.85)
+    assert bench._suite_fast_split(1.0, 0.83)
+    # agreeing drifts (clean or ambient) -> false
+    assert not bench._suite_fast_split(0.938, 0.945)
+    assert not bench._suite_fast_split(1.35, 1.3)
+    assert not bench._suite_fast_split(0.98, 1.02)
+    # the anomaly (suite-slow) direction -> false here, true there
+    assert not bench._suite_fast_split(1.0, 1.3)
+    assert bench._suite_drift_anomaly(1.0, 1.3)
+    # missing inputs -> false
+    assert not bench._suite_fast_split(None, 0.8)
+    assert not bench._suite_fast_split(1.0, None)
+    # disjointness: no (battery, suite) pair can set both flags
+    for b in (0.8, 0.9, 1.0, 1.1, 1.3, 1.5):
+        for s in (0.8, 0.9, 1.0, 1.1, 1.3, 1.5):
+            assert not (
+                bench._suite_fast_split(b, s)
+                and bench._suite_drift_anomaly(b, s)
+            ), (b, s)

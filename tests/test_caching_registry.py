@@ -99,6 +99,29 @@ def test_tracked_local_checkpoint_audits_and_releases(spark):
     assert caching.live_checkpoints() == base
 
 
+def test_shared_local_checkpoint_memoizes_per_session_and_key(spark):
+    """ADVICE r15 #3: repeated invocations (bench reps) must reuse ONE
+    resident checkpoint per (session, key) instead of minting a new one
+    per call; distinct keys stay distinct; a different session misses."""
+    base = caching.live_checkpoints()
+    a1 = caching.shared_local_checkpoint(spark.range(8), key=("t", "k1"))
+    a2 = caching.shared_local_checkpoint(spark.range(8), key=("t", "k1"))
+    assert a1 is a2
+    assert a1.count() == 8
+    assert caching.live_checkpoints() == base + 1
+    b = caching.shared_local_checkpoint(spark.range(4), key=("t", "k2"))
+    assert b is not a1
+    assert caching.live_checkpoints() == base + 2
+    # stale-session guard: replace the cached entry's session marker and
+    # confirm a lookup from the live session re-mints instead of serving
+    # a frame bound to another session
+    caching._SHARED_CHECKPOINTS[("t", "k1")] = (object(), a1)
+    c = caching.shared_local_checkpoint(spark.range(8), key=("t", "k1"))
+    assert c is not a1
+    for k in [("t", "k1"), ("t", "k2")]:
+        caching._SHARED_CHECKPOINTS.pop(k, None)
+
+
 def test_checkpointed_frames_never_enter_tracked_release_list(spark):
     # release_tracked() unpersisting a localCheckpointed frame would
     # destroy its only data copy (lineage is truncated) — the audit

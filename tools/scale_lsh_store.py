@@ -163,10 +163,14 @@ def main() -> None:
                 "continues",
                 flush=True,
             )
+        # ADVICE r15 #4: the collision flag travels WITH the JSON row
+        # (extra_drops > 0), not only as a stderr-style '# WARN' line a
+        # machine consumer of the JSONL stream never sees.
         print(
             json.dumps(
                 {"n_store": n, "wall_sec": walls[n], "jobs": jobs[n],
-                 "n_dropped": dropped[n]}
+                 "n_dropped": dropped[n],
+                 "extra_drops": dropped[n] - half}
             ),
             flush=True,
         )
