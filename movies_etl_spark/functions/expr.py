@@ -338,9 +338,35 @@ def to_date_std(c: Column) -> Column:
     return _bound_pydate(F.try_to_timestamp(c, F.lit("yyyy-MM-dd")).cast("date"))
 
 
+#: epoch-second bounds for :func:`from_unix_seconds` — the timestamp
+#: twin of :func:`_bound_pydate`'s year range, with a one-day guard band
+#: inside [0001-01-01T00:00:00Z, 9999-12-31T23:59:59Z]: PySpark renders
+#: collected timestamps in the session/driver zone, so an exact-boundary
+#: instant can land in year 0 / year 10000 local (pre-1883 tzdata LMT
+#: offsets included; empirically even Etc/UTC crashes one second below
+#: the 0001-01-02 floor). The band trims values the reference could
+#: never produce anyway (pandas unit='s' raises beyond year 2262).
+UNIX_SECONDS_MIN = -62_135_510_400  # 0001-01-02T00:00:00Z
+UNIX_SECONDS_MAX = 253_402_214_399  # 9999-12-30T23:59:59Z
+
+
 def from_unix_seconds(c: Column) -> Column:
-    """F10: epoch seconds → timestamp (challenge.py:226)."""
-    return F.timestamp_seconds(c)
+    """F10: epoch seconds → timestamp (challenge.py:226); null outside
+    the Python-representable instant range.
+
+    Same crash class as the F7-F9 year-0 bug (VERDICT r15 #1), three
+    flavors probed: |v|·10⁶ beyond Long.MAX throws ``ArithmeticException:
+    long overflow`` INSIDE ``timestamp_seconds``'s codegen — an
+    executor-side job abort, so the guard must gate the INPUT (CASE WHEN
+    branches evaluate lazily in codegen), not the result; year ≥ 10000
+    and year ≤ 0 crash ``TimestampType.fromInternal`` at collect. The
+    reference's ``pd.to_datetime(unit='s')`` raises OutOfBoundsDatetime
+    far earlier (datetime64[ns]: years 1677-2262), so null is the
+    fault-tolerant superset — in-range behavior is identical."""
+    return F.when(
+        (c >= F.lit(UNIX_SECONDS_MIN)) & (c <= F.lit(UNIX_SECONDS_MAX)),
+        F.timestamp_seconds(c),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -118,6 +118,37 @@ def test_to_date_std_year_bounds(spark):
         assert (str(v) if v else None) == want, f"{s!r}: {v} != {want}"
 
 
+def test_from_unix_seconds_instant_bounds(spark):
+    """F10 carries the same representability crash class as the date
+    family (VERDICT r15 #1), in three flavors: |v|*1e6 past Long.MAX is
+    a JVM `long overflow` INSIDE timestamp_seconds (executor-side job
+    abort — the guard must gate the input, not the result); year>=10000
+    and year<=0 crash TimestampType.fromInternal at collect. All must
+    null, not crash; in-range values are untouched."""
+    cases = [
+        (10**13, None),                # JVM long-overflow flavor
+        (2**40, None),                 # year ~36812: py-range flavor
+        (253402300800, None),          # 10000-01-01T00:00:00Z
+        (-62135596800, None),          # 0001-01-01T00:00:00Z (tz band)
+        (E.UNIX_SECONDS_MIN, "0001-01-02 00:00:00"),
+        (E.UNIX_SECONDS_MAX, "9999-12-30 23:59:59"),
+        (0, "1970-01-01 00:00:00"),
+        (1500000000, "2017-07-14 02:40:00"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(i, v) for i, (v, _) in enumerate(cases)],
+                               "i long, v long")
+    got = {
+        r["i"]: r["t"]
+        for r in df.select(
+            "i", E.from_unix_seconds(F.col("v")).alias("t")
+        ).collect()
+    }
+    for i, (v, want) in enumerate(cases):
+        t = got[i]
+        assert (str(t) if t else None) == want, f"{v!r}: {t} != {want}"
+
+
 def test_parse_date_multiform(spark):
     df = spark.createDataFrame([(s,) for s, _ in DATE_CASES], "s string")
     got = {

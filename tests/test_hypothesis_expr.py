@@ -16,6 +16,7 @@ in ONE Spark job (a per-string job would make shrinking unusable).
 from __future__ import annotations
 
 import math
+import os
 import re
 from datetime import datetime
 
@@ -25,8 +26,11 @@ from pyspark.sql import functions as F
 
 from movies_etl_spark.functions import expr as E
 
+#: default 15 keeps CI fast; the per-round deep sweep (VERDICT r15 #3:
+#: "zero new falsifying examples in a 10-minute Hypothesis run") sets
+#: HYP_MAX_EXAMPLES=200 to push the fragment grammars much further.
 _SETTINGS = dict(
-    max_examples=15,
+    max_examples=int(os.environ.get("HYP_MAX_EXAMPLES", "15")),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
@@ -163,6 +167,54 @@ def test_parse_date_matches_python_strptime(spark, batch):
     got = _run_spark(spark, batch, E.parse_date_column)
     for s, g in zip(batch, got):
         assert g == _ref_date(s), (s, g, _ref_date(s))
+
+
+#: adversarial epoch seconds: dense around the representability cliffs
+#: (year-1/year-9999 band edges, the Long.MAX/1e6 JVM-overflow line)
+#: plus full-range int64 — the F10 twin of the degenerate-year shapes.
+_EPOCH_SECONDS = st.one_of(
+    st.none(),
+    st.integers(min_value=-(2**63) + 1, max_value=2**63 - 1),
+    st.integers(min_value=-(10**12), max_value=10**12),
+    *[
+        st.integers(min_value=edge - 3, max_value=edge + 3)
+        for edge in (
+            E.UNIX_SECONDS_MIN, E.UNIX_SECONDS_MAX,
+            -62135596800, 253402300800, 9_223_372_036_854, -9_223_372_036_854,
+        )
+    ],
+)
+
+
+@settings(**_SETTINGS)
+@given(batch=st.lists(_EPOCH_SECONDS, min_size=1, max_size=40))
+def test_from_unix_seconds_total_on_int64(spark, batch):
+    """F10 must be TOTAL over int64 (no JVM overflow abort, no
+    fromInternal crash at collect): null outside the guarded band,
+    exact UTC instant inside it."""
+    from datetime import datetime, timedelta
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(batch)], "i long, v long"
+    )
+    rows = df.select(
+        "i", E.from_unix_seconds(F.col("v")).alias("t")
+    ).collect()
+    got = [r["t"] for r in sorted(rows, key=lambda r: r["i"])]
+    for v, t in zip(batch, got):
+        if v is None or not (
+            E.UNIX_SECONDS_MIN <= v <= E.UNIX_SECONDS_MAX
+        ):
+            assert t is None, (v, t)
+        elif abs(v) <= 10**10:
+            # modern band (~1653-2286): Spark's session-tz rendering and
+            # the UTC arithmetic agree on any UTC-configured box; deep
+            # past/future in-band values assert totality only (pre-1883
+            # LMT rules differ between java.time and OS localtime).
+            want = datetime(1970, 1, 1) + timedelta(seconds=v)
+            assert t == want, (v, t, want)
+        else:
+            assert t is not None, (v, t)
 
 
 @settings(**_SETTINGS)
