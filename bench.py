@@ -429,6 +429,30 @@ def _drift_accept_retry(d0: float | None, d1: float | None) -> bool:
     return d1 is not None and d0 is not None and abs(d1 - 1) < abs(d0 - 1)
 
 
+#: Pre-suite settle probe (r16: three captures in one round — D's
+#: battery first-read 3.24, E's 2.30/3.02, F's 3.94/2.23 — started the
+#: 4-minute suite while heavy EXTERNAL load was still draining, each
+#: costing a full contended capture excluded from minting; F's hot
+#: names were front-loaded, the draining-load signature). When even
+#: the RETRIED battery still reads slow beyond this threshold, the box
+#: is measurably hot RIGHT NOW and the suite would price ambient, not
+#: code: wait out up to SETTLE_MAX_WAITS × SETTLE_WAIT_SEC, re-probing
+#: after each wait, and start the suite on the first reading below the
+#: threshold (or when the wait budget runs out — never abort, the
+#: segment/anomaly detectors still cover a persistently-hot box).
+#: Slow-side only: a FAST box never hurts the suite. All probe drifts
+#: append to drift_attempts; the waits are counted in settle_waits.
+SETTLE_DRIFT_THRESHOLD = 1.5
+SETTLE_WAIT_SEC = 45
+SETTLE_MAX_WAITS = 2
+
+
+def _settle_should_wait(d: float | None) -> bool:
+    """True when the adopted battery drift says the box is hot enough
+    that starting the suite now would burn a contended capture."""
+    return d is not None and d > SETTLE_DRIFT_THRESHOLD
+
+
 #: Warm post/pre battery ratio on a clean r10 run — the post-suite
 #: battery runs ~2× faster than the cold pre-suite one purely from JIT
 #: + page-cache warmth, NOT ambient change. Ratios near or above 1.0
@@ -730,6 +754,21 @@ def main() -> None:
         if _drift_accept_retry(drift_attempts[0], drift_attempts[1]):
             cal = cal_retry
 
+    # Pre-suite settle (r16, see SETTLE_DRIFT_THRESHOLD): if the box is
+    # STILL measurably hot after the retry, wait out the external load
+    # (bounded) instead of pricing it into a 4-minute contended capture.
+    settle_waits = 0
+    while settle_waits < SETTLE_MAX_WAITS and _settle_should_wait(
+        _drift_vs_ref(cal_ref_pre, cal)
+    ):
+        time.sleep(SETTLE_WAIT_SEC)
+        settle_waits += 1
+        cal_settle = _battery()
+        d_settle = _drift_vs_ref(cal_ref_pre, cal_settle)
+        drift_attempts.append(d_settle)
+        if _drift_accept_retry(_drift_vs_ref(cal_ref_pre, cal), d_settle):
+            cal = cal_settle
+
     timings: dict[str, float] = {}
     rows_total = 0
     t_suite = time.perf_counter()
@@ -950,6 +989,11 @@ def main() -> None:
         "drift_attempts": [
             d for d in drift_attempts if d is not None
         ] or None,
+        # pre-suite settle probe (r16): number of bounded waits taken
+        # because even the retried battery read hot (> SETTLE_DRIFT_
+        # THRESHOLD) — external load was draining and the suite start
+        # was deferred rather than priced; 0 on a clean box
+        "settle_waits": settle_waits or None,
         "drift_ref": cal_ref_source,
         "page_cache_dropped": cache_dropped,
         "sf": _sf_from_dir(SF_DIR),

@@ -324,6 +324,22 @@ def test_suite_drift_anomaly_warning():
     assert not bench._suite_drift_anomaly(1.0, None)
 
 
+def test_settle_probe_slow_side_only():
+    """r16 pre-suite settle: waits trigger ONLY on a hot box (adopted
+    drift > SETTLE_DRIFT_THRESHOLD) — the shapes that burned captures
+    D/E/F (3.24, 2.30, 3.94 batteries) wait; a clean or FAST box never
+    delays the suite; the wait budget is bounded."""
+    assert bench._settle_should_wait(3.24)
+    assert bench._settle_should_wait(2.30)
+    assert bench._settle_should_wait(1.51)
+    assert not bench._settle_should_wait(1.5)
+    assert not bench._settle_should_wait(1.0)
+    # fast box: suite starts immediately (fast batteries never hurt it)
+    assert not bench._settle_should_wait(0.5)
+    assert not bench._settle_should_wait(None)
+    assert bench.SETTLE_MAX_WAITS * bench.SETTLE_WAIT_SEC <= 120
+
+
 def test_suite_fast_split_informational():
     """ADVICE r15 #2: the suite-FAST split the directional re-spec made
     silent stays machine-visible as a separate INFORMATIONAL field —
