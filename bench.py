@@ -373,6 +373,67 @@ def _query_reference() -> tuple[dict[str, float], str]:
         return {}, "none"
 
 
+def _query_reference_fingerprint() -> str | None:
+    """The engine fingerprint recorded by tools/gen_query_ref.py at pin
+    mint time (absent on pre-r16 pin files)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_QUERY_REF.json")) as f:
+            return json.load(f).get("engine_fingerprint")
+    except (OSError, ValueError):
+        return None
+
+
+def _engine_fingerprint() -> str | None:
+    """Identity of the code whose cost the suite measures: the git tree
+    id of movies_etl_spark/ plus the blob id of bench.py at HEAD — None
+    (unknown) when either is dirty in the working tree or git is
+    unavailable. Shared with tools/gen_query_ref.py, which stamps it
+    into the pin file at mint time."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        dirty = subprocess.check_output(
+            ["git", "status", "--porcelain", "--",
+             "movies_etl_spark", "bench.py"],
+            text=True, cwd=here, stderr=subprocess.DEVNULL,
+        ).strip()
+        if dirty:
+            return None
+        ids = subprocess.check_output(
+            ["git", "rev-parse", "HEAD:movies_etl_spark", "HEAD:bench.py"],
+            text=True, cwd=here, stderr=subprocess.DEVNULL,
+        ).split()
+        return "-".join(i[:16] for i in ids)
+    except Exception:
+        return None
+
+
+def _anomaly_code_possible(
+    anomaly: bool, fp_current: str | None, fp_pin: str | None
+) -> bool | None:
+    """Cross-capture auto-adjudication for the directional anomaly flag
+    (r16, after its first two fires — captures D and H — were both
+    ambient at engine code IDENTICAL to the pin basis). The r16 fires
+    proved the flag's shape is in-capture UNDECIDABLE: a whole-suite-
+    slow window between two clean batteries (H: post_over_pre 0.456,
+    both batteries ~1.0, suite 1.18) reads exactly like a uniform code
+    regression. The decidable fact is cross-capture: if the engine
+    source tree is BIT-IDENTICAL to the tree the pins were minted from,
+    a suite-wide elevation provably cannot be engine code. None when
+    the anomaly did not fire; True when the code differs or identity is
+    unknowable (dirty tree, no git, pre-r16 pin file) — conservative;
+    False only on a proven fingerprint match, auto-adjudicating the
+    fire as ambient. The anomaly flag itself is untouched — this field
+    rides next to it."""
+    if not anomaly:
+        return None
+    if fp_current is None or fp_pin is None:
+        return True
+    return fp_current != fp_pin
+
+
 def _ratios_vs_ref(
     normalized: dict[str, float] | None, ref: dict[str, float]
 ) -> tuple[dict[str, float] | None, list[str]]:
@@ -977,6 +1038,16 @@ def main() -> None:
         # ratio column is then the only valid reading
         "suite_drift_anomaly_suspected": _suite_drift_anomaly(
             drift_battery, drift_suite
+        ),
+        # r16 auto-adjudication rider (captures D/H): when the anomaly
+        # fires but the engine fingerprint provably matches the pin
+        # basis, the fire is ambient by construction — False here means
+        # "adjudicated: not code"; True means code changed or identity
+        # unknown (adjudicate by hand); null when the anomaly is silent
+        "suite_drift_anomaly_code_possible": _anomaly_code_possible(
+            _suite_drift_anomaly(drift_battery, drift_suite),
+            _engine_fingerprint(),
+            _query_reference_fingerprint(),
         ),
         # ADVICE r15 #2, informational (NOT an anomaly): the suite-FAST
         # split (suite − battery < −band) the directional re-spec made

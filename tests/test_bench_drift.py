@@ -340,6 +340,31 @@ def test_settle_probe_slow_side_only():
     assert bench.SETTLE_MAX_WAITS * bench.SETTLE_WAIT_SEC <= 120
 
 
+def test_anomaly_code_possible_auto_adjudication():
+    """r16 (captures D/H, both ambient fires at unchanged engine code):
+    a proven fingerprint match adjudicates a fire as not-code; unknown
+    identity (dirty tree / pre-r16 pin) stays conservative; silent
+    anomaly emits null."""
+    fp = "aaaa-bbbb"
+    assert bench._anomaly_code_possible(True, fp, fp) is False
+    assert bench._anomaly_code_possible(True, "cccc-dddd", fp) is True
+    assert bench._anomaly_code_possible(True, None, fp) is True
+    assert bench._anomaly_code_possible(True, fp, None) is True
+    assert bench._anomaly_code_possible(False, fp, fp) is None
+    assert bench._anomaly_code_possible(False, None, None) is None
+
+
+def test_engine_fingerprint_stable_on_clean_tree():
+    """On a clean checkout the fingerprint is deterministic (two calls
+    agree) and has the tree-blob two-part shape; a dirty engine tree
+    would return None, which the caller treats as unknown."""
+    a = bench._engine_fingerprint()
+    b = bench._engine_fingerprint()
+    assert a == b
+    if a is not None:
+        assert len(a.split("-")) == 2
+
+
 def test_suite_fast_split_informational():
     """ADVICE r15 #2: the suite-FAST split the directional re-spec made
     silent stays machine-visible as a separate INFORMATIONAL field —

@@ -110,6 +110,9 @@ def main() -> None:
     n = vals.get("captures", 5)
     dry = vals.get("dry-run", False)
     meds, used = collect(n)
+    sys.path.insert(0, REPO)
+    import bench  # noqa: E402  (repo-root bench.py — shared fingerprint)
+
     out = {
         "source": (
             "median drift-normalized seconds per query over the most "
@@ -117,6 +120,12 @@ def main() -> None:
             "(tools/gen_query_ref.py; pinned — refresh deliberately)"
         ),
         "n_captures": used,
+        # engine identity at mint time (r16): bench.py compares its own
+        # fingerprint against this when the directional anomaly fires —
+        # a proven match auto-adjudicates the fire as ambient (a
+        # suite-wide slowdown at bit-identical engine code cannot be a
+        # code regression). None when minted from a dirty tree.
+        "engine_fingerprint": bench._engine_fingerprint(),
         "medians_sec": meds,
     }
     if dry:
