@@ -369,6 +369,49 @@ def from_unix_seconds(c: Column) -> Column:
     )
 
 
+#: epoch-micros twin of UNIX_SECONDS_MIN/MAX (same one-day guard band,
+#: same rationale — see :func:`from_unix_seconds`).
+UNIX_MICROS_MIN = UNIX_SECONDS_MIN * 1_000_000
+UNIX_MICROS_MAX = UNIX_SECONDS_MAX * 1_000_000 + 999_999
+
+
+def from_unix_micros(c: Column) -> Column:
+    """Epoch microseconds → timestamp; null outside the Python-representable
+    instant range (the micros twin of :func:`from_unix_seconds`).
+
+    Unlike the seconds form there is no overflow flavor — ``timestamp_micros``
+    is the identity into the internal int64 — so the gate exists purely for
+    ``TimestampType.fromInternal`` representability at collect (plus the
+    documented session-tz rendering band). Built for int64 timestamp
+    transport across Arrow/pandas kernels: pandas ``datetime64[ns]`` spans
+    only [1677-09-21, 2262-04-11], so shipping a raw TIMESTAMP column into
+    ``applyInPandas``/``mapInPandas`` crashes executor-side (Arrow
+    ``OutOfBoundsDatetime``) on values Spark itself collects fine — carry
+    ``unix_micros`` longs through the kernel instead and rebuild the
+    timestamp with this builder on the way out (probed empirically, r17)."""
+    return F.when(
+        (c >= F.lit(UNIX_MICROS_MIN)) & (c <= F.lit(UNIX_MICROS_MAX)),
+        F.timestamp_micros(c),
+    )
+
+
+def bounded_date_add(d: Column, days) -> Column:
+    """Total day-offset arithmetic: ``date_add`` that nulls instead of
+    crashing when the offset crosses Python's date range.
+
+    ``date_add`` is the one temporal derivation in the engine that maps
+    an IN-RANGE input to an out-of-range output (the F7-F10 guards all
+    gate parse/construct paths): internally a date is bare int32 days,
+    so ``date_add(9999-12-15, 30)`` succeeds in the JVM and then crashes
+    ``DateType.fromInternal`` at collect/Arrow time (``ValueError: year
+    10000 is out of range``; symmetric ``ordinal must be >= 1`` below
+    0001-01-01 — both probed empirically, r17). Same contract as
+    :func:`_bound_pydate`: null is the fault-tolerant superset, in-range
+    behavior identical, and the comparison itself is int-safe on
+    out-of-range internals (no ``fromInternal`` until collect)."""
+    return _bound_pydate(F.date_add(d, days))
+
+
 # ---------------------------------------------------------------------------
 # F11: running time
 # ---------------------------------------------------------------------------

@@ -1411,7 +1411,14 @@ def q_percentile_by_group(spark, sf_dir):
 def q_date_arithmetic(spark, sf_dir):
     """Date arithmetic battery: datediff, day offsets, calendar parts
     (year/month/day-of-week — Spark dayofweek is 1=Sunday, DuckDB %w is
-    0=Sunday; normalized to the 0-based convention)."""
+    0=Sunday; normalized to the 0-based convention).
+
+    due_date uses the TOTAL offset form (r17 totality sweep): plain
+    date_add maps an in-range order date within 30 days of 9999-12-31 to
+    an out-of-range internal that crashes at collect —
+    :func:`movies_etl_spark.functions.expr.bounded_date_add` nulls it
+    instead. datediff/year/month/dayofweek emit ints and are total even
+    over out-of-range date internals (probed, r17)."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
@@ -1420,7 +1427,7 @@ def q_date_arithmetic(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
         F.datediff(F.col("l_shipdate").cast("date"), od).alias("days_to_ship"),
-        F.date_add(od, 30).cast("timestamp").alias("due_date"),
+        E.bounded_date_add(od, 30).cast("timestamp").alias("due_date"),
         F.year(od).alias("order_year"),
         F.month(od).alias("order_month"),
         (F.dayofweek(od) - 1).alias("order_dow"),

@@ -205,25 +205,41 @@ def sessionize(
     gap to the native session_window twin is the Arrow+Python state
     transfer itself — see SCALE.md "Streaming".
 
+    Timestamps cross the Arrow/pandas boundary as epoch-micros int64, not
+    as a TIMESTAMP column (r17 totality sweep): pandas ``datetime64[ns]``
+    spans only [1677-09-21, 2262-04-11], so the previous TIMESTAMP
+    transport crashed the Python worker (``OutOfBoundsDatetime``,
+    executor-side job abort) on event times Spark itself collects fine —
+    e.g. year 5000, probed empirically. The session arithmetic is
+    identical on int64 (floor-to-second = floor-mod 1e6, which also
+    floors toward -inf for pre-1970 instants exactly like
+    ``.dt.floor("s")``; the 30-minute gap compare is the same strict
+    inequality), the int64 codec is also cheaper than the timestamp one,
+    and ``session_start`` is rebuilt JVM-side with the gated
+    ``expr.from_unix_micros`` builder.
+
     The pandas function is a self-contained closure (Python workers never
     import this package)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    gap_minutes = SESSION_GAP_MINUTES
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
 
     def fn(key, pdf_iter, state: GroupState):
         import pandas as pd
 
         times = []
         for pdf in pdf_iter:
-            times.append(pdf["ts"])
+            times.append(pdf["ts_us"])
         if not times:
             return
-        s = pd.concat(times).dt.floor("s").sort_values().reset_index(drop=True)
-        new_session = (s.diff() > pd.Timedelta(minutes=gap_minutes)).cumsum()
+        s = pd.concat(times)
+        # floor to the second; int64 floor-mod floors toward -inf, matching
+        # .dt.floor("s") for pre-1970 instants too
+        s = (s - s % 1_000_000).sort_values().reset_index(drop=True)
+        new_session = (s.diff() > gap_us).cumsum()
         out = (
             s.groupby(new_session)
-            .agg(session_start="min", n_events="count")
+            .agg(session_start_us="min", n_events="count")
             .reset_index(drop=True)
         )
         out.insert(0, "user_id", key[0])
@@ -231,22 +247,32 @@ def sessionize(
         state.update((int(len(out)),))  # exercise the state handle
         yield out
 
-    ev = events_stream(spark, sf_dir).select("user_id", "ts")
+    ev = events_stream(spark, sf_dir).select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
     sessions = ev.groupBy("user_id").applyInPandasWithState(
         fn,
-        outputStructType="user_id BIGINT, session_start TIMESTAMP, n_events BIGINT",
+        outputStructType="user_id BIGINT, session_start_us BIGINT, n_events BIGINT",
         stateStructType="n_sessions INT",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    from movies_etl_spark.functions import expr as E
     from movies_etl_spark.session import temp_confs
 
+    def finish(out: DataFrame) -> DataFrame:
+        return out.select(
+            "user_id",
+            E.from_unix_micros(F.col("session_start_us")).alias("session_start"),
+            "n_events",
+        )
+
     if state_partitions is None:
-        return _run_to_memory(sessions, "append")
+        return finish(_run_to_memory(sessions, "append"))
     with temp_confs(
         spark, {"spark.sql.shuffle.partitions": str(state_partitions)}
     ):
-        return _run_to_memory(sessions, "append")
+        return finish(_run_to_memory(sessions, "append"))
 
 
 def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -149,6 +149,67 @@ def test_from_unix_seconds_instant_bounds(spark):
         assert (str(t) if t else None) == want, f"{v!r}: {t} != {want}"
 
 
+def test_from_unix_micros_instant_bounds(spark):
+    """r17 micros twin of the F10 guard (int64 timestamp transport for
+    pandas kernels): null outside the guarded band — no fromInternal
+    crash at collect — exact instant inside it. timestamp_micros is the
+    identity into the internal int64, so unlike the seconds form there
+    is no JVM-overflow flavor to pin."""
+    cases = [
+        (2**62, None),
+        (-(2**62), None),
+        (E.UNIX_MICROS_MIN - 1, None),
+        (E.UNIX_MICROS_MAX + 1, None),
+        (E.UNIX_MICROS_MIN, "0001-01-02 00:00:00"),
+        (E.UNIX_MICROS_MAX, "9999-12-30 23:59:59.999999"),
+        (0, "1970-01-01 00:00:00"),
+        (1500000000000000, "2017-07-14 02:40:00"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, (v, _) in enumerate(cases)], "i long, v long"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select(
+            "i", E.from_unix_micros(F.col("v")).alias("t")
+        ).collect()
+    }
+    for i, (v, want) in enumerate(cases):
+        t = got[i]
+        assert (str(t) if t else None) == want, f"{v!r}: {t} != {want}"
+
+
+def test_bounded_date_add_cliffs(spark):
+    """r17 totality sweep: date_add is the one temporal derivation that
+    maps an IN-RANGE input out of Python's date range (internals are
+    bare int32 days; the crash fires at collect). bounded_date_add must
+    null the crossing, keep the exact boundary, and stay exact inside."""
+    cases = [
+        ("9999-12-01", 30, "9999-12-31"),   # lands exactly on MAXYEAR end
+        ("9999-12-02", 30, None),           # first crossing day
+        ("9999-12-15", 30, None),           # the probed collect-crash case
+        ("0001-01-31", -30, "0001-01-01"),  # lands exactly on MINYEAR start
+        ("0001-01-30", -30, None),          # symmetric crossing
+        ("2020-01-01", 30, "2020-01-31"),
+        (None, 30, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, d, k) for i, (d, k, _) in enumerate(cases)],
+        "i long, d string, k int",
+    )
+    got = {
+        r["i"]: r["v"]
+        for r in df.select(
+            "i",
+            E.bounded_date_add(F.col("d").cast("date"), F.col("k")).alias("v"),
+        ).collect()
+    }
+    for i, (d, k, want) in enumerate(cases):
+        v = got[i]
+        assert (str(v) if v else None) == want, f"({d!r}, {k}): {v} != {want}"
+
+
 def test_parse_date_multiform(spark):
     df = spark.createDataFrame([(s,) for s, _ in DATE_CASES], "s string")
     got = {

@@ -217,6 +217,98 @@ def test_from_unix_seconds_total_on_int64(spark, batch):
             assert t is not None, (v, t)
 
 
+#: adversarial epoch micros: dense around the representability cliffs
+#: (the micros-band edges and the int64 extremes) plus full-range int64 —
+#: the r17 micros twin of _EPOCH_SECONDS.
+_EPOCH_MICROS = st.one_of(
+    st.none(),
+    st.integers(min_value=-(2**63) + 1, max_value=2**63 - 1),
+    st.integers(min_value=-(10**18), max_value=10**18),
+    *[
+        st.integers(min_value=edge - 3, max_value=edge + 3)
+        for edge in (
+            E.UNIX_MICROS_MIN, E.UNIX_MICROS_MAX,
+            -62135596800 * 10**6, 253402300800 * 10**6,
+        )
+    ],
+)
+
+
+@settings(**_SETTINGS)
+@given(batch=st.lists(_EPOCH_MICROS, min_size=1, max_size=40))
+def test_from_unix_micros_total_on_int64(spark, batch):
+    """from_unix_micros (r17: int64 timestamp transport across pandas
+    kernels) must be TOTAL over int64: null outside the guarded band,
+    exact UTC instant inside it (timestamp_micros is the identity into
+    the internal, so no overflow flavor exists — only fromInternal
+    representability at collect)."""
+    from datetime import datetime, timedelta
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(batch)], "i long, v long"
+    )
+    rows = df.select(
+        "i", E.from_unix_micros(F.col("v")).alias("t")
+    ).collect()
+    got = [r["t"] for r in sorted(rows, key=lambda r: r["i"])]
+    for v, t in zip(batch, got):
+        if v is None or not (E.UNIX_MICROS_MIN <= v <= E.UNIX_MICROS_MAX):
+            assert t is None, (v, t)
+        elif abs(v) <= 10**16:
+            # modern band: same rendering caveat as the seconds twin
+            want = datetime(1970, 1, 1) + timedelta(microseconds=v)
+            assert t == want, (v, t, want)
+        else:
+            assert t is not None, (v, t)
+
+
+#: cliff-dense (base date, day offset) pairs for bounded_date_add:
+#: bases hug MINYEAR/MAXYEAR, offsets hug the exact crossing distances,
+#: plus broad random pairs — the one derivation that maps in-range
+#: inputs out of range.
+_DATE_BASES = st.one_of(
+    st.dates(),
+    st.dates(min_value=__import__("datetime").date(1, 1, 1),
+             max_value=__import__("datetime").date(1, 3, 1)),
+    st.dates(min_value=__import__("datetime").date(9999, 10, 1),
+             max_value=__import__("datetime").date(9999, 12, 31)),
+)
+_DATE_OFFSETS = st.one_of(
+    st.integers(min_value=-100, max_value=100),
+    st.integers(min_value=-(2**31) + 1, max_value=2**31 - 1),
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    batch=st.lists(
+        st.tuples(_DATE_BASES, _DATE_OFFSETS), min_size=1, max_size=40
+    )
+)
+def test_bounded_date_add_total(spark, batch):
+    """bounded_date_add must be total: collect never raises; the result
+    equals python date + timedelta when that stays in [MINYEAR, MAXYEAR]
+    and is null exactly when it crosses (independent oracle: datetime's
+    own OverflowError)."""
+    from datetime import date, timedelta
+
+    def ref(d, k):
+        try:
+            return d + timedelta(days=k)
+        except OverflowError:
+            return None
+
+    df = spark.createDataFrame(
+        [(i, d, k) for i, (d, k) in enumerate(batch)], "i long, d date, k int"
+    )
+    rows = df.select(
+        "i", E.bounded_date_add(F.col("d"), F.col("k")).alias("v")
+    ).collect()
+    got = [r["v"] for r in sorted(rows, key=lambda r: r["i"])]
+    for (d, k), v in zip(batch, got):
+        assert v == ref(d, k), (d, k, v, ref(d, k))
+
+
 @settings(**_SETTINGS)
 @given(batch=st.lists(_frag_strings(_RT_FRAGS), min_size=1, max_size=40))
 def test_parse_running_time_matches_python_re(spark, batch):
