@@ -1049,6 +1049,13 @@ def main() -> None:
             _engine_fingerprint(),
             _query_reference_fingerprint(),
         ),
+        # engine identity of THIS capture (r17, ADVICE r16): pins mint
+        # from historical captures, so each capture must carry the code
+        # identity its timings priced — tools/gen_query_ref.py stamps
+        # the pin fingerprint only when every admitted capture carries
+        # the same fingerprint as HEAD (else null, keeping the anomaly
+        # rider on its conservative True path). None on a dirty tree.
+        "engine_fingerprint": _engine_fingerprint(),
         # ADVICE r15 #2, informational (NOT an anomaly): the suite-FAST
         # split (suite − battery < −band) the directional re-spec made
         # silent — box upgrade / stale pins / less work, absorbed by

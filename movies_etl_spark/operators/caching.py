@@ -68,6 +68,16 @@ def live_checkpoints() -> int:
 _SHARED_CHECKPOINTS: dict[object, tuple[object, DataFrame]] = {}
 
 
+def _session_stopped(sess) -> bool:
+    """True once a SparkSession's context is stopped (``_jsc`` is
+    cleared by ``SparkContext.stop``); unreadable state counts as
+    stopped — the entry is unusable either way."""
+    try:
+        return sess.sparkContext._jsc is None
+    except Exception:
+        return True
+
+
 def shared_local_checkpoint(df: DataFrame, key: object) -> DataFrame:
     """Memoized :func:`tracked_local_checkpoint` (lazy) keyed by
     ``(df.sparkSession, key)``.
@@ -76,7 +86,20 @@ def shared_local_checkpoint(df: DataFrame, key: object) -> DataFrame:
     projection of a parquet table, a deterministic fixture) where every
     invocation would otherwise pin an identical resident copy. Bounds
     checkpoint accumulation at one per key per session instead of one
-    per invocation."""
+    per invocation.
+
+    Every call first sweeps entries whose session has been stopped
+    (ADVICE r16 low): the previous same-key-recurrence eviction left a
+    stopped session's entry pinned for the process lifetime when its
+    key never recurred — a strong ref holding the wrapper (and the
+    JVM-side LogicalRDD) and still counting in the
+    :func:`live_checkpoints` audit. Dead-session blocks are already
+    gone with their JVM; only the wrapper leak is at stake, but the
+    audit must not count ghosts."""
+    for k in [
+        k for k, (s, _) in _SHARED_CHECKPOINTS.items() if _session_stopped(s)
+    ]:
+        del _SHARED_CHECKPOINTS[k]
     sess = df.sparkSession
     hit = _SHARED_CHECKPOINTS.get(key)
     if hit is not None and hit[0] is sess:

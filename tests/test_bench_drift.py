@@ -365,6 +365,38 @@ def test_engine_fingerprint_stable_on_clean_tree():
         assert len(a.split("-")) == 2
 
 
+def test_pin_fingerprint_provenance():
+    """ADVICE r16 medium + VERDICT r16 #5: the pin's engine_fingerprint
+    must be PROVEN, not asserted — stamped only when every admitted
+    capture carries HEAD's fingerprint (a pin minted after an engine
+    change from older-code captures must stamp null, else the anomaly
+    rider can return a definitive 'provably not code' on a real code
+    regression); a dirty-tree mint (head None) is refused outright."""
+    import importlib.util
+    import os
+
+    import pytest
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_query_ref",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "gen_query_ref.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    fp = "aaaa-bbbb"
+    # proven: every admitted capture ran on HEAD's code
+    assert mod.pin_fingerprint(fp, [fp, fp, fp]) == fp
+    # any capture on different/unknown code -> null (conservative rider)
+    assert mod.pin_fingerprint(fp, [fp, "cccc-dddd", fp]) is None
+    assert mod.pin_fingerprint(fp, [fp, None, fp]) is None  # pre-r17 blob
+    # no admitted captures at all -> nothing proven -> null
+    assert mod.pin_fingerprint(fp, []) is None
+    # dirty-tree mint is a hard refusal, never a silent null stamp
+    with pytest.raises(SystemExit):
+        mod.pin_fingerprint(None, [fp])
+
+
 def test_suite_fast_split_informational():
     """ADVICE r15 #2: the suite-FAST split the directional re-spec made
     silent stays machine-visible as a separate INFORMATIONAL field —

@@ -122,6 +122,28 @@ def test_shared_local_checkpoint_memoizes_per_session_and_key(spark):
         caching._SHARED_CHECKPOINTS.pop(k, None)
 
 
+def test_shared_checkpoint_sweeps_dead_session_entries(spark):
+    """ADVICE r16 low: an entry whose session has been STOPPED must not
+    stay pinned for the process lifetime waiting for its key to recur —
+    every call sweeps dead-session entries, while live-session entries
+    survive the sweep."""
+
+    class _DeadCtx:
+        _jsc = None
+
+    class _DeadSess:
+        sparkContext = _DeadCtx()
+
+    caching._SHARED_CHECKPOINTS[("t", "dead")] = (_DeadSess(), object())
+    live = caching.shared_local_checkpoint(spark.range(2), key=("t", "live"))
+    assert ("t", "dead") not in caching._SHARED_CHECKPOINTS
+    # a second call still serves the live entry (the sweep spared it)
+    assert caching.shared_local_checkpoint(
+        spark.range(2), key=("t", "live")
+    ) is live
+    caching._SHARED_CHECKPOINTS.pop(("t", "live"), None)
+
+
 def test_checkpointed_frames_never_enter_tracked_release_list(spark):
     # release_tracked() unpersisting a localCheckpointed frame would
     # destroy its only data copy (lineage is truncated) — the audit

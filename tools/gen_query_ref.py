@@ -70,13 +70,16 @@ def capture_ok(d: dict) -> bool:
     return True
 
 
-def collect(n_captures: int) -> tuple[dict[str, float], int]:
+def collect(
+    n_captures: int,
+) -> tuple[dict[str, float], int, list[str | None]]:
     hashes = subprocess.check_output(
         ["git", "log", "--format=%H", "--", "BENCH_DETAIL.json"],
         text=True,
         cwd=REPO,
     ).split()
     per_query: dict[str, list[float]] = {}
+    capture_fps: list[str | None] = []
     used = 0
     for h in hashes:
         if used >= n_captures:
@@ -93,12 +96,54 @@ def collect(n_captures: int) -> tuple[dict[str, float], int]:
         if not capture_ok(d):
             continue
         used += 1
+        capture_fps.append(d.get("engine_fingerprint"))
         for q, v in d["queries_normalized"].items():
             per_query.setdefault(q, []).append(float(v))
     return (
         {q: round(statistics.median(v), 3) for q, v in sorted(per_query.items())},
         used,
+        capture_fps,
     )
+
+
+def pin_fingerprint(
+    head_fp: str | None, capture_fps: list[str | None]
+) -> str | None:
+    """Engine identity to stamp into the pin file — PROVEN or null
+    (ADVICE r16 medium + VERDICT r16 #5).
+
+    The pin's fingerprint attests "these medians price THIS code": the
+    anomaly rider (bench._anomaly_code_possible) returns a definitive
+    'provably not code' on a fingerprint match, so a pin minted after
+    an engine change from captures that ran on OLDER code must not
+    carry HEAD's fingerprint — that is exactly the false negative the
+    rider exists to prevent. Stamp head_fp only when every admitted
+    capture carries its own engine_fingerprint (r17+ captures) AND all
+    of them equal HEAD; otherwise null, which keeps the rider on its
+    conservative True path.
+
+    A dirty-tree mint (head_fp None) is a HARD error, not a null stamp:
+    the medians would attest code that exists nowhere in history, and
+    the silent-null would permanently disable the rider for the pin's
+    lifetime without anyone choosing that."""
+    if head_fp is None:
+        raise SystemExit(
+            "refusing to mint pins with unknown engine identity: "
+            "bench._engine_fingerprint() is None (movies_etl_spark/ or "
+            "bench.py dirty in the working tree, or git unavailable) — "
+            "commit the engine state first, then re-mint"
+        )
+    if capture_fps and all(fp == head_fp for fp in capture_fps):
+        return head_fp
+    print(
+        "pin fingerprint stamped null: "
+        f"{sum(1 for fp in capture_fps if fp != head_fp)}/"
+        f"{len(capture_fps)} admitted captures lack a matching "
+        "engine_fingerprint (pre-r17 captures carry none; others ran "
+        "on different code) — the anomaly rider stays conservative",
+        file=sys.stderr,
+    )
+    return None
 
 
 def main() -> None:
@@ -109,7 +154,7 @@ def main() -> None:
     )
     n = vals.get("captures", 5)
     dry = vals.get("dry-run", False)
-    meds, used = collect(n)
+    meds, used, capture_fps = collect(n)
     sys.path.insert(0, REPO)
     import bench  # noqa: E402  (repo-root bench.py — shared fingerprint)
 
@@ -120,12 +165,15 @@ def main() -> None:
             "(tools/gen_query_ref.py; pinned — refresh deliberately)"
         ),
         "n_captures": used,
-        # engine identity at mint time (r16): bench.py compares its own
-        # fingerprint against this when the directional anomaly fires —
-        # a proven match auto-adjudicates the fire as ambient (a
-        # suite-wide slowdown at bit-identical engine code cannot be a
-        # code regression). None when minted from a dirty tree.
-        "engine_fingerprint": bench._engine_fingerprint(),
+        # engine identity the medians PROVABLY price (r17, ADVICE r16):
+        # bench.py compares its own fingerprint against this when the
+        # directional anomaly fires — a proven match auto-adjudicates
+        # the fire as ambient. Stamped only when every admitted capture
+        # carries HEAD's fingerprint; null otherwise (see
+        # pin_fingerprint). A dirty-tree mint is refused outright.
+        "engine_fingerprint": pin_fingerprint(
+            bench._engine_fingerprint(), capture_fps
+        ),
         "medians_sec": meds,
     }
     if dry:
