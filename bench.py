@@ -187,6 +187,9 @@ HEADLINE = [
     # r9 addition: the whole recall-vs-scan frontier as one query
     # (8 configs over one shared max-width signature scan)
     "ann_frontier_sweep",
+    # r17 addition: recall-targeted cross-family operating-point
+    # selection (clustered corpus) + the winner's top-5 emission
+    "similarity_ann_tuned",
 ]
 
 
