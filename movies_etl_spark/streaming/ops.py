@@ -225,6 +225,7 @@ def sessionize(
     gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
 
     def fn(key, pdf_iter, state: GroupState):
+        import numpy as np
         import pandas as pd
 
         times = []
@@ -235,10 +236,20 @@ def sessionize(
         s = pd.concat(times)
         # floor to the second; int64 floor-mod floors toward -inf, matching
         # .dt.floor("s") for pre-1970 instants too
-        s = (s - s % 1_000_000).sort_values().reset_index(drop=True)
-        new_session = (s.diff() > gap_us).cumsum()
+        v = np.sort((s - s % 1_000_000).to_numpy())
+        # session breaks via EXACT int64 diffs — pandas Series.diff()
+        # routes through float64, whose ulp passes 32 µs beyond ~year
+        # 2255, so an exactly-gap boundary (strict >: must MERGE) could
+        # misread at extreme-but-in-range epochs; numpy int64
+        # subtraction is exact over the whole [0001, 9999] span (max
+        # possible diff ~3.2e17 << 2^63)
+        brk = np.empty(len(v), dtype=bool)
+        brk[0] = True
+        brk[1:] = (v[1:] - v[:-1]) > gap_us
+        new_session = np.cumsum(brk)
         out = (
-            s.groupby(new_session)
+            pd.Series(v, name="ts_us")
+            .groupby(new_session)
             .agg(session_start_us="min", n_events="count")
             .reset_index(drop=True)
         )

@@ -87,6 +87,37 @@ def test_sessionize_total_beyond_pandas_ns_range(spark, tmp_path):
     }
 
 
+def test_sessionize_gap_boundary_exact_at_extreme_epoch(spark, tmp_path):
+    """The strict-> gap contract (an EXACTLY-30-minute gap still merges)
+    must hold at epochs where float64 can no longer represent micros
+    exactly (ulp > 32 µs beyond ~year 2255): pandas Series.diff() routes
+    int64 through float64, which can nudge an exact-boundary gap across
+    the threshold — the kernel uses exact numpy int64 diffs instead.
+    Pinned at year 5000: gap == 30 min merges, gap == 30 min + 1 s
+    splits."""
+    from movies_etl_spark.streaming import ops
+
+    gap_us = 30 * 60 * 1_000_000
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_events(
+        str(sf / "events.parquet"),
+        [
+            (1, US_YEAR_5000, 7),
+            (2, US_YEAR_5000 + gap_us, 7),           # exactly 30 min: merges
+            (3, US_YEAR_5000 + 2 * gap_us + 1_000_000, 7),  # 30 min + 1 s: splits
+        ],
+    )
+    rows = sorted(
+        (str(r["session_start"]), r["n_events"])
+        for r in ops.sessionize(spark, str(sf)).collect()
+    )
+    assert rows == [
+        ("5000-01-01 00:00:00", 2),
+        ("5000-01-01 01:00:01", 1),
+    ]
+
+
 def test_windowed_counts_start_in_range_at_date_floor(spark, tmp_path):
     """1-hour tumbling window starts stay in range for in-range events
     because the epoch→0001-01-01 offset (-62135596800 s) is divisible by
