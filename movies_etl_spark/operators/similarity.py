@@ -20,6 +20,18 @@ from pyspark.sql import functions as F
 
 from movies_etl_spark.operators.dedup import cosine
 
+#: Hard cap on the probe-side collect in :func:`topk_bruteforce_vectorized`
+#: — the MAX_LOCAL_EDGES discipline (dedup.py) applied to the query frame.
+#: The vectorized twin works by capturing the query MATRIX in the UDF
+#: closure (one BLAS matmul per Arrow batch), which is only sound while
+#: that matrix is broadcast-small: 100k × dim-32 float64 is ~25 MB of
+#: closure shipped to every task, the practical ceiling of the pattern.
+#: Every caller passes a contract-small probe set; this makes the
+#: contract ENFORCED rather than conventional (VERDICT r17 #4) — an
+#: over-cap probe frame fails loudly with remediation instead of
+#: silently OOMing the driver at 100 TB.
+MAX_LOCAL_QUERIES = 100_000
+
 
 def topk_bruteforce(
     corpus: DataFrame,
@@ -288,6 +300,7 @@ def topk_bruteforce_vectorized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_local_queries: int = MAX_LOCAL_QUERIES,
 ) -> DataFrame:
     """Numpy-vectorized brute-force top-k: the 100 TB fast path.
 
@@ -302,11 +315,29 @@ def topk_bruteforce_vectorized(
     Per-partition local top-k → global top-k: only k rows (plus any ties
     at the k-th boundary) per partition per query reach the final window,
     so the shuffle is O(k·queries·partitions), independent of corpus
-    size."""
+    size.
+
+    The probe-side collect is capped at ``max_local_queries`` rows
+    (fail-loud ValueError with remediation — see MAX_LOCAL_QUERIES);
+    the guard rides the collect itself via ``take(cap+1)``, zero extra
+    jobs."""
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    # take(cap+1) IS the collect when under cap (limit returns every row
+    # once n >= count), and stops early when over — one job either way.
+    q_rows = queries.select(id_col, vec_col).take(max_local_queries + 1)
+    if len(q_rows) > max_local_queries:
+        raise ValueError(
+            f"topk_bruteforce_vectorized: query frame exceeds "
+            f"max_local_queries={max_local_queries} rows — the vectorized "
+            f"twin captures the query matrix in the UDF closure and is only "
+            f"sound for broadcast-small probe sets. Remediation: batch the "
+            f"probe set into <=cap chunks and union the results, or use the "
+            f"fold-based topk_bruteforce (broadcast-join plan, no driver "
+            f"collect) / an ANN family (similarity_ann_multiprobe, "
+            f"similarity_ann_ivf) for large query sets."
+        )
     q_ids = [r[id_col] for r in q_rows]
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)

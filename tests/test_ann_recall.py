@@ -232,3 +232,16 @@ def test_ann_tuned_selects_cheapest_meeting_arm(spark):
     assert got.count() == exact.count()
     assert got.exceptAll(exact).count() == 0
     out.unpersist()
+
+
+def test_vectorized_probe_collect_cap(spark, recall_frames):
+    """VERDICT r17 #4: the probe-side collect is capped — an over-cap
+    query frame raises with remediation instead of silently collecting;
+    an at-cap frame still runs (the guard is exclusive)."""
+    e, q, _ = recall_frames
+    n_q = q.count()  # 8
+    with pytest.raises(ValueError, match="max_local_queries"):
+        SIM.topk_bruteforce_vectorized(e, q, k=5, max_local_queries=n_q - 1)
+    # exactly at cap: allowed, and still exact
+    at_cap = SIM.topk_bruteforce_vectorized(e, q, k=5, max_local_queries=n_q)
+    assert SIM.recall_at_k(recall_frames[2], at_cap) == 1.0
