@@ -842,18 +842,24 @@ def q_kmeans_assign(spark, sf_dir):
 @query(
     "multimodal_extract",
     oracle="""
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(octet_length(encode(text)) % 7 + 1 AS BIGINT) AS n_frames,
-           CAST(octet_length(encode(text)) // (octet_length(encode(text)) % 7 + 1) AS BIGINT) AS frame_bytes,
-           CAST(list_sum(list_transform(range(1, 9), i -> ord(substr(text, i, 1)))) AS BIGINT) AS byte_sum_first8
-    FROM documents
+           CAST(n + 44 AS BIGINT) AS n_bytes,
+           CAST(8000 + (n % 7) * 1000 AS BIGINT) AS sample_rate,
+           CAST(n % 2 + 1 AS BIGINT) AS n_channels,
+           CAST(n // ((n % 2 + 1) * 2) AS BIGINT) AS n_samples,
+           CAST((n // ((n % 2 + 1) * 2)) * 1000
+                // (8000 + (n % 7) * 1000) AS BIGINT) AS duration_ms
+    FROM m
     """,
 )
 def q_multimodal_extract(spark, sf_dir):
     """Multimodal columns: opaque binary payload + typed metadata,
-    feature-extracted via Arrow-batched mapInPandas (decode stubbed —
-    SURVEY/north-star contract; the Spark-side plumbing is real)."""
+    feature-extracted via Arrow-batched mapInPandas. The decode is a REAL
+    RIFF/WAVE chunk-walk + struct unpack (r18 — stub retired): payloads
+    are valid PCM WAV files synthesized from the text column, so the
+    oracle predicts what the parser must RECOVER from the header bytes
+    (sample rate, channels, sample count, duration)."""
     d = _t(spark, sf_dir, "documents")
     return MM.extract_features(MM.with_binary_payload(d))
 
@@ -1129,36 +1135,59 @@ def q_training_data_filter(spark, sf_dir):
     oracle="""
     WITH meta AS (
         SELECT doc_id,
-               octet_length(encode(text)) AS n_bytes,
-               octet_length(encode(text)) % 7 + 1 AS n_frames
-        FROM documents)
+               octet_length(encode(text)) // ((octet_length(encode(text)) % 2 + 1) * 2) AS n_samples,
+               (octet_length(encode(text)) % 2 + 1) * 2 AS block_align
+        FROM documents),
+    ex AS (
+        SELECT doc_id, block_align,
+               unnest(range(0, (n_samples + 63) // 64)) AS i
+        FROM meta)
     SELECT doc_id,
            CAST(i AS BIGINT) AS frame_idx,
-           CAST(n_bytes // n_frames * i AS BIGINT) AS frame_offset
-    FROM meta, range(0, 7) t(i)
-    WHERE i < n_frames AND i % 2 = 0
+           CAST(44 + i * 64 * block_align AS BIGINT) AS frame_offset
+    FROM ex WHERE i % 2 = 0
     """,
 )
 def q_multimodal_frame_sample(spark, sf_dir):
-    """1:N multimodal operator: frame sampling (every 2nd frame) through
-    mapInPandas — one input row yields a row per sampled frame with its
-    byte offset, the shape of a video frame-extraction stage. Decode is
-    stubbed (arithmetic on payload length); the row-expansion plumbing,
-    Arrow batching, and offset computation are real."""
+    """1:N multimodal operator: frame sampling (every 2nd 64-sample frame)
+    through mapInPandas — one input row yields a row per sampled frame
+    with its byte offset into the container, the shape of a video/audio
+    frame-extraction stage. The frame grid comes from a REAL header parse
+    (r18 — stub retired): n_samples and block_align are recovered from the
+    RIFF/WAVE bytes, and offsets point at actual sample-data positions
+    (44-byte canonical header + frame index × frame stride)."""
     d = _t(spark, sf_dir, "documents")
     with_payload = MM.with_binary_payload(d)
+    frame = MM.FRAME_SAMPLES
 
     def op(batches):
+        import struct as _struct
+
         import pandas as pd
+
+        def parse(payload):
+            # inline RIFF walk (by-value pickling; see multimodal.py)
+            fmt = None
+            data_size = None
+            pos = 12
+            while pos + 8 <= len(payload):
+                cid = payload[pos : pos + 4]
+                (csz,) = _struct.unpack("<I", payload[pos + 4 : pos + 8])
+                if cid == b"fmt " and csz >= 16:
+                    fmt = _struct.unpack("<HHIIHH", payload[pos + 8 : pos + 24])
+                elif cid == b"data":
+                    data_size = csz
+                pos += 8 + csz + (csz & 1)
+            return fmt[4], data_size  # block_align, data bytes
 
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n = len(payload)
-                n_frames = n % 7 + 1
-                fb = n // n_frames
+                ba, data_size = parse(payload)
+                n_samples = data_size // ba
+                n_frames = (n_samples + frame - 1) // frame
                 for i in range(0, n_frames, 2):  # sample every 2nd frame
-                    rows.append((doc_id, i, fb * i))
+                    rows.append((doc_id, i, 44 + i * frame * ba))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_idx", "frame_offset"]
             )
