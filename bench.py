@@ -190,6 +190,11 @@ HEADLINE = [
     # r17 addition: recall-targeted cross-family operating-point
     # selection (clustered corpus) + the winner's top-5 emission
     "similarity_ann_tuned",
+    # r18 addition (VERDICT r17 #3): the over-cap distributed
+    # connected-components loop as its own bench row — every other CC
+    # consumer's edge list takes the count-guarded local path, so the
+    # advertised 100 TB fallback had parity coverage but no wall-time row
+    "dedup_cc_distributed",
 ]
 
 
@@ -836,10 +841,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     rows_total = 0
     t_suite = time.perf_counter()
+    # per-query CC path record (r18): LAST_CC_MODE is reset before each
+    # query and snapshotted when the query actually ran components, so
+    # the suite-level keys no longer alias "whichever CC call came last"
+    # now that both paths run in one suite
+    cc_modes: dict[str, dict] = {}
     for name in HEADLINE:
         fn = registry.QUERIES.get(name)
         if fn is None:
             continue
+        dedup.LAST_CC_MODE = ""
         # Inter-trial GC (JMH-style): without it, full-GC debt from prior
         # queries' garbage lands on whichever query allocates next — the
         # stateful-streaming entry was measured at 4× its true cost purely
@@ -851,6 +862,11 @@ def main() -> None:
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        if dedup.LAST_CC_MODE:
+            cc_modes[name] = {
+                "mode": dedup.LAST_CC_MODE,
+                "rounds": dedup.LAST_CC_ROUNDS,
+            }
     total = round(time.perf_counter() - t_suite, 3)
 
     # Post-suite battery: brackets the query phase so contention that
@@ -1080,11 +1096,18 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "n_queries": len(timings),
         "approx_rows_per_sec": round(rows_total / total) if total else None,
-        "cluster_propagation_rounds": dedup.LAST_CC_ROUNDS or None,
-        # which connected_components path the suite exercised (r13:
+        # which connected_components paths the suite exercised (r13:
         # "local" = count-guarded driver union-find, 0 rounds by
-        # construction; "distributed" = the over-cap label loop)
-        "cluster_components_mode": dedup.LAST_CC_MODE or None,
+        # construction; "distributed" = the over-cap label loop — has its
+        # own bench row since r18). rounds = max across distributed calls;
+        # cc_modes_by_query carries the per-query breakdown.
+        "cluster_propagation_rounds": max(
+            (m["rounds"] for m in cc_modes.values()), default=0
+        ) or None,
+        "cluster_components_mode": "+".join(
+            sorted({m["mode"] for m in cc_modes.values()})
+        ) or None,
+        "cc_modes_by_query": cc_modes or None,
         **cal,
         "ann_recall_at_5": ann_recall or None,
     }

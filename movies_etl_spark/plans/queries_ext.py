@@ -1323,6 +1323,48 @@ def verified_edges(corpus):
 
 
 @query(
+    "dedup_cc_distributed",
+    oracle="""
+    WITH nodes AS (
+        SELECT doc_id * 20 + i AS node
+        FROM documents, range(0, 20) t(i))
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(node // 4 * 4 AS BIGINT) AS component
+    FROM nodes
+    """,
+)
+def q_dedup_cc_distributed(spark, sf_dir):
+    """The DISTRIBUTED connected-components path, explicitly (r18,
+    VERDICT r17 #3): every other CC consumer's verified edge list fits
+    MAX_LOCAL_EDGES, so the over-cap iterative min-label propagation
+    (dedup.py — per-round single label-table shuffle, localCheckpoint
+    leaf plans, monotone-convergence action) had parity coverage but no
+    correctness/bench row of its own. Here the cap is parameterized to 0,
+    which is exactly how a 100 TB run whose duplicate graph itself is
+    huge would execute.
+
+    Graph: 20 synthetic nodes per document (doc_id*20+i — doc_ids are
+    contiguous, so the node space is 0..20N-1), chained in groups of 4
+    via (x, x+1) edges where x % 4 != 3. 20N is divisible by 4, so every
+    chain is complete: component label = the chain minimum = x//4*4, and
+    chain diameter 3 drives the propagation through its real multi-round
+    convergence (min label hops one edge per round + one no-change
+    round). Nodes/edges are built JVM-side (explode over a sequence
+    literal), no driver state."""
+    d = _t(spark, sf_dir, "documents")
+    nodes = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(19))).alias("i")
+    ).select((F.col("doc_id") * 20 + F.col("i")).alias("x"))
+    edges = nodes.filter(F.col("x") % 4 != 3).select(
+        F.col("x").alias("id_a"), (F.col("x") + 1).alias("id_b")
+    )
+    return D.connected_components(edges, max_local_edges=0).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+@query(
     "dedup_survivors",
     oracle=f"""
     WITH RECURSIVE shing AS ({_INT_SHINGLES_SQL.format(corpus=_NEAR_CORPUS_SQL)}),
