@@ -220,6 +220,36 @@ def sessionize(
 
     The pandas function is a self-contained closure (Python workers never
     import this package)."""
+    ev = events_stream(spark, sf_dir).select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    sessions = sessionize_stateful(ev)
+    from movies_etl_spark.functions import expr as E
+    from movies_etl_spark.session import temp_confs
+
+    def finish(out: DataFrame) -> DataFrame:
+        return out.select(
+            "user_id",
+            E.from_unix_micros(F.col("session_start_us")).alias("session_start"),
+            "n_events",
+        )
+
+    if state_partitions is None:
+        return finish(_run_to_memory(sessions, "append"))
+    with temp_confs(
+        spark, {"spark.sql.shuffle.partitions": str(state_partitions)}
+    ):
+        return finish(_run_to_memory(sessions, "append"))
+
+
+def sessionize_stateful(ev: DataFrame) -> DataFrame:
+    """The stateful core of :func:`sessionize`: per-user 30-minute-gap
+    sessions over any ``(user_id, ts_us)`` stream via
+    ``applyInPandasWithState`` — factored out (r18) so the state-growth
+    soak test drives the ENGINE's operator through its own checkpointed
+    micro-batches rather than a test-local copy. State is one row per
+    distinct user (the open-session accumulator), independent of batch
+    count — the plateau the soak asserts."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
@@ -258,32 +288,13 @@ def sessionize(
         state.update((int(len(out)),))  # exercise the state handle
         yield out
 
-    ev = events_stream(spark, sf_dir).select(
-        "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
-    )
-    sessions = ev.groupBy("user_id").applyInPandasWithState(
+    return ev.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType="user_id BIGINT, session_start_us BIGINT, n_events BIGINT",
         stateStructType="n_sessions INT",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    from movies_etl_spark.functions import expr as E
-    from movies_etl_spark.session import temp_confs
-
-    def finish(out: DataFrame) -> DataFrame:
-        return out.select(
-            "user_id",
-            E.from_unix_micros(F.col("session_start_us")).alias("session_start"),
-            "n_events",
-        )
-
-    if state_partitions is None:
-        return finish(_run_to_memory(sessions, "append"))
-    with temp_confs(
-        spark, {"spark.sql.shuffle.partitions": str(state_partitions)}
-    ):
-        return finish(_run_to_memory(sessions, "append"))
 
 
 def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -474,13 +485,25 @@ def dedup_stream_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         F.date_trunc("second", F.col("ts")).alias("s"),
     )
     dups = ev.filter(F.col("event_id") % 100 == 0)
-    deduped = (
-        ev.unionByName(dups)
-        .withWatermark("s", "1 hour")
-        .dropDuplicatesWithinWatermark(["event_id"])
-    )
+    deduped = dedup_within_watermark(ev.unionByName(dups), ["event_id"], "s")
     with _state_partitions(spark, 8):
         return _run_to_memory(deduped, "append")
+
+
+def dedup_within_watermark(
+    ev: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """TTL-bounded streaming dedup core (factored out r18 for the
+    state-growth soak): watermark on ``ts_col`` + ``dropDuplicates
+    WithinWatermark`` on ``key_cols``. State entries are evicted once the
+    watermark passes them, so state size is bounded by (event rate ×
+    horizon) — the property the soak test asserts batch by batch."""
+    return ev.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(
+        key_cols
+    )
 
 
 def incremental_hourly_rollup(
