@@ -339,14 +339,27 @@ def to_date_std(c: Column) -> Column:
 
 
 #: epoch-second bounds for :func:`from_unix_seconds` — the timestamp
-#: twin of :func:`_bound_pydate`'s year range, with a one-day guard band
-#: inside [0001-01-01T00:00:00Z, 9999-12-31T23:59:59Z]: PySpark renders
-#: collected timestamps in the session/driver zone, so an exact-boundary
-#: instant can land in year 0 / year 10000 local (pre-1883 tzdata LMT
-#: offsets included; empirically even Etc/UTC crashes one second below
-#: the 0001-01-02 floor). The band trims values the reference could
-#: never produce anyway (pandas unit='s' raises beyond year 2262).
-UNIX_SECONDS_MIN = -62_135_510_400  # 0001-01-02T00:00:00Z
+#: twin of :func:`_bound_pydate`'s year range, with an asymmetric guard
+#: band inside [0001-01-01T00:00:00Z, 9999-12-31T23:59:59Z]. The crash
+#: site is ``TimestampType.fromInternal`` → ``datetime.fromtimestamp``
+#: with the DRIVER PROCESS's OS timezone (``TZ``), which the engine
+#: cannot pin (``spark.sql.session.timeZone=UTC`` does not reach it), so
+#: the band must hold under EVERY OS zone:
+#:
+#: - lower: CPython's ``fromtimestamp`` probes ``t − 24 h`` in local time
+#:   for fold detection, so the unrepresentable window is 24 h PLUS the
+#:   zone's year-1 LMT west offset (probed r18: America/New_York crashes
+#:   up to exact_min + 104 162 s = 24 h + 4:56:02 — the r17 one-day band
+#:   was LEAKY there). LMT offsets are longitude-bound (≤ ~12 h), so a
+#:   2-day band covers fold-probe + any west offset.
+#: - upper: no probe (it looks into the past), only the zone's year-9999
+#:   east offset (≤ +14 h, Pacific/Kiritimati) — one day suffices.
+#:
+#: Both bounds verified against all 599 IANA zones via TZ+tzset over
+#: ``TimestampType.fromInternal`` (test_expr_unit.py pins the sweep).
+#: The band trims values the reference could never produce anyway
+#: (pandas unit='s' raises beyond year 2262).
+UNIX_SECONDS_MIN = -62_135_424_000  # 0001-01-03T00:00:00Z
 UNIX_SECONDS_MAX = 253_402_214_399  # 9999-12-30T23:59:59Z
 
 
@@ -369,8 +382,8 @@ def from_unix_seconds(c: Column) -> Column:
     )
 
 
-#: epoch-micros twin of UNIX_SECONDS_MIN/MAX (same one-day guard band,
-#: same rationale — see :func:`from_unix_seconds`).
+#: epoch-micros twin of UNIX_SECONDS_MIN/MAX (same asymmetric guard
+#: band, same rationale — see the bounds comment above).
 UNIX_MICROS_MIN = UNIX_SECONDS_MIN * 1_000_000
 UNIX_MICROS_MAX = UNIX_SECONDS_MAX * 1_000_000 + 999_999
 

@@ -130,7 +130,9 @@ def test_from_unix_seconds_instant_bounds(spark):
         (2**40, None),                 # year ~36812: py-range flavor
         (253402300800, None),          # 10000-01-01T00:00:00Z
         (-62135596800, None),          # 0001-01-01T00:00:00Z (tz band)
-        (E.UNIX_SECONDS_MIN, "0001-01-02 00:00:00"),
+        (-62135510400, None),          # 0001-01-02: r17 band floor — LEAKY
+                                       # under west-of-UTC OS zones (r18)
+        (E.UNIX_SECONDS_MIN, "0001-01-03 00:00:00"),
         (E.UNIX_SECONDS_MAX, "9999-12-30 23:59:59"),
         (0, "1970-01-01 00:00:00"),
         (1500000000, "2017-07-14 02:40:00"),
@@ -160,7 +162,7 @@ def test_from_unix_micros_instant_bounds(spark):
         (-(2**62), None),
         (E.UNIX_MICROS_MIN - 1, None),
         (E.UNIX_MICROS_MAX + 1, None),
-        (E.UNIX_MICROS_MIN, "0001-01-02 00:00:00"),
+        (E.UNIX_MICROS_MIN, "0001-01-03 00:00:00"),
         (E.UNIX_MICROS_MAX, "9999-12-30 23:59:59.999999"),
         (0, "1970-01-01 00:00:00"),
         (1500000000000000, "2017-07-14 02:40:00"),
