@@ -84,6 +84,84 @@ from movies_etl_spark.plans import queries_scale  # noqa: E402,F401
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
+# Round-18 window (exactly 50; registered total 217 after the one r18
+# addition; NOTES_r18.md carries the ledger):
+#   1-21:  the COMPLETE 21-name r13-latest cohort (the union's oldest
+#          rows after r17) in tools/correctness_union.py report order —
+#          VERDICT r17 #1's freshness queue, led per the standing rule.
+#          similarity_topk_vectorized (slot 4) doubles as the consumer
+#          re-validation for the r18 probe-collect cap (VERDICT #4).
+#   22:    dedup_cc_distributed — the r18 addition (VERDICT r17 #3: the
+#          over-cap distributed connected-components loop as its own
+#          oracle-gated row), registered inside the window per policy.
+#   23-24: multimodal_extract + multimodal_frame_sample — consumers of
+#          the r18 real RIFF/WAVE decode (VERDICT #5; oracles changed
+#          with the operator, so re-validation is mandatory).
+#   25:    from_unix_seconds — consumer of the r18 guard-band widening
+#          (the r17 one-day floor was leaky under west-of-UTC driver OS
+#          zones; ADVICE r16 low closed as a FIX).
+#   26-27: streaming_sessionize + streaming_dedup_watermark — consumers
+#          of the r18 stateful-core extraction (soak-test refactor;
+#          sessionize also consumes from_unix_micros' widened band).
+#   28-50: the 23 oldest r14-latest rows, union-report order (skipping
+#          streaming_dedup_watermark, already slot 27). After r18 no
+#          union row is older than r14 — VERDICT #1's done criterion.
+_ROUND18_PRIORITY = [
+    # complete r13-latest cohort, union-report order
+    "decontaminate_ngram",
+    "domain_mix_sample",
+    "sequence_pack",
+    "similarity_topk_vectorized",
+    "streaming_incremental_rollup",
+    "streaming_stream_join",
+    "event_transitions",
+    "session_paths",
+    "vocab_topk",
+    "bigram_lm_counts",
+    "span_dedup",
+    "table_fingerprint",
+    "partition_stats",
+    "mad_outliers",
+    "data_profile",
+    "streaming_cms_freq",
+    "bpe_train_merges",
+    "bpe_subword_stats",
+    "streaming_hll_distinct",
+    "bpe_pack_pipeline",
+    "parse_money",
+    # r18 addition + rewrite consumers (standing rule)
+    "dedup_cc_distributed",
+    "multimodal_extract",
+    "multimodal_frame_sample",
+    "from_unix_seconds",
+    "streaming_sessionize",
+    "streaming_dedup_watermark",
+    # oldest r14-latest rows, union-report order
+    "groupby_count",
+    "pivot_counts",
+    "sink_jdbc_roundtrip",
+    "scan_error_checked",
+    "funnel_analysis",
+    "week_over_week",
+    "hopping_window_agg",
+    "winsorize_robust_scale",
+    "weighted_sample_topk",
+    "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
+    "similarity_ann_lsh",
+    "dedup_embedding_cosine_vectorized",
+    "embedding_block_guard",
+    "dedup_cluster_components",
+    "dedup_survivors",
+    "streaming_lsh_dedup",
+    "streaming_foreach_batch_sink",
+    "dedup_survivor_policy",
+    "minhash_jaccard_estimate",
+    "dedup_exact_normalized",
+    "streaming_hopping_window",
+    "lang_id_confusion",
+]
+
 # Round-17 window (exactly 50; registered total 216 after the one r17
 # addition; NOTES_r17.md carries the ledger):
 #   1:     streaming_sessionize — consumer of the r17 sessionizer
@@ -824,7 +902,10 @@ _ROUND10_PRIORITY = [
     "fill_if_zero",
 ]
 
-_CURRENT_PRIORITY = _ROUND17_PRIORITY
+_CURRENT_PRIORITY = _ROUND18_PRIORITY
+
+# Round-17 window retained for the ledger (NOTES_r17.md references it);
+# _ordered() consumes _CURRENT_PRIORITY.
 
 # Round-10 window retained for the ledger (NOTES_r10.md references it);
 # _ordered() consumes _CURRENT_PRIORITY.
