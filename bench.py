@@ -766,6 +766,7 @@ def main() -> None:
     from movies_etl_spark.plans import queries_expr, queries_ext  # noqa: F401
     from movies_etl_spark.plans import queries_mlprep  # noqa: F401
     from movies_etl_spark.plans import queries_scale  # noqa: F401
+    from movies_etl_spark.operators import dedup
 
     cache_dropped = _drop_page_cache()
 
@@ -960,10 +961,6 @@ def main() -> None:
         cl.unpersist()
     except Exception:
         pass
-
-    # cluster components is adaptive: report rounds-to-convergence next to
-    # wall-time so a regression can't hide in iteration count.
-    from movies_etl_spark.operators import dedup
 
     # Drift-normalized per-query values (VERDICT r6 #5): take the
     # calibration-battery ratio vs the pinned reference capture
