@@ -196,12 +196,36 @@ def test_query_ref_generator_rejects_small_sf_captures():
         "queries_normalized": {"q": 1.0},
         "contended_segments": [],
     }
+    # r18: a UNIFORMLY contended capture has no localized segment for
+    # the detector to flag — the contention booleans are the only
+    # instrument that catches it (capture B: wall 340s vs 185 clean,
+    # zero segments, both booleans TRUE, names up to 11.9x) — and it
+    # must not mint either.
+    battery_flagged = {
+        "sf": 0.1,
+        "queries_normalized": {"q": 1.0},
+        "battery_contention_suspected": True,
+    }
+    midsuite_flagged = {
+        "sf": 0.1,
+        "queries_normalized": {"q": 1.0},
+        "mid_suite_contention_suspected": True,
+    }
+    clean_false_booleans = {
+        "sf": 0.1,
+        "queries_normalized": {"q": 1.0},
+        "battery_contention_suspected": False,
+        "mid_suite_contention_suspected": False,
+    }
     assert mod.capture_ok(good)
     assert not mod.capture_ok(smoke)
     assert not mod.capture_ok(legacy_no_sf)
     assert not mod.capture_ok(no_map)
     assert not mod.capture_ok(contended)
     assert mod.capture_ok(clean_empty_segments)
+    assert not mod.capture_ok(battery_flagged)
+    assert not mod.capture_ok(midsuite_flagged)
+    assert mod.capture_ok(clean_false_booleans)
 
 def test_shared_cli_parser():
     """tools/_cli.parse_args — the one flag-parsing loop the three

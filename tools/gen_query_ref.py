@@ -67,6 +67,25 @@ def capture_ok(d: dict) -> bool:
             file=sys.stderr,
         )
         return False
+    # Boolean-flagged captures are excluded too (r18): a UNIFORMLY
+    # contended capture has no localized hot block for the segment
+    # detector to find — r18's capture B ran the whole suite under
+    # external load (wall 340 s vs 185 clean, battery + mid-suite
+    # booleans both TRUE, zero segments) and suite-median normalization
+    # absorbed the uniform part while individual names still read up to
+    # 11.9x. The booleans are the instrument that caught it; admitting
+    # the capture anyway would have minted dedup_cc_distributed's first
+    # pin at 18.2 s vs its 3.5 s clean floor.
+    if d.get("battery_contention_suspected") or d.get(
+        "mid_suite_contention_suspected"
+    ):
+        print(
+            "skipping contention-flagged capture (battery="
+            f"{d.get('battery_contention_suspected')}, mid_suite="
+            f"{d.get('mid_suite_contention_suspected')})",
+            file=sys.stderr,
+        )
+        return False
     return True
 
 
