@@ -203,3 +203,202 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield out
 
     return df.select(F.col(id_col), "payload").mapInPandas(op, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image path (r18): real BMP container synth + parse, and the mixed-modality
+# dispatcher — the ingest shape where one binary column carries several media
+# kinds and the decoder routes on sniffed magic bytes.
+# ---------------------------------------------------------------------------
+
+#: canonical BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40) size
+BMP_HEADER_BYTES = 54
+
+
+def synth_bmp_bytes(data: bytes) -> bytes:
+    """Wrap raw bytes in a VALID 24-bit BI_RGB BMP container.
+
+    Deterministic dimensions from the payload length ``n`` (so a SQL
+    oracle can predict what the parser must recover):
+    width = n % 13 + 4, height = n % 7 + 3. Pixel data is ``data``
+    repeated/truncated to exactly ``stride × height`` bytes (stride =
+    3·width rounded up to 4 — the BMP row-padding rule). Any real BMP
+    reader parses the result."""
+    n = len(data)
+    w = n % 13 + 4
+    h = n % 7 + 3
+    stride = (3 * w + 3) // 4 * 4
+    need = stride * h
+    reps = need // max(n, 1) + 1 if n else 0
+    pixels = (data * reps)[:need] if n else b"\x00" * need
+    file_size = BMP_HEADER_BYTES + need
+    return (
+        b"BM"
+        + struct.pack("<IHHI", file_size, 0, 0, BMP_HEADER_BYTES)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, need, 2835, 2835, 0, 0)
+        + pixels
+    )
+
+
+def decode_bmp_header(payload: bytes) -> dict:
+    """REAL BMP header parse: BITMAPFILEHEADER magic + BITMAPINFOHEADER
+    struct unpack, with the format's own consistency rules enforced
+    (BI_RGB only, stride from width/bpp via the 4-byte row-padding
+    rule, negative height = top-down). Raises ValueError on malformed
+    input, like :func:`decode_wav_header`."""
+    if payload is None:
+        raise ValueError("no payload")
+    if len(payload) < BMP_HEADER_BYTES or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    file_size, _, _, pixel_off = struct.unpack("<IHHI", payload[2:14])
+    (hdr_size, w, h, planes, bpp, compression) = struct.unpack(
+        "<IiiHHI", payload[14:34]
+    )
+    if hdr_size < 40 or planes != 1 or compression != 0:
+        raise ValueError("unsupported BMP encoding")
+    if w <= 0 or h == 0 or bpp not in (8, 24, 32):
+        raise ValueError("bad BMP dimensions")
+    stride = (w * bpp // 8 + 3) // 4 * 4
+    return {
+        "n_bytes": len(payload),
+        "width": w,
+        "height": abs(h),
+        "top_down": h < 0,
+        "bits_per_pixel": bpp,
+        "stride": stride,
+        "pixel_bytes": stride * abs(h),
+        "pixel_offset": pixel_off,
+        "file_size": file_size,
+    }
+
+
+def sniff_media_kind(payload: bytes) -> str:
+    """Magic-byte dispatcher: 'audio/wav' | 'image/bmp' | 'unknown' —
+    the routing step of a mixed-modality binary column."""
+    if payload is None:
+        return "unknown"
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "audio/wav"
+    if len(payload) >= 2 and payload[:2] == b"BM":
+        return "image/bmp"
+    return "unknown"
+
+
+#: output schema of extract_mixed_features — one nullable column set per
+#: modality, kind discriminates (the union-schema shape a multimodal
+#: table lands in a lakehouse with)
+MIXED_FEATURE_SCHEMA = (
+    "doc_id bigint, kind string, n_bytes bigint, "
+    "sample_rate bigint, duration_ms bigint, "
+    "width bigint, height bigint, pixel_bytes bigint"
+)
+
+
+def with_mixed_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mixed-modality ingest simulator: even doc_ids carry a valid BMP,
+    odd doc_ids a valid PCM WAV, both synthesized from the text column
+    with length-derived oracle-predictable parameters. Arrow-batched
+    scalar pandas UDF; everything inlined for by-value pickling."""
+
+    @F.pandas_udf("binary")
+    def payload_udf(doc_ids: pd.Series, texts: pd.Series) -> pd.Series:
+        import struct as _struct
+
+        def wav(data):
+            n = len(data)
+            ch = n % 2 + 1
+            sr = 8000 + (n % 7) * 1000
+            ba = ch * 2
+            return (
+                b"RIFF" + _struct.pack("<I", 36 + n) + b"WAVE"
+                + b"fmt "
+                + _struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * ba, ba, 16)
+                + b"data" + _struct.pack("<I", n) + data
+            )
+
+        def bmp(data):
+            n = len(data)
+            w = n % 13 + 4
+            h = n % 7 + 3
+            stride = (3 * w + 3) // 4 * 4
+            need = stride * h
+            reps = need // max(n, 1) + 1 if n else 0
+            pixels = (data * reps)[:need] if n else b"\x00" * need
+            return (
+                b"BM" + _struct.pack("<IHHI", 54 + need, 0, 0, 54)
+                + _struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, need, 2835, 2835, 0, 0
+                )
+                + pixels
+            )
+
+        return pd.Series(
+            [
+                bmp(t.encode("utf-8")) if i % 2 == 0 else wav(t.encode("utf-8"))
+                for i, t in zip(doc_ids, texts)
+            ]
+        )
+
+    return df.withColumn("payload", payload_udf(F.col("doc_id"), F.col(text_col)))
+
+
+def extract_mixed_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Mixed-modality decode: sniff the magic bytes per payload, route to
+    the matching REAL header parser, and emit the union feature schema
+    (audio columns null for images and vice versa). One Arrow-batched
+    map — no shuffle, colocated with the scan; the per-kind parsers are
+    the same chunk-walk / struct-unpack code paths as the single-kind
+    operators. Inlined for by-value pickling."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        def wav_meta(p):
+            fmt = None
+            data_size = None
+            pos = 12
+            while pos + 8 <= len(p):
+                cid = p[pos : pos + 4]
+                (csz,) = _struct.unpack("<I", p[pos + 4 : pos + 8])
+                if cid == b"fmt " and csz >= 16:
+                    fmt = _struct.unpack("<HHIIHH", p[pos + 8 : pos + 24])
+                elif cid == b"data":
+                    data_size = csz
+                pos += 8 + csz + (csz & 1)
+            _, ch, sr, _, ba, _ = fmt
+            ns = data_size // ba
+            return sr, ns * 1000 // sr
+
+        def bmp_meta(p):
+            (_, w, h, _, bpp, _) = _struct.unpack("<IiiHHI", p[14:34])
+            stride = (w * bpp // 8 + 3) // 4 * 4
+            return w, abs(h), stride * abs(h)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                if len(p) >= 12 and p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                    sr, dur = wav_meta(p)
+                    rows.append(
+                        (doc_id, "audio/wav", len(p), sr, dur, None, None, None)
+                    )
+                elif p[:2] == b"BM":
+                    w, h, pb = bmp_meta(p)
+                    rows.append(
+                        (doc_id, "image/bmp", len(p), None, None, w, h, pb)
+                    )
+                else:
+                    rows.append(
+                        (doc_id, "unknown", len(p), None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "kind", "n_bytes", "sample_rate",
+                    "duration_ms", "width", "height", "pixel_bytes",
+                ],
+            )
+
+    return df.select(F.col(id_col), "payload").mapInPandas(
+        op, MIXED_FEATURE_SCHEMA
+    )

@@ -83,3 +83,106 @@ def test_stdlib_wave_reads_synth_output():
     assert r.getframerate() == 10000
     assert r.getnframes() == 50
     r.close()
+
+
+# --- r18 image path: BMP + mixed-modality dispatcher ---------------------
+
+GOLDEN_BMP_2x2 = (
+    # hand-assembled 2x2 24-bit BI_RGB BMP (the classic wiki example
+    # layout): 54-byte header + 2 rows of 8 bytes (6 pixel + 2 pad)
+    b"BM"
+    + (70).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+    + (54).to_bytes(4, "little")
+    + (40).to_bytes(4, "little")
+    + (2).to_bytes(4, "little") + (2).to_bytes(4, "little")
+    + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+    + (0).to_bytes(4, "little") + (16).to_bytes(4, "little")
+    + (2835).to_bytes(4, "little") + (2835).to_bytes(4, "little")
+    + (0).to_bytes(4, "little") + (0).to_bytes(4, "little")
+    + b"\x00\x00\xff\xff\xff\xff\x00\x00"   # row 0: red, white + pad
+    + b"\xff\x00\x00\x00\xff\x00\x00\x00"   # row 1: blue, green + pad
+)
+
+
+def test_decode_golden_bmp():
+    got = MM.decode_bmp_header(GOLDEN_BMP_2x2)
+    assert got == {
+        "n_bytes": 70,
+        "width": 2,
+        "height": 2,
+        "top_down": False,
+        "bits_per_pixel": 24,
+        "stride": 8,
+        "pixel_bytes": 16,
+        "pixel_offset": 54,
+        "file_size": 70,
+    }
+
+
+def test_bmp_synth_roundtrip_matches_oracle_arithmetic():
+    for text in ["x", "hello world", "a" * 553, "Ünïcødé — ↯" * 7]:
+        data = text.encode("utf-8")
+        n = len(data)
+        got = MM.decode_bmp_header(MM.synth_bmp_bytes(data))
+        w = n % 13 + 4
+        h = n % 7 + 3
+        stride = (3 * w + 3) // 4 * 4
+        assert got["width"] == w
+        assert got["height"] == h
+        assert got["stride"] == stride
+        assert got["pixel_bytes"] == stride * h
+        assert got["n_bytes"] == 54 + stride * h
+        assert got["file_size"] == got["n_bytes"]
+
+
+def test_bmp_decode_handles_top_down_and_rejects_malformed():
+    import struct
+
+    wav = MM.synth_wav_bytes(b"not a bmp")
+    with pytest.raises(ValueError):
+        MM.decode_bmp_header(wav)
+    with pytest.raises(ValueError):
+        MM.decode_bmp_header(None)
+    # top-down variant (negative height) of the golden file
+    td = bytearray(GOLDEN_BMP_2x2)
+    td[22:26] = struct.pack("<i", -2)
+    got = MM.decode_bmp_header(bytes(td))
+    assert got["height"] == 2 and got["top_down"] is True
+    # RLE-compressed refused (parser only does BI_RGB)
+    rle = bytearray(GOLDEN_BMP_2x2)
+    rle[30:34] = struct.pack("<I", 1)
+    with pytest.raises(ValueError):
+        MM.decode_bmp_header(bytes(rle))
+
+
+def test_sniff_media_kind_routes_both_containers():
+    assert MM.sniff_media_kind(MM.synth_wav_bytes(b"abc")) == "audio/wav"
+    assert MM.sniff_media_kind(MM.synth_bmp_bytes(b"abc")) == "image/bmp"
+    assert MM.sniff_media_kind(b"GIF89a...") == "unknown"
+    assert MM.sniff_media_kind(None) == "unknown"
+
+
+def test_extract_mixed_features_spark(spark):
+    rows = [(i, f"doc text number {i} " * (i + 1)) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = MM.extract_mixed_features(MM.with_mixed_payload(df)).collect()
+    assert len(out) == 8
+    by_id = {r["doc_id"]: r for r in out}
+    for i, text in rows:
+        n = len(text.encode("utf-8"))
+        r = by_id[i]
+        if i % 2 == 0:
+            assert r["kind"] == "image/bmp"
+            w = n % 13 + 4
+            h = n % 7 + 3
+            stride = (3 * w + 3) // 4 * 4
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["pixel_bytes"] == stride * h
+            assert r["sample_rate"] is None and r["duration_ms"] is None
+        else:
+            assert r["kind"] == "audio/wav"
+            ch = n % 2 + 1
+            sr = 8000 + (n % 7) * 1000
+            assert r["sample_rate"] == sr
+            assert r["duration_ms"] == (n // (ch * 2)) * 1000 // sr
+            assert r["width"] is None and r["pixel_bytes"] is None
