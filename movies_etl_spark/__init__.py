@@ -5,7 +5,7 @@ reference ETL pipeline (CocoLB/08-Movies-ETL, surveyed in SURVEY.md),
 re-expressed Spark-first: declarative DataFrame/SQL plans optimized by
 Catalyst, scalar logic as native column expressions (zero row-at-a-time
 Python UDFs in the hot path), Pandas UDFs only where built-ins cannot
-express the semantics (multimodal decode stubs, stateful streaming).
+express the semantics (multimodal container decode, stateful streaming).
 
 Layout
 ------

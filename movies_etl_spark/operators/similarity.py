@@ -812,9 +812,10 @@ def rerank_topk(cands: DataFrame, k: int = 3) -> DataFrame:
     same contract — Arrow batch in, one score per row out — and the same
     plan shape (no shuffle added; the candidate frame is already
     ~n_candidates·|queries| rows, the model cost dominates and
-    parallelizes per batch). Same stub discipline as multimodal.py's
-    decode: the Spark-side plumbing (schema, batching, rank window) is
-    real and tested; only the scorer body is swapped.
+    parallelizes per batch). Swap discipline as in multimodal.py's
+    decode (whose container parse became real in r18): the Spark-side
+    plumbing (schema, batching, rank window) is real and tested; only
+    the scorer body is swapped.
 
     Output: (query_id, neighbor_id, retrieval_sim, rerank_score, rank).
     """
