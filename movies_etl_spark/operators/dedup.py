@@ -896,19 +896,28 @@ def connected_components(
     # string). With leaf plans every round optimizes a constant-size
     # tree. On a fault-tolerant cluster use checkpoint(dir) instead —
     # localCheckpoint blocks don't survive executor loss.
-    # Materialize the edge list ONCE before the bidirectional union: the
-    # union embeds `edges`' lineage in BOTH branches, and a lazy
-    # checkpoint of the union still evaluates each branch independently
-    # on first action — for LSH-verified edges that means the candidate
-    # self-join + Jaccard verify + bucket guard run twice (the r7 bench
-    # showed exactly this: every connected_components consumer paid the
-    # new guard twice, pushing dedup_survivors to 1.85× and
-    # curation_pipeline to 1.59× of r6). The checkpoint here reads the
-    # guard count's cache (one cheap job), and the union of two leaf
-    # scans is then constant-size and needs no checkpoint of its own.
-    e = e0.localCheckpoint(eager=True)
+    # Materialize the BIDIRECTIONAL edge table once, PRE-SHUFFLED on the
+    # join key (r18): every round joins `both` on v, so shuffling it
+    # per round re-pays the edge exchange each iteration — the dominant
+    # repeated cost once labels are leaf-sized. One repartition(v) +
+    # eager checkpoint amortizes that shuffle across all rounds
+    # (interleaved A/B at 100 k nodes / 75 k edges: steady-state loop
+    # wall 5.4 s → 3.2 s, ~40% off). The eager checkpoint also
+    # evaluates the union's two branches exactly ONCE, against e0's
+    # persisted cache — for LSH-verified edges that matters doubly: the
+    # union embeds `edges`' lineage in BOTH branches, and without a
+    # materialization barrier the candidate self-join + Jaccard verify
+    # + bucket guard would run twice (the r7 bench showed exactly this:
+    # every connected_components consumer paid the new guard twice,
+    # pushing dedup_survivors to 1.85× and curation_pipeline to 1.59×
+    # of r6; the per-`e` checkpoint this replaces existed for that).
+    both = (
+        e0.select(F.col("u"), F.col("v"))
+        .union(e0.select(F.col("v"), F.col("u")))
+        .repartition(F.col("v"))
+        .localCheckpoint(eager=True)
+    )
     e0.unpersist()
-    both = e.union(e.select(F.col("v"), F.col("u")))
     labels = (
         both.select(F.col("u").alias("node"))
         .distinct()
