@@ -964,4 +964,24 @@ def connected_components(
         labels = new_labels.select("node", "component")
         if changed == 0:
             break
+    else:
+        # Fail-LOUD on non-convergence (r18): min-label propagation hops
+        # one edge per round, so a component whose diameter exceeds
+        # max_iter would otherwise return PARTIALLY-PROPAGATED labels
+        # silently — at 100 TB that's a duplicate cluster quietly split
+        # in two, the same fail-silent class the band-bucket guard
+        # exists for. Near-dup graphs have tiny diameters (pairs and
+        # short chains), so hitting this means the graph is not the
+        # shape the caller assumed; raising with remediation beats
+        # wrong survivors.
+        raise ValueError(
+            f"connected_components: min-label propagation did not "
+            f"converge within max_iter={max_iter} rounds ({changed} labels "
+            f"still changing) — the pair graph contains a component with "
+            f"diameter > {max_iter}. Remediation: raise max_iter "
+            f"(rounds are cheap: one leaf-sized label shuffle each), or "
+            f"inspect the edge list — a huge-diameter duplicate graph "
+            f"usually means the verify threshold admitted chains of "
+            f"borderline pairs."
+        )
     return labels.select("node", "component")

@@ -204,3 +204,24 @@ def test_streaming_guard_passes_under_cap(spark, tmp_path):
     assert 0 in survivors  # first template doc survives
     assert not (survivors & set(range(1, 6)))  # later copies dropped
     assert {6, 7, 8} <= survivors  # distinct docs untouched
+
+
+def test_cc_distributed_nonconvergence_raises(spark):
+    """r18: the distributed CC loop must fail LOUD when a component's
+    diameter exceeds max_iter (label propagation hops one edge per
+    round) — previously it returned partially-propagated labels
+    silently. Chain of 12 nodes, max_iter=3 → raise; max_iter=20 →
+    exact chain labels."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from movies_etl_spark.operators import dedup as D
+
+    edges = spark.range(0, 11).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        D.connected_components(edges, max_iter=3, max_local_edges=0)
+    ok = D.connected_components(edges, max_iter=20, max_local_edges=0)
+    rows = {r["node"]: r["component"] for r in ok.collect()}
+    assert rows == {i: 0 for i in range(12)}
