@@ -930,13 +930,34 @@ def connected_components(
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("component").alias("nbr_comp"))
         )
+        # Pointer-doubling shortcut (r18): also take L(L(x)) — the label
+        # of the node my label points at. Neighbor-min alone hops one
+        # edge per round (O(diameter) rounds; a 1000-chain needs 1000),
+        # while label-of-label halves every pointer chain, so the
+        # combined operator converges in O(log d) rounds (measured: the
+        # 1000-chain closes in 11). Cost: one extra leaf-sized label
+        # self-join per round. Convergence stays exact: at a fixpoint
+        # the neighbor condition alone forces labels constant per
+        # component (edges are bidirectional), and labels are component
+        # member ids with L(x) ≤ x invariant, so the constant is the
+        # component minimum — the shortcut only accelerates descent.
+        shortcut = labels.alias("l1").join(
+            labels.alias("l2"),
+            F.col("l1.component") == F.col("l2.node"),
+        ).select(
+            F.col("l1.node").alias("node"),
+            F.col("l2.component").alias("sc_comp"),
+        )
         new_labels = (
             labels.withColumnRenamed("component", "_old")
             .join(neighbor_min, "node", "left")
+            .join(shortcut, "node", "left")
             .select(
                 "node",
                 F.least(
-                    F.col("_old"), F.coalesce(F.col("nbr_comp"), F.col("_old"))
+                    F.col("_old"),
+                    F.coalesce(F.col("nbr_comp"), F.col("_old")),
+                    F.coalesce(F.col("sc_comp"), F.col("_old")),
                 ).alias("component"),
                 F.col("_old"),
             )

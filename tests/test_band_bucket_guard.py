@@ -225,3 +225,20 @@ def test_cc_distributed_nonconvergence_raises(spark):
     ok = D.connected_components(edges, max_iter=20, max_local_edges=0)
     rows = {r["node"]: r["component"] for r in ok.collect()}
     assert rows == {i: 0 for i in range(12)}
+
+
+def test_cc_distributed_pointer_doubling_long_chain(spark):
+    """r18: pointer-doubling converges a 1000-node chain (diameter 999)
+    within the default max_iter=20 — neighbor-min alone would need 1000
+    rounds and trip the non-convergence guard. Labels must be exact."""
+    from pyspark.sql import functions as F
+
+    from movies_etl_spark.operators import dedup as D
+
+    edges = spark.range(0, 999).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out = D.connected_components(edges, max_local_edges=0)
+    rows = {r["node"]: r["component"] for r in out.collect()}
+    assert rows == {i: 0 for i in range(1000)}
+    assert D.LAST_CC_ROUNDS <= 15  # measured 11; O(log d), not O(d)
