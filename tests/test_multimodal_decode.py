@@ -186,3 +186,61 @@ def test_extract_mixed_features_spark(spark):
             assert r["sample_rate"] == sr
             assert r["duration_ms"] == (n // (ch * 2)) * 1000 // sr
             assert r["width"] is None and r["pixel_bytes"] is None
+
+
+# --- Hypothesis: codec round-trips over arbitrary payload bytes ----------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+    import os as _os
+
+    _MAX = int(_os.environ.get("HYP_MAX_EXAMPLES", "60"))
+
+    @settings(max_examples=_MAX, deadline=None)
+    @given(st.binary(min_size=0, max_size=4096))
+    def test_wav_roundtrip_property(data):
+        """For ANY byte payload, synth→parse recovers exactly the fields
+        the closed-form (length-derived) arithmetic predicts — the same
+        cliff-dense discipline as the expr property suite."""
+        n = len(data)
+        got = MM.decode_wav_header(MM.synth_wav_bytes(data))
+        ch = n % 2 + 1
+        sr = 8000 + (n % 7) * 1000
+        assert got["n_bytes"] == n + 44
+        assert got["n_channels"] == ch
+        assert got["sample_rate"] == sr
+        assert got["n_samples"] == n // (ch * 2)
+        assert got["duration_ms"] == (n // (ch * 2)) * 1000 // sr
+
+    @settings(max_examples=_MAX, deadline=None)
+    @given(st.binary(min_size=0, max_size=4096))
+    def test_bmp_roundtrip_property(data):
+        n = len(data)
+        got = MM.decode_bmp_header(MM.synth_bmp_bytes(data))
+        w = n % 13 + 4
+        h = n % 7 + 3
+        stride = (3 * w + 3) // 4 * 4
+        assert (got["width"], got["height"]) == (w, h)
+        assert got["pixel_bytes"] == stride * h
+        assert got["n_bytes"] == got["file_size"] == 54 + stride * h
+
+    @settings(max_examples=_MAX, deadline=None)
+    @given(st.binary(min_size=0, max_size=256))
+    def test_sniff_never_crashes_and_parsers_reject_noise(data):
+        """Arbitrary (possibly magic-prefixed) noise: sniff is total; a
+        parser either returns a consistent dict or raises ValueError —
+        never any other exception (the fault-tolerant decode contract)."""
+        kind = MM.sniff_media_kind(data)
+        assert kind in ("audio/wav", "image/bmp", "unknown")
+        for parse in (MM.decode_wav_header, MM.decode_bmp_header):
+            try:
+                out = parse(data)
+                assert out["n_bytes"] == len(data)
+            except ValueError:
+                pass
