@@ -244,3 +244,53 @@ if HAVE_HYP:
                 assert out["n_bytes"] == len(data)
             except ValueError:
                 pass
+
+
+# --- r19-ready: mixed-modality decode, full oracle parity (unregistered) --
+
+#: the DuckDB oracle the r19 `multimodal_mixed_decode` registration will
+#: carry — validated here end-to-end so the registration is a pure
+#: @query wrap (the r18 one-in-window-registration slot went to
+#: dedup_cc_distributed)
+MIXED_DECODE_ORACLE = """
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS kind,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 54 + ((3 * (n % 13 + 4) + 3) // 4 * 4) * (n % 7 + 3)
+                ELSE n + 44 END AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN doc_id % 2 = 1
+                THEN 8000 + (n % 7) * 1000 END AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 1
+                THEN (n // ((n % 2 + 1) * 2)) * 1000 // (8000 + (n % 7) * 1000)
+                END AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN n % 13 + 4 END AS BIGINT) AS width,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN n % 7 + 3 END AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN ((3 * (n % 13 + 4) + 3) // 4 * 4) * (n % 7 + 3)
+                END AS BIGINT) AS pixel_bytes
+    FROM m
+"""
+
+
+def test_mixed_decode_oracle_parity(spark, duck, sf_dir):
+    """Exact full-frame parity of extract_mixed_features(with_mixed_payload)
+    vs the closed-form DuckDB oracle over the real documents table — the
+    same comparison the driver runs, ahead of the r19 registration."""
+    import pandas as pd
+
+    from movies_etl_spark.sources import readers
+
+    d = readers.load_table(spark, sf_dir, "documents")
+    got = MM.extract_mixed_features(MM.with_mixed_payload(d)).toPandas()
+    want = duck.execute(MIXED_DECODE_ORACLE).df()
+
+    def norm(df):
+        cols = sorted(df.columns)
+        out = df[cols].copy()
+        for c in cols:
+            out[c] = out[c].astype(str)
+        return out.sort_values(cols).reset_index(drop=True)
+
+    assert sorted(got.columns) == sorted(want.columns)
+    pd.testing.assert_frame_equal(norm(got), norm(want))
