@@ -1508,10 +1508,21 @@ def q_hll_distinct_shards(spark, sf_dir):
     parts = caching.tracked_persist(SK.hll_partials(li, "l_partkey", "shard"))
     per_shard = SK.hll_estimate(parts, ["shard"])
     merged_est = SK.hll_estimate(SK.hll_merge(parts))
-    exact_shard = li.groupBy("shard").agg(
-        F.countDistinct("l_partkey").alias("exact_distinct")
+    # both exact sides from ONE distinct-pair shuffle (r18 opt round;
+    # guide §2.4): the r17 shape ran two more full lineitem scans (one
+    # per countDistinct). The distinct (shard, partkey) pair set is the
+    # shared partial: per-shard counts are its group sizes, the global
+    # distinct is a second (pair-sized, not fact-sized) distinct over
+    # it. count("l_partkey") keeps countDistinct's null-exclusion.
+    pairs = li.select("shard", "l_partkey").distinct()
+    exact_shard = pairs.groupBy("shard").agg(
+        F.count("l_partkey").alias("exact_distinct")
     )
-    exact_all = li.agg(F.countDistinct("l_partkey").alias("exact_distinct"))
+    exact_all = (
+        pairs.select("l_partkey")
+        .distinct()
+        .agg(F.count("l_partkey").alias("exact_distinct"))
+    )
     shard_rows = per_shard.join(exact_shard, "shard").select(
         F.col("shard").cast("string").alias("scope"),
         "est_distinct",
@@ -2380,15 +2391,22 @@ def q_hll_set_overlap(spark, sf_dir):
     from movies_etl_spark.operators import sketch as SK
 
     li = _t(spark, sf_dir, "lineitem")
-
-    def regs(flag):
-        side = li.filter(F.col("l_returnflag") == flag).select(
-            "l_orderkey", F.lit(0).alias("sh")
-        )
-        return SK.hll_partials(side, "l_orderkey", "sh").drop("shard")
-
-    ra = caching.tracked_persist(regs("R"))
-    rb = caching.tracked_persist(regs("A"))
+    # ONE projected pass feeds both sketch tables AND all three exact
+    # counts (r18 opt round; guide §2.3 "aggregate before you shuffle" /
+    # §2.4 fewer passes): the r17 shape scanned lineitem FIVE times (one
+    # filtered scan per register table + one per exact countDistinct).
+    # Values are identical by construction — hll_partials grouped by
+    # (flag, register) is exactly the union of the two per-flag builds,
+    # and the per-order flag rollup reproduces each countDistinct.
+    li2 = li.filter(F.col("l_returnflag").isin("R", "A")).select(
+        "l_orderkey", "l_returnflag"
+    )
+    # dual register tables from one scan: shard = the flag itself
+    parts = caching.tracked_persist(
+        SK.hll_partials(li2, "l_orderkey", F.col("l_returnflag"))
+    )
+    ra = parts.filter(F.col("shard") == "R").drop("shard")
+    rb = parts.filter(F.col("shard") == "A").drop("shard")
     ru = ra.unionByName(rb).groupBy("register").agg(F.max("rho").alias("rho"))
 
     def est(r, scope):
@@ -2398,18 +2416,34 @@ def q_hll_set_overlap(spark, sf_dir):
 
     ests = est(ra, "a").unionByName(est(rb, "b")).unionByName(est(ru, "union"))
 
-    def exact(cond, scope):
-        return (
-            li.filter(cond)
-            .agg(F.countDistinct("l_orderkey").alias("exact"))
-            .select(F.lit(scope).alias("scope"), "exact")
+    # all three exact distinct-order counts from ONE orderkey shuffle:
+    # per-order flag presence, then three count_ifs over the tiny
+    # per-order frame. countDistinct semantics preserved (null keys
+    # excluded explicitly; the union count is count(*) over orders
+    # carrying either flag — the same set inclusion-exclusion needs).
+    per_order = (
+        li2.filter(F.col("l_orderkey").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(F.col("l_returnflag") == "R").alias("has_r"),
+            F.max(F.col("l_returnflag") == "A").alias("has_a"),
         )
-
-    exacts = (
-        exact(F.col("l_returnflag") == "R", "a")
-        .unionByName(exact(F.col("l_returnflag") == "A", "b"))
-        .unionByName(exact(F.col("l_returnflag").isin("R", "A"), "union"))
     )
+    exacts = per_order.agg(
+        F.count_if(F.col("has_r")).alias("__a"),
+        F.count_if(F.col("has_a")).alias("__b"),
+        F.count(F.lit(1)).alias("__u"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("a").alias("scope"), F.col("__a").alias("exact")),
+                F.struct(F.lit("b").alias("scope"), F.col("__b").alias("exact")),
+                F.struct(
+                    F.lit("union").alias("scope"), F.col("__u").alias("exact")
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.scope", "__e.exact")
     base = caching.tracked_persist(ests.join(exacts, "scope"))
     piv = base.groupBy().pivot("scope", ["a", "b", "union"]).agg(
         F.first("est").alias("est"), F.first("exact").alias("exact")
