@@ -2552,31 +2552,40 @@ def q_ann_frontier_sweep(spark, sf_dir):
         over the corpus-scale signature table and one pass with a small
         constant row expansion."""
         widths = sorted({p for p, _ in configs})
-        parts = []
+        # ONE probe frame for the whole arm (r18 opt round): the r14
+        # shape built one analyzed subtree per config and chained
+        # len(configs)-1 unionByName calls — every union re-analyzes
+        # the growing tree, and the N-way union then sits under every
+        # downstream analysis of the fused tail. A single explode over
+        # one parsed (cfg, qp, off) struct-array literal emits the
+        # identical row multiset (same per-config offsets, same
+        # probe_bucket arithmetic: qbucket mod 2^p is the same int op
+        # written per-row), in one analyzed select.
+        items = []
         for p, r in configs:
             offs = SIM.multiprobe_offsets(p, r)
             meta_rows.append((corpus_tag, "lsh", f"p{p}_r{r}", len(offs)))
-            parts.append(
-                q_all.withColumn(
-                    "off",
-                    F.explode(
-                        F.expr("array(" + ",".join(map(str, offs)) + ")")
-                    ),
-                ).select(
-                    F.lit(f"p{p}_r{r}").alias("cfg"),
-                    F.lit(p).alias("qp"),
-                    "query_id",
-                    "qvec",
-                    "qnrm",
-                    (F.col("qbucket") % F.lit(1 << p))
-                    .bitwiseXOR(F.col("off"))
-                    .cast("int")
-                    .alias("probe_bucket"),
-                )
-            )
-        probes = parts[0]
-        for pr in parts[1:]:
-            probes = probes.unionByName(pr)
+            items += [
+                f"named_struct('cfg','p{p}_r{r}','qp',{p},'off',{o})"
+                for o in offs
+            ]
+        probes = q_all.select(
+            "query_id",
+            "qvec",
+            "qnrm",
+            "qbucket",
+            F.explode(F.expr("array(" + ",".join(items) + ")")).alias("pc"),
+        ).select(
+            F.col("pc.cfg").alias("cfg"),
+            F.col("pc.qp").alias("qp"),
+            "query_id",
+            "qvec",
+            "qnrm",
+            (F.expr("cast(qbucket % shiftleft(1, pc.qp) as int)"))
+            .bitwiseXOR(F.col("pc.off"))
+            .cast("int")
+            .alias("probe_bucket"),
+        )
         c_exp = c_all.withColumn(
             "pp",
             F.explode(F.expr("array(" + ",".join(map(str, widths)) + ")")),
@@ -2648,21 +2657,34 @@ def q_ann_frontier_sweep(spark, sf_dir):
             F.desc("csim"), F.asc("cell")
         )
         best = routed.withColumn("r", F.row_number().over(wq))
-        parts = []
+        # ONE probe frame for the whole arm (r18 opt round, same move
+        # as the LSH arm): explode a (cfg, np) struct-array literal and
+        # filter r <= np — the identical row multiset the per-nprobe
+        # filters + unionByName chain produced, in one analyzed select.
+        items = []
         for n in nprobes:
             meta_rows.append((corpus_tag, "ivf", f"np{n}", n))
-            parts.append(
-                best.filter(F.col("r") <= n).select(
-                    F.lit(f"np{n}").alias("cfg"),
-                    "query_id",
-                    "qvec",
-                    "qnrm",
-                    "cell",
-                )
+            items.append(f"named_struct('cfg','np{n}','np',{n})")
+        bnp = (
+            best.select(
+                "query_id",
+                "qvec",
+                "qnrm",
+                "cell",
+                "r",
+                F.explode(
+                    F.expr("array(" + ",".join(items) + ")")
+                ).alias("pc"),
             )
-        bnp = parts[0]
-        for pr in parts[1:]:
-            bnp = bnp.unionByName(pr)
+            .filter(F.col("r") <= F.col("pc.np"))
+            .select(
+                F.col("pc.cfg").alias("cfg"),
+                "query_id",
+                "qvec",
+                "qnrm",
+                "cell",
+            )
+        )
         cand = (
             cells.join(F.broadcast(bnp), "cell")
             .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -3002,27 +3024,33 @@ def q_similarity_ann_tuned(spark, sf_dir):
     )
     # LSH arm: cfg-tagged probe union, ONE corpus join (both configs at
     # width 8, so no per-config modulus is needed)
-    lsh_parts = []
+    # one exploded (cfg, n_probes, off) struct-array literal instead of
+    # a per-config unionByName chain (r18 opt round — same move as the
+    # frontier arms: identical row multiset, one analyzed select,
+    # smaller tree under every downstream analysis)
+    lsh_items = []
     for p, r in ANN_FRONTIER_LSH_CLUSTERED:
         offs = SIM.multiprobe_offsets(p, r)
-        lsh_parts.append(
-            q_all.withColumn(
-                "off",
-                F.explode(F.expr("array(" + ",".join(map(str, offs)) + ")")),
-            ).select(
-                F.lit(f"p{p}_r{r}").alias("cfg"),
-                F.lit(len(offs)).alias("n_probes"),
-                "query_id",
-                "qvec",
-                "qnrm",
-                F.col("qbucket").bitwiseXOR(F.col("off")).cast("int").alias(
-                    "probe_bucket"
-                ),
-            )
-        )
-    lsh_probes = lsh_parts[0]
-    for pr in lsh_parts[1:]:
-        lsh_probes = lsh_probes.unionByName(pr)
+        lsh_items += [
+            f"named_struct('cfg','p{p}_r{r}','np',{len(offs)},'off',{o})"
+            for o in offs
+        ]
+    lsh_probes = q_all.select(
+        "query_id",
+        "qvec",
+        "qnrm",
+        "qbucket",
+        F.explode(F.expr("array(" + ",".join(lsh_items) + ")")).alias("pc"),
+    ).select(
+        F.col("pc.cfg").alias("cfg"),
+        F.col("pc.np").alias("n_probes"),
+        "query_id",
+        "qvec",
+        "qnrm",
+        F.col("qbucket").bitwiseXOR(F.col("pc.off")).cast("int").alias(
+            "probe_bucket"
+        ),
+    )
     lsh_cand = c_all.join(
         F.broadcast(lsh_probes),
         (F.col("bucket") == F.col("probe_bucket"))
@@ -3049,21 +3077,31 @@ def q_similarity_ann_tuned(spark, sf_dir):
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cell"))
     best = routed.withColumn("r", F.row_number().over(wq))
-    ivf_parts = []
-    for n in ANN_FRONTIER_IVF_NPROBES["clus"]:
-        ivf_parts.append(
-            best.filter(F.col("r") <= n).select(
-                F.lit(f"np{n}").alias("cfg"),
-                F.lit(n).alias("n_probes"),
-                "query_id",
-                "qvec",
-                "qnrm",
-                "cell",
-            )
+    ivf_items = [
+        f"named_struct('cfg','np{n}','np',{n})"
+        for n in ANN_FRONTIER_IVF_NPROBES["clus"]
+    ]
+    ivf_probes = (
+        best.select(
+            "query_id",
+            "qvec",
+            "qnrm",
+            "cell",
+            "r",
+            F.explode(
+                F.expr("array(" + ",".join(ivf_items) + ")")
+            ).alias("pc"),
         )
-    ivf_probes = ivf_parts[0]
-    for pr in ivf_parts[1:]:
-        ivf_probes = ivf_probes.unionByName(pr)
+        .filter(F.col("r") <= F.col("pc.np"))
+        .select(
+            F.col("pc.cfg").alias("cfg"),
+            F.col("pc.np").alias("n_probes"),
+            "query_id",
+            "qvec",
+            "qnrm",
+            "cell",
+        )
+    )
     ivf_cand = (
         c_all.join(F.broadcast(ivf_probes), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
