@@ -302,19 +302,22 @@ def q_dedup_minhash_incremental(spark, sf_dir):
     # schema is the index contract, catalog-known in a real pipeline)
     sh_schema = "doc_id bigint, shingles array<bigint>"
     band_schema = "doc_id bigint, band_id int, band_key string"
-    pair_schema = "id_a bigint, id_b bigint, jac double"
     store = _scratch("minhash_index", sf_dir)
     corpus = _near_corpus(spark, sf_dir)
     base = corpus.filter(F.col("doc_id") < 1000000)
     delta = corpus.filter(F.col("doc_id") >= 1000000)
 
     # --- yesterday: build and persist the index over the base corpus ---
-    sh_base = D.shingled(base, "text", "doc_id")
+    # shingle once into a tracked cache; the shingle-store write and the
+    # band build both consume it (r18 opt round: the band build used to
+    # re-read the just-written shingle parquet — one extra scan job per
+    # run; banding from the cached frame is plan-identical data, and the
+    # stored index is still what every candidate join below reads)
+    sh_base = caching.tracked_persist(D.shingled(base, "text", "doc_id"))
     sh_base.write.mode("overwrite").parquet(f"{store}/shingles")
-    D.with_minhash_bands(
-        spark.read.schema(sh_schema).parquet(f"{store}/shingles"),
-        "doc_id",
-    ).write.mode("overwrite").parquet(f"{store}/bands")
+    D.with_minhash_bands(sh_base, "doc_id").write.mode("overwrite").parquet(
+        f"{store}/bands"
+    )
     index_bands = spark.read.schema(band_schema).parquet(f"{store}/bands")
     # yesterday's known pairs come FROM the index (self-join of stored
     # bands), not from a recompute of the documents
@@ -348,14 +351,19 @@ def q_dedup_minhash_incremental(spark, sf_dir):
     out = D.verify_pairs(all_pairs, sh_all, keep_jaccard=True)
     # materialize BEFORE the maintenance append: the verify plan reads
     # the shingle store, and appending the delta first would double the
-    # delta's shingle rows under it (the returned frame is lazy)
-    out.write.mode("overwrite").parquet(f"{store}/pairs")
+    # delta's shingle rows under it (the returned frame is lazy). An
+    # eager localCheckpoint pins the verified pair set without the
+    # parquet round-trip the r13 shape paid (write job + read-back scan
+    # — the pair set is intra-query, not part of the maintained index;
+    # a production run that also stores pairs would write them from
+    # this same materialized frame).
+    out = caching.tracked_local_checkpoint(out, eager=True)
 
     # --- maintenance: append today's bands/shingles so tomorrow's batch
     # sees today's documents in the index ---
     delta_bands.write.mode("append").parquet(f"{store}/bands")
     sh_delta.write.mode("append").parquet(f"{store}/shingles")
-    return spark.read.schema(pair_schema).parquet(f"{store}/pairs")
+    return out
 
 
 _SIMHASH_BIT_SQL = " + ".join(
