@@ -532,12 +532,22 @@ def incremental_hourly_rollup(
     aggregate, which is the oracle-checked invariant."""
     ev = _load_events_batch(spark, sf_dir)
     src = f"{work_dir}/src"
+    # deterministic-key split into the landing files (r18 opt round,
+    # guide §2.5): keyless repartition(n) pays a local sort of its
+    # input (sortBeforeRepartition) to make retries reproducible; a
+    # deterministic hash key needs no sort and is retry-safe by
+    # construction. Batch composition is immaterial to the result —
+    # the versioned merge is an associative sum, so ANY split of the
+    # same rows yields the identical final aggregate (the oracle
+    # replays the whole input either way).
     ev.select(
         F.date_trunc("hour", F.date_trunc("second", F.col("ts")))
         .cast("timestamp")
         .alias("h"),
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
-    ).repartition(n_source_files).write.mode("overwrite").parquet(src)
+    ).repartition(
+        n_source_files, F.pmod(F.xxhash64("h", "cents"), F.lit(64 * n_source_files))
+    ).write.mode("overwrite").parquet(src)
 
     stream = (
         spark.readStream.schema("h TIMESTAMP, cents BIGINT")
@@ -957,12 +967,18 @@ def incremental_distinct_rollup(
 
     ev = _load_events_batch(spark, sf_dir)
     src = f"{work_dir}/src"
+    # deterministic-key split, same rationale as the hourly twin (the
+    # register-max merge is associative AND idempotent, so batch
+    # composition cannot change the final register table)
     ev.select(
         F.date_trunc("day", F.date_trunc("second", F.col("ts")))
         .cast("date")
         .alias("day"),
         F.col("user_id").cast("long").alias("user_id"),
-    ).repartition(n_source_files).write.mode("overwrite").parquet(src)
+    ).repartition(
+        n_source_files,
+        F.pmod(F.xxhash64("day", "user_id"), F.lit(64 * n_source_files)),
+    ).write.mode("overwrite").parquet(src)
 
     stream = (
         spark.readStream.schema("day DATE, user_id BIGINT")
@@ -1066,7 +1082,12 @@ def incremental_cms_rollup(
         ).alias("bigram")
     )
     src = f"{work_dir}/src"
-    bg.repartition(n_source_files).write.mode("overwrite").parquet(src)
+    # deterministic-key split, same rationale as the hourly twin (the
+    # cell-sum merge is associative; exact/candidate tails read the
+    # whole landing zone, so the split never reaches the output)
+    bg.repartition(
+        n_source_files, F.pmod(F.xxhash64("bigram"), F.lit(64 * n_source_files))
+    ).write.mode("overwrite").parquet(src)
 
     stream = (
         spark.readStream.schema("bigram STRING")
