@@ -1107,6 +1107,17 @@ def main() -> None:
         "cc_modes_by_query": cc_modes or None,
         **cal,
         "ann_recall_at_5": ann_recall or None,
+        # Scaling-contract self-adjudication (VERDICT r18 #2 / next-round
+        # #2): the r18 c8-vs-c32 comparison was uninterpretable because
+        # nothing in the artifact proved what parallelism actually ran —
+        # emit the EFFECTIVE master, scheduler parallelism, and shuffle
+        # partitions of the session under test so a low-core rerun is
+        # self-evidently low-core (or self-evidently not).
+        "spark_master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": spark.conf.get(
+            "spark.sql.shuffle.partitions", None
+        ),
     }
     # Per-query detail goes to a committed file; stdout gets a COMPACT
     # one-line headline whose "queries" holds only the top-10 slowest.

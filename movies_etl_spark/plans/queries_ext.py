@@ -356,7 +356,12 @@ def q_dedup_minhash_incremental(spark, sf_dir):
     # parquet round-trip the r13 shape paid (write job + read-back scan
     # — the pair set is intra-query, not part of the maintained index;
     # a production run that also stores pairs would write them from
-    # this same materialized frame).
+    # this same materialized frame). Deployment caveat (ADVICE r18 #3):
+    # localCheckpoint blocks are the ONLY copy (lineage truncated) and
+    # live for the session (caching._CHECKPOINTED release discipline),
+    # so on a non-local cluster an executor loss loses the frame where
+    # the old parquet-backed return survived — there, checkpoint to
+    # fault-tolerant storage instead. Fine at pair-set scale locally.
     out = caching.tracked_local_checkpoint(out, eager=True)
 
     # --- maintenance: append today's bands/shingles so tomorrow's batch

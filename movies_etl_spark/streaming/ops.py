@@ -528,8 +528,10 @@ def incremental_hourly_rollup(
     The source is the events table pre-bucketed to (hour, cents) and
     split across ``n_source_files`` files with maxFilesPerTrigger=1, so
     the maintenance genuinely runs across multiple micro-batches on
-    bounded input. Returns the final version — exactly the batch hourly
-    aggregate, which is the oracle-checked invariant."""
+    bounded input (with the r18 hash-keyed split this multi-file spread
+    is statistical — 64·n keys over n files — rather than round-robin
+    by construction; ADVICE r18 #5). Returns the final version —
+    exactly the batch hourly aggregate, the oracle-checked invariant."""
     ev = _load_events_batch(spark, sf_dir)
     src = f"{work_dir}/src"
     # deterministic-key split into the landing files (r18 opt round,

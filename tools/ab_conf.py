@@ -50,11 +50,18 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
-    for _ in range(reps):
+    # Alternate arm order per rep (ADVICE r18 #4): always running the
+    # conf-off arm first systematically warms page-cache/JIT for the on
+    # arm; flipping the order each rep cancels the bias across reps.
+    for rep in range(reps):
         for name in args:
-            out[name]["off"].append(run(name))
-            with temp_confs(spark, confs):
-                out[name]["on"].append(run(name))
+            arms = ["off", "on"] if rep % 2 == 0 else ["on", "off"]
+            for arm in arms:
+                if arm == "off":
+                    out[name]["off"].append(run(name))
+                else:
+                    with temp_confs(spark, confs):
+                        out[name]["on"].append(run(name))
     print(json.dumps({"confs": confs, "timings": out}))
 
 
