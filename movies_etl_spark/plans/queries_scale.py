@@ -1508,30 +1508,39 @@ def q_hll_distinct_shards(spark, sf_dir):
     parts = caching.tracked_persist(SK.hll_partials(li, "l_partkey", "shard"))
     per_shard = SK.hll_estimate(parts, ["shard"])
     merged_est = SK.hll_estimate(SK.hll_merge(parts))
-    # both exact sides from ONE distinct-pair shuffle (r18 opt round;
-    # guide §2.4): the r17 shape ran two more full lineitem scans (one
-    # per countDistinct). The distinct (shard, partkey) pair set is the
-    # shared partial: per-shard counts are its group sizes, the global
-    # distinct is a second (pair-sized, not fact-sized) distinct over
-    # it. count("l_partkey") keeps countDistinct's null-exclusion.
-    pairs = li.select("shard", "l_partkey").distinct()
-    exact_shard = pairs.groupBy("shard").agg(
-        F.count("l_partkey").alias("exact_distinct")
+    # BOTH exact sides from ONE fact pass, in ONE aggregation subtree
+    # (r19; guide §2.4 — VERDICT r18 #6 adjudication): the r18 shape
+    # shared a lazy distinct (shard, partkey) pair set between two
+    # consumers and relied on runtime exchange reuse that the final plan
+    # never showed (still 3 lineitem scans, zero ReusedExchange — the
+    # optimizer collapses the global branch's distinct-of-distinct into
+    # a direct scan, so the two exchanges never canonicalize equal).
+    # rollup(shard) computes the per-shard distincts AND the global
+    # distinct in one Expand-based aggregation over one scan;
+    # grouping() disambiguates the total row from a genuine null shard.
+    # count_distinct null-excludes l_partkey exactly as the old
+    # count-over-distinct-pairs did. The est and exact sides then meet
+    # in one scope-keyed join, so the exact subtree has exactly ONE
+    # consumer — the single-scan claim is visible in the static plan,
+    # not an AQE promise.
+    exact = li.rollup("shard").agg(
+        F.count_distinct(F.col("l_partkey")).alias("exact_distinct"),
+        F.grouping("shard").alias("__g"),
     )
-    exact_all = (
-        pairs.select("l_partkey")
-        .distinct()
-        .agg(F.count("l_partkey").alias("exact_distinct"))
-    )
-    shard_rows = per_shard.join(exact_shard, "shard").select(
-        F.col("shard").cast("string").alias("scope"),
-        "est_distinct",
+    exact_rows = exact.select(
+        F.when(F.col("__g") == 1, F.lit("merged"))
+        .otherwise(F.col("shard").cast("string"))
+        .alias("scope"),
         "exact_distinct",
     )
-    merged_row = merged_est.crossJoin(exact_all).select(
-        F.lit("merged").alias("scope"), "est_distinct", "exact_distinct"
+    est_rows = per_shard.select(
+        F.col("shard").cast("string").alias("scope"), "est_distinct"
+    ).unionAll(
+        merged_est.select(F.lit("merged").alias("scope"), "est_distinct")
     )
-    return shard_rows.unionAll(merged_row)
+    return est_rows.join(exact_rows, "scope").select(
+        "scope", "est_distinct", "exact_distinct"
+    )
 
 
 _CMS_ORACLE = """
