@@ -659,7 +659,9 @@ def _merge_versioned(
     part.write.mode("overwrite").parquet(f"{work_dir}/agg/v={batch_id}")
 
 
-def _verify_dropped(cand: DataFrame, sh_all: DataFrame) -> DataFrame:
+def _verify_dropped(
+    cand: DataFrame, sh_all: DataFrame, sh_batch: DataFrame
+) -> DataFrame:
     """Jaccard-verify LSH candidates against the accumulated shingle
     store and return the batch doc_ids with a verified (≥0.5) partner
     — as a bag, not a set (r12): the sole consumer is a left_anti
@@ -670,7 +672,7 @@ def _verify_dropped(cand: DataFrame, sh_all: DataFrame) -> DataFrame:
 
     Verify-shape adjudication, settled r11 in the CONTRACT regime
     (VERDICT r10 #3): the candidate frame is BROADCAST EXPLICITLY into
-    both store joins, so the store is probed map-side by construction —
+    the store join, so the store is probed map-side by construction —
     cand is derived (bands self-join), its size statistic is unknown to
     the static planner, and without the hint the store pays a full
     shuffle-map pass before AQE converts the SMJ (AQE rewrites at the
@@ -681,27 +683,29 @@ def _verify_dropped(cand: DataFrame, sh_all: DataFrame) -> DataFrame:
     PERMANENTLY: measured across a 64× store-size range (10k → 640k
     docs, small fixed batch — tools/ab_verify_prune.py, SCALE.md
     table), its extra prune pass never beats the direct broadcast join,
-    which already makes the store map-only; the "trade inverts at
-    100 TB" hypothesis from NOTES_r10 does not materialize because the
-    alternative it priced against (two store id-shuffles) was never
-    necessary. Plan shape pinned in test_plan_shapes.py: two
-    BroadcastHashJoins, zero Exchange on the store side."""
+    which already makes the store map-only.
+
+    ONE store pass, not two (r19, VERDICT r18 next-round #1): cand's
+    ``id_b`` side comes exclusively from the BATCH's own bands (``bnew``
+    in the caller — batch doc_ids are disjoint from the strictly-below
+    index), so the r18 shape's second full store map pass for the
+    ``id_b`` shingle lookup only ever matched batch rows. ``sh_batch``
+    (the batch's cached shingle frame, batch-size by the micro-batch
+    contract) replaces it as a broadcast build: per batch the store is
+    now scanned once for the ``id_a`` lookup and never again. Plan
+    shape pinned in test_plan_shapes.py: two BroadcastHashJoins, zero
+    Exchange on the store side, ONE store scan."""
     va = sh_all.select(
         F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
     )
-    vb = sh_all.select(
+    vb = sh_batch.filter(F.size("shingles") > 0).select(
         F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
     )
     from movies_etl_spark.operators import dedup as D
 
-    # BOTH joins carry the broadcast hint on their candidate-sized side
-    # (hinting only cand would leave join 2 with two unsized inputs and
-    # a store shuffle on the slow path): two map passes over the store,
-    # zero store exchanges.
     probed_a = F.broadcast(cand).join(va, "id_a")
     return (
-        F.broadcast(probed_a)
-        .join(vb, "id_b")
+        probed_a.join(F.broadcast(vb), "id_b")
         .filter(F.round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 4) >= 0.5)
         .select("id_b")
     )
@@ -745,6 +749,26 @@ def lsh_dedup_batch(
 
     sh_b = D.shingled(batch_df, "text", "doc_id").cache()
     bands_b = D.with_minhash_bands(sh_b, "doc_id").cache()
+    # Index writes FIRST (r19): the per-batch job profile
+    # (tools/profile_lsh_jobs.py) showed the survivor plan's broadcast
+    # builds (touched/bnew/vb/cand) launching CONCURRENTLY on the
+    # broadcast-exchange thread pool and RACING to materialize the
+    # still-cold sh_b/bands_b caches — 4-5 near-identical 1-task jobs
+    # each re-running the full shingle+band compute. Writing the
+    # batch's bands/shingles index dirs up front materializes both
+    # caches through actions the batch must pay anyway, so every
+    # broadcast build afterwards is a cache read. Write order within
+    # the batch is free to choose: a retried batch never reads its own
+    # writes (_lsh_batches_below is strictly-below) and every write
+    # overwrites its own batch=N dir, so idempotence is unchanged; a
+    # guard trip now lands after the index writes, which a retry (or
+    # the next manual run) overwrites identically.
+    bands_b.write.mode("overwrite").parquet(
+        f"{work_dir}/bands/batch={batch_id}"
+    )
+    sh_b.write.mode("overwrite").parquet(
+        f"{work_dir}/shingles/batch={batch_id}"
+    )
     band_dirs = _lsh_batches_below(work_dir, "bands", batch_id)
     if band_dirs:
         # explicit index schemas (r13): the per-batch store reads
@@ -777,24 +801,36 @@ def lsh_dedup_batch(
     # distinct cost a batch-sized exchange + AQE stage per
     # micro-batch — measured 93 → 74 jobs for the 4-batch suite
     # fixture (NOTES_r12.md).
-    touched = bands_b.select("band_id", "band_key")
+    # ONE broadcast serves both the touched-bucket prune and the
+    # candidate probe (r19): the r18 shape broadcast a separate
+    # `touched` key projection for the semi join — but a left_semi on
+    # (band_id, band_key) against broadcast(bnew) prunes the identical
+    # bucket set (the build side dedups keys; bnew's extra id_b column
+    # is unused), and because BOTH joins then reference the same bnew
+    # subtree, the physical planner reuses one BroadcastExchange
+    # (ReusedExchange) instead of building two. The batch side also
+    # leaves the semi join: bands_b ⋉ touched ≡ bands_b (every batch
+    # row's key is in its own key set by construction), so only the
+    # index side is pruned and the union moves above the join — same
+    # row multiset into the guard, one fewer broadcast-probe pass.
+    bnew = bands_b.select(F.col("doc_id").alias("id_b"), "band_id", "band_key")
+    bnew_b = F.broadcast(bnew)
     all_bands = D.guard_band_buckets(
-        index_bands.unionByName(bands_b).join(
-            F.broadcast(touched), ["band_id", "band_key"], "left_semi"
-        ),
+        index_bands.join(
+            bnew_b, ["band_id", "band_key"], "left_semi"
+        ).unionByName(bands_b),
         max_bucket_rows
         if max_bucket_rows is not None
         else D.MAX_BAND_BUCKET_ROWS,
     )
-    bnew = bands_b.select(F.col("doc_id").alias("id_b"), "band_id", "band_key")
     aold = all_bands.select(F.col("doc_id").alias("id_a"), "band_id", "band_key")
     cand = (
-        aold.join(F.broadcast(bnew), ["band_id", "band_key"])
+        aold.join(bnew_b, ["band_id", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
     sh_all = index_sh.unionByName(sh_b).filter(F.size("shingles") > 0)
-    dropped = _verify_dropped(cand, sh_all)
+    dropped = _verify_dropped(cand, sh_all, sh_b)
     # dropped is batch-derived (≤ batch-size by the same contract as
     # touched/bnew) — broadcast it so the anti join is map-only over
     # the batch instead of shuffling both sides
@@ -805,12 +841,6 @@ def lsh_dedup_batch(
     )
     survivors.write.mode("overwrite").parquet(
         f"{work_dir}/out/batch={batch_id}"
-    )
-    bands_b.write.mode("overwrite").parquet(
-        f"{work_dir}/bands/batch={batch_id}"
-    )
-    sh_b.write.mode("overwrite").parquet(
-        f"{work_dir}/shingles/batch={batch_id}"
     )
     sh_b.unpersist()
     bands_b.unpersist()

@@ -947,16 +947,23 @@ def test_ann_frontier_shares_scans_across_configs(spark, sf_dir):
 
 
 def test_streaming_verify_dropped_is_store_map_only(spark):
-    """The promoted r11 verify shape (VERDICT r10 #3): with a DERIVED
-    candidate frame (no size statistic — the operator's real condition,
-    where the static planner would SMJ and AQE would only rewrite after
-    the store's shuffle-map pass ran), both verify joins must plan as
-    BroadcastHashJoin with ZERO shuffle exchange on the store side."""
+    """The promoted r11 verify shape (VERDICT r10 #3), single-store-pass
+    since r19 (VERDICT r18 next-round #1): with a DERIVED candidate
+    frame (no size statistic — the operator's real condition, where the
+    static planner would SMJ and AQE would only rewrite after the
+    store's shuffle-map pass ran), both verify joins must plan as
+    BroadcastHashJoin with ZERO shuffle exchange on the store side, and
+    the STORE must appear in the plan exactly ONCE — the id_b-side
+    shingle lookup reads the batch frame (broadcast), never the store."""
     from pyspark.sql import functions as F
 
     from movies_etl_spark.streaming.ops import _verify_dropped
 
     store = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.array(F.col("id") % 97, F.col("id") % 89).alias("shingles"),
+    )
+    batch = spark.range(10_000, 10_050).select(
         F.col("id").alias("doc_id"),
         F.array(F.col("id") % 97, F.col("id") % 89).alias("shingles"),
     )
@@ -969,7 +976,7 @@ def test_streaming_verify_dropped_is_store_map_only(spark):
         )
         .distinct()
     )
-    df = _verify_dropped(cand, store)
+    df = _verify_dropped(cand, store, batch)
     jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
@@ -986,6 +993,9 @@ def test_streaming_verify_dropped_is_store_map_only(spark):
     # name and its hashpartitioning Arguments print on different lines;
     # review catch, r11.)
     assert _nodes(plan, "Exchange") == 1, plan
+    # the store fixture is the only Range starting at 0: one scan of it
+    # (the r18 shape had two — id_a AND id_b lookups both walked it)
+    assert plan.count("Range (0, 10000") == 1, plan
 
 
 def test_cms_join_size_fused_scans_lineitem_twice(spark, sf_dir):
