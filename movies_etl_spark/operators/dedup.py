@@ -573,6 +573,53 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# Single-parse SQL builders for the fold kernels (r19, guide §1.2 build
+# cost): each python-side HOF construction (F.aggregate/F.zip_with with
+# python lambdas) costs ~30-60 py4j round trips; query builders that
+# assemble dozens of fold expressions (the ANN sweeps build ~29 dots
+# per invocation) paid ~1s of pure driver chatter per build. One
+# F.expr parse produces the semantically identical ArrayAggregate tree
+# (same casts, same fold order, same 0.0D seed, same default identity
+# finish lambda) in a single round trip. String variants exist for the
+# call sites whose inputs are plain SQL fragments (column names or
+# already-parsed array literals); Column-input call sites keep the
+# python builders above.
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of :func:`dot` over two SQL fragments."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * "
+        f"cast(y as double)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _l2norm_sql(a: str) -> str:
+    """SQL text of :func:`l2norm` over a SQL fragment."""
+    return (
+        f"sqrt(aggregate(transform({a}, x -> cast(x as double) * "
+        f"cast(x as double)), 0.0D, (acc, v) -> acc + v))"
+    )
+
+
+def dot_expr(a: str, b: str) -> Column:
+    """:func:`dot` built as ONE parsed expression — identical values."""
+    return F.expr(_dot_sql(a, b))
+
+
+def l2norm_expr(a: str) -> Column:
+    """:func:`l2norm` built as ONE parsed expression."""
+    return F.expr(_l2norm_sql(a))
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    """:func:`cosine` built as ONE parsed expression."""
+    return F.expr(
+        f"{_dot_sql(a, b)} / ({_l2norm_sql(a)} * {_l2norm_sql(b)})"
+    )
+
+
 def l2norm(a: Column) -> Column:
     """Euclidean norm with the same fold discipline. Precompute this per
     ROW before any pairwise join — recomputing norms per pair multiplies

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from movies_etl_spark.operators.dedup import cosine
+from movies_etl_spark.operators.dedup import cosine_expr  # noqa: F401
 
 #: Hard cap on the probe-side collect in :func:`topk_bruteforce_vectorized`
 #: — the MAX_LOCAL_EDGES discipline (dedup.py) applied to the query frame.
@@ -57,7 +57,7 @@ def topk_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+            F.round(cosine_expr("qvec", "cvec"), 6).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -131,7 +131,7 @@ def topk_ivf(
         "query_id",
         "qvec",
         F.col(label_col).alias("probe_label"),
-        F.round(cosine(F.col("qvec"), F.col("centroid")), 6).alias("csim"),
+        F.round(cosine_expr("qvec", "centroid"), 6).alias("csim"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("probe_label"))
     best = (
@@ -152,7 +152,7 @@ def topk_ivf(
             "query_id",
             "probe_label",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+            F.round(cosine_expr("qvec", "cvec"), 6).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -211,14 +211,17 @@ def _assign_cells(v_df: DataFrame, cents: DataFrame) -> DataFrame:
     packed = cents.agg(
         F.collect_list(F.struct("cell", "centroid")).alias("cc")
     )
-    best = F.array_min(
-        F.transform(
-            F.col("cc"),
-            lambda c: F.struct(
-                F.round(sq_dist(F.col("vd"), c["centroid"]), 6).alias("d2"),
-                c["cell"].alias("cell"),
-            ),
-        )
+    # single-parse argmin (r19, guide §1.2 build cost): the python-HOF
+    # construction (transform lambda + sq_dist's zip_with/aggregate
+    # lambdas) cost ~0.3-0.5 s of py4j chatter per assignment pass;
+    # this is the identical expression tree — same casts, same fold
+    # order, same 6-place rounding — in one parse.
+    best = F.expr(
+        "array_min(transform(cc, c -> struct("
+        "round(aggregate(zip_with(vd, c.centroid, (x, y) -> "
+        "(cast(x as double) - cast(y as double)) * "
+        "(cast(x as double) - cast(y as double))), "
+        "0.0D, (acc, v) -> acc + v), 6) AS d2, c.cell AS cell)))"
     )
     return (
         v_df.crossJoin(F.broadcast(packed))
@@ -462,7 +465,7 @@ def multiprobe_offsets(n_planes: int, radius: int) -> list[int]:
     ]
 
 
-def rp_bucket_n(vec: Column, n_planes: int) -> Column:
+def rp_bucket_n(vec: Column | str, n_planes: int) -> Column:
     """Parametrized sign-LSH bucket in [0, 2^n_planes) over the shared
     md5 plane family — :func:`rp_bucket` is the n_planes=8 member (same
     rounding discipline: projection rounded to 6 before the sign test).
@@ -475,9 +478,26 @@ def rp_bucket_n(vec: Column, n_planes: int) -> Column:
     parsed ``xD`` double literals produce the identical
     CreateArray(Literal double) tree, so values, codegen, and the
     prefix-nesting property are unchanged (pinned by
-    test_rp_bucket_n_8_matches_rp_bucket)."""
-    from movies_etl_spark.operators.dedup import dot
+    test_rp_bucket_n_8_matches_rp_bucket).
 
+    r19 (guide §1.2 build cost): pass ``vec`` as a column NAME (str)
+    and the ENTIRE bucket column — per-plane dot folds, rounding, sign
+    CASEs, sum — is built as one parsed expression, collapsing the
+    remaining ~n_planes×(HOF lambda plumbing) py4j round trips (~0.5 s
+    per width-8 invocation) into a single parse. Same expression tree,
+    same values (pinned by test_rp_bucket_n_str_matches_column); the
+    Column path remains for composed inputs."""
+    from movies_etl_spark.operators.dedup import _dot_sql, dot
+
+    if isinstance(vec, str):
+        terms = []
+        for j, plane in enumerate(rp_planes_n(n_planes)):
+            arr = "array(" + ",".join(f"{v!r}D" for v in plane) + ")"
+            terms.append(
+                f"(CASE WHEN round({_dot_sql(vec, arr)}, 6) >= 0 "
+                f"THEN {1 << j} ELSE 0 END)"
+            )
+        return F.expr("0 + " + " + ".join(terms))
     bucket = F.lit(0)
     for j, plane in enumerate(rp_planes_n(n_planes)):
         lit_plane = F.expr(
@@ -510,20 +530,20 @@ def lsh_candidates_param(
     the corpus is bucketed in its own scan and never shuffled. At scale
     the bucket is the layout partition key, so a probe set prunes to
     its buckets at the FILE level regardless of (planes, radius)."""
-    from movies_etl_spark.operators.dedup import dot, l2norm
+    from movies_etl_spark.operators.dedup import dot_expr, l2norm_expr
 
     offs = multiprobe_offsets(n_planes, radius)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        rp_bucket_n(F.col(vec_col), n_planes).cast("int").alias("bucket"),
-        l2norm(F.col(vec_col)).alias("cnrm"),
+        rp_bucket_n(vec_col, n_planes).cast("int").alias("bucket"),
+        l2norm_expr(vec_col).alias("cnrm"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        rp_bucket_n(F.col(vec_col), n_planes).cast("int").alias("qbucket"),
-        l2norm(F.col(vec_col)).alias("qnrm"),
+        rp_bucket_n(vec_col, n_planes).cast("int").alias("qbucket"),
+        l2norm_expr(vec_col).alias("qnrm"),
     )
     probes = q.withColumn(
         "off", F.explode(F.array(*[F.lit(o) for o in offs]))
@@ -534,7 +554,7 @@ def lsh_candidates_param(
         F.col("qbucket").bitwiseXOR(F.col("off")).cast("int").alias("probe_bucket"),
     )
     sim = F.round(
-        dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")), 6
+        dot_expr("qvec", "cvec") / (F.col("qnrm") * F.col("cnrm")), 6
     )
     return (
         c.join(
@@ -613,23 +633,22 @@ def clustered_fixture(
     )
 
 
-def rp_bucket(vec: Column) -> Column:
+def rp_bucket(vec: Column | str) -> Column:
     """Sign-LSH bucket id in [0, 2^RP_N_PLANES): bit j is the sign of the
     dot product with hyperplane j (dot rounded to 6 places before the
     sign test so a near-zero projection cannot flip between engines).
     Pure per-row map — the corpus is bucketed in the same scan that
     reads it, and at scale the bucket doubles as the layout partition
-    key exactly like the IVF cell."""
-    from movies_etl_spark.operators.dedup import dot
+    key exactly like the IVF cell.
 
-    bucket = F.lit(0)
-    for j, plane in enumerate(RP_PLANES):
-        lit_plane = F.array(*[F.lit(v) for v in plane])
-        bit = F.when(F.round(dot(vec, lit_plane), 6) >= 0, F.lit(1 << j)).otherwise(
-            F.lit(0)
-        )
-        bucket = bucket + bit
-    return bucket
+    Since r19 this is literally :func:`rp_bucket_n`'s n=8 member
+    (planes 0..7 of the md5 family ARE :data:`RP_PLANES` — the prefix
+    property in rp_planes_n's doc; value parity was already pinned by
+    test_rp_bucket_n_8_matches_rp_bucket): the old per-plane
+    ``F.array(*[F.lit(v) …])`` construction cost ~512 py4j literal
+    calls per invocation. Pass a column NAME for the single-parse
+    build."""
+    return rp_bucket_n(vec, RP_N_PLANES)
 
 
 def topk_multiprobe_lsh(
@@ -662,13 +681,13 @@ def topk_multiprobe_lsh(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        rp_bucket(F.col(vec_col)).cast("int").alias("bucket"),
+        rp_bucket(vec_col).cast("int").alias("bucket"),
         l2norm(F.col(vec_col)).alias("cnrm"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        rp_bucket(F.col(vec_col)).cast("int").alias("qbucket"),
+        rp_bucket(vec_col).cast("int").alias("qbucket"),
         l2norm(F.col(vec_col)).alias("qnrm"),
     )
     probes = q.withColumn(
@@ -749,7 +768,7 @@ def retrieve_quantized_multiprobe(
             int8_quantize(d, sc).alias(f"{prefix}qv"),
             sc.alias(f"{prefix}scale"),
             l2norm(F.col(vec_col)).alias(f"{prefix}nrm"),
-            rp_bucket(F.col(vec_col)).cast("int").alias(f"{prefix}bucket"),
+            rp_bucket(vec_col).cast("int").alias(f"{prefix}bucket"),
         )
 
     offs = MULTIPROBE_OFFSETS_H2 if offsets is None else offsets

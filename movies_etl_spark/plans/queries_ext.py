@@ -482,7 +482,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     # norms precomputed per vector BEFORE the pairwise join — identical
     # doubles, one fold per pair instead of three
     e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding", D.l2norm(F.col("embedding")).alias("nrm")
+        "vec_id", "label", "embedding", D.l2norm_expr("embedding").alias("nrm")
     )
     a = e.select(
         F.col("vec_id").alias("id_a"), "label",
@@ -494,7 +494,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
         F.col("embedding").alias("vb"),
         F.col("nrm").alias("nrm_b"),
     )
-    cos = D.dot(F.col("va"), F.col("vb")) / (F.col("nrm_a") * F.col("nrm_b"))
+    cos = D.dot_expr("va", "vb") / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         a.join(
             b,
@@ -633,8 +633,8 @@ def q_similarity_ann_lsh(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
-        SIM.rp_bucket(F.col("embedding")).cast("int").alias("bucket"),
-        D.l2norm(F.col("embedding")).alias("nrm"),
+        SIM.rp_bucket("embedding").cast("int").alias("bucket"),
+        D.l2norm_expr("embedding").alias("nrm"),
     )
     qs = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"),
@@ -648,7 +648,7 @@ def q_similarity_ann_lsh(spark, sf_dir):
         & (F.col("vec_id") != F.col("query_id")),
     )
     sim = F.round(
-        D.dot(F.col("qvec"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")), 6
+        D.dot_expr("qvec", "embedding") / (F.col("qnrm") * F.col("nrm")), 6
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
@@ -1229,7 +1229,7 @@ def q_embedding_normalize(spark, sf_dir):
     expression): L2 norm + first unit-vector component, scalar-projected
     for portable comparison."""
     e = _t(spark, sf_dir, "embeddings")
-    nrm = D.l2norm(F.col("embedding"))
+    nrm = D.l2norm_expr("embedding")
     e0 = F.element_at(F.col("embedding"), 1).cast("double")
     return e.select(
         "vec_id",
@@ -2449,7 +2449,7 @@ def q_ann_frontier_sweep(spark, sf_dir):
     analyses at build, one stage wave instead of 15 at exec. No
     collects, no corpus shuffles."""
     from movies_etl_spark.operators import caching
-    from movies_etl_spark.operators.dedup import cosine, dot, l2norm
+    from movies_etl_spark.operators.dedup import cosine_expr, dot_expr, l2norm_expr
 
     e = _t(spark, sf_dir, "embeddings")
 
@@ -2473,10 +2473,10 @@ def q_ann_frontier_sweep(spark, sf_dir):
         sel = [
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("cvec"),
-            SIM.rp_bucket_n(F.col("embedding"), width)
+            SIM.rp_bucket_n("embedding", width)
             .cast("int")
             .alias("bucket"),
-            l2norm(F.col("embedding")).alias("cnrm"),
+            l2norm_expr("embedding").alias("cnrm"),
         ]
         if cell_col is not None:
             sel.append(F.col(cell_col).alias("cell"))
@@ -2500,7 +2500,7 @@ def q_ann_frontier_sweep(spark, sf_dir):
         return c_all, q_all, exact, denom
 
     sim = F.round(
-        dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")),
+        dot_expr("qvec", "cvec") / (F.col("qnrm") * F.col("cnrm")),
         6,
     )
 
@@ -2631,7 +2631,7 @@ def q_ann_frontier_sweep(spark, sf_dir):
             "qvec",
             "qnrm",
             "cell",
-            F.round(cosine(F.col("qvec"), F.col("centroid")), 6).alias(
+            F.round(cosine_expr("qvec", "centroid"), 6).alias(
                 "csim"
             ),
         )
@@ -2662,7 +2662,7 @@ def q_ann_frontier_sweep(spark, sf_dir):
             "qvec",
             "qnrm",
             "cell",
-            F.round(cosine(F.col("qvec"), F.col("centroid")), 6).alias(
+            F.round(cosine_expr("qvec", "centroid"), 6).alias(
                 "csim"
             ),
         )
@@ -2985,7 +2985,7 @@ def q_similarity_ann_tuned(spark, sf_dir):
     is a join key, so at 100 TB the selection costs one small-frame
     sort, not a re-plan)."""
     from movies_etl_spark.operators import caching
-    from movies_etl_spark.operators.dedup import dot, l2norm
+    from movies_etl_spark.operators.dedup import dot_expr, l2norm_expr
 
     e = _t(spark, sf_dir, "embeddings")
     cf = caching.tracked_local_checkpoint(
@@ -3006,10 +3006,10 @@ def q_similarity_ann_tuned(spark, sf_dir):
         cf.join(assigned, "vec_id").select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("cvec"),
-            SIM.rp_bucket_n(F.col("embedding"), 8).cast("int").alias(
+            SIM.rp_bucket_n("embedding", 8).cast("int").alias(
                 "bucket"
             ),
-            l2norm(F.col("embedding")).alias("cnrm"),
+            l2norm_expr("embedding").alias("cnrm"),
             "cell",
         ),
         eager=False,
@@ -3032,7 +3032,7 @@ def q_similarity_ann_tuned(spark, sf_dir):
         eager=False,
     )
     sim = F.round(
-        dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")),
+        dot_expr("qvec", "cvec") / (F.col("qnrm") * F.col("cnrm")),
         6,
     )
     # LSH arm: cfg-tagged probe union, ONE corpus join (both configs at
@@ -3083,8 +3083,8 @@ def q_similarity_ann_tuned(spark, sf_dir):
         "qnrm",
         "cell",
         F.round(
-            dot(F.col("qvec"), F.col("centroid"))
-            / (F.col("qnrm") * l2norm(F.col("centroid"))),
+            dot_expr("qvec", "centroid")
+            / (F.col("qnrm") * l2norm_expr("centroid")),
             6,
         ).alias("csim"),
     )

@@ -137,6 +137,42 @@ def test_rp_bucket_n_8_matches_rp_bucket(spark, recall_frames):
     assert both.filter(F.col("b8") != F.col("bn")).count() == 0
 
 
+def test_rp_bucket_n_str_matches_column(spark, recall_frames):
+    """The r19 single-parse string path (whole bucket column built as
+    one F.expr) is value-identical to the Column path at both widths,
+    and the single-parse fold kernels (dot_expr/l2norm_expr/cosine_expr)
+    match their python-HOF builders bit-for-bit."""
+    from movies_etl_spark.operators import dedup as D
+
+    e, _, _ = recall_frames
+    for width in (8, 16):
+        both = e.select(
+            SIM.rp_bucket_n(F.col("embedding"), width)
+            .cast("int")
+            .alias("bc"),
+            SIM.rp_bucket_n("embedding", width).cast("int").alias("bs"),
+        )
+        assert both.filter(F.col("bc") != F.col("bs")).count() == 0
+    pair = e.select(
+        F.col("embedding").alias("a"),
+        F.reverse(F.col("embedding")).alias("b"),
+    )
+    kernels = pair.select(
+        D.dot(F.col("a"), F.col("b")).alias("d_col"),
+        D.dot_expr("a", "b").alias("d_str"),
+        D.l2norm(F.col("a")).alias("n_col"),
+        D.l2norm_expr("a").alias("n_str"),
+        D.cosine(F.col("a"), F.col("b")).alias("c_col"),
+        D.cosine_expr("a", "b").alias("c_str"),
+    )
+    bad = kernels.filter(
+        (F.col("d_col") != F.col("d_str"))
+        | (F.col("n_col") != F.col("n_str"))
+        | (F.col("c_col") != F.col("c_str"))
+    )
+    assert bad.count() == 0
+
+
 def test_frontier_operating_point_floor(spark, recall_frames):
     """The r9 isotropic operating point (planes=8, radius=3) must clear
     the ≥0.6-usability bar the frontier sweep selected it for at sf0.1
