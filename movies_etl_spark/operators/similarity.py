@@ -102,7 +102,7 @@ def label_centroids(
         )
         .select(
             label_col,
-            F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid"),
+            F.expr("transform(pm, s -> s.m)").alias("centroid"),
         )
     )
 
@@ -252,7 +252,7 @@ def _recompute_centroids(assigned: DataFrame) -> DataFrame:
         .agg(
             F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
         )
-        .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+        .select("cell", F.expr("transform(pm, s -> s.m)").alias("centroid"))
     )
 
 
@@ -283,7 +283,7 @@ def kmeans_assign(
     float→double casts are exact, so downstream cosine over ``vd`` is
     bit-identical to cosine over the raw column."""
     v = corpus.select(
-        id_col, F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd")
+        id_col, F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("vd")
     )
     cents = v.filter(F.col(id_col) < k).select(
         F.col(id_col).alias("cell"), F.col("vd").alias("centroid")
@@ -895,7 +895,7 @@ def kmeans_train_assign(
     final training centroids then assign ``assign``'s vectors. Returns
     (id, cell, d2 rounded 4)."""
     vt = train.select(
-        id_col, F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd")
+        id_col, F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("vd")
     )
     cents = vt.filter(F.col(id_col) < k).select(
         F.col(id_col).alias("cell"), F.col("vd").alias("centroid")
@@ -905,7 +905,7 @@ def kmeans_train_assign(
         cents = _recompute_centroids(assigned)
         assigned = _assign_cells(vt, cents)
     va = assign.select(
-        id_col, F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd")
+        id_col, F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("vd")
     )
     return _assign_cells(va, _centroid_boundary(cents)).select(
         id_col, "cell", F.round(F.col("d2"), 4).alias("d2")
