@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from movies_etl_spark.operators.text import token_hash, tokens
+from movies_etl_spark.operators.text import token_hash  # noqa: F401 (shingle_hash_array)
 
 # MinHash configuration: 8 hashes, 4 bands × 2 rows.
 N_MINHASH = 8
@@ -138,13 +138,44 @@ def shingle_hash_array(toks: Column, k: int = 3) -> Column:
     )
 
 
+def _token_hash_sql(tok: str) -> str:
+    """SQL text of text.token_hash over a fragment (48-bit md5 prefix)."""
+    return f"cast(conv(substring(md5({tok}), 1, 12), 16, 10) as bigint)"
+
+
+def _shingle_hash_array_sql(toks: str, k: int = 3) -> str:
+    """SQL text of :func:`shingle_hash_array` over a token-array
+    fragment — the identical expression tree (the repeated ``th``/``n``
+    subtrees below are textual duplicates, exactly as reusing the same
+    Column object inserts the same subtree by value), in ONE parse.
+    Construction of the python-HOF version cost ~0.13 s of py4j round
+    trips per call — paid once per micro-batch in the streaming LSH
+    path and once per minhash query (r19, guide §1.2 build cost)."""
+    th = f"transform({toks}, t -> {_token_hash_sql('t')} % {MINHASH_P})"
+    n = f"size({toks})"
+    s1 = (
+        f"zip_with({th}, slice({th}, 2, {n}), "
+        f"(x, y) -> x * {SHINGLE_C1} + y * {SHINGLE_C2})"
+    )
+    s2 = f"zip_with({s1}, slice({th}, 3, {n}), (x, y) -> (x + y) % {MINHASH_P})"
+    return (
+        f"CASE WHEN {n} >= {k} THEN slice({s2}, 1, {n} - {k - 1}) "
+        f"ELSE cast(array() as array<bigint>) END"
+    )
+
+
 def shingled(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, shingles) projection (integer shingle hashes) — compute ONCE
     and persist when several downstream branches (banding + verification)
-    reuse it; at 100 TB this is a checkpointed table, not a recompute."""
+    reuse it; at 100 TB this is a checkpointed table, not a recompute.
+    Built as one parsed expression since r19 (see
+    :func:`_shingle_hash_array_sql`); value parity with the Column
+    builders is pinned in test_shingle_band_sql_parity."""
     return df.select(
         F.col(id_col),
-        shingle_hash_array(tokens(F.col(text_col))).alias("shingles"),
+        F.expr(_shingle_hash_array_sql(f"split({text_col}, ' ')")).alias(
+            "shingles"
+        ),
     )
 
 
@@ -160,18 +191,37 @@ def with_minhash_bands(
     it once and reads it three times) pass the column names; the
     default ``None`` recomputes exactly as before — band keys are the
     same concat arithmetic either way."""
+    # band-array column in ONE parse (r19): the python path built 8
+    # affine-min folds + 4 concat_ws + the struct array through ~0.2 s
+    # of py4j calls per invocation (once per streaming micro-batch);
+    # the SQL text is the identical tree — same affine grouping
+    # (a*h + b) % P, same int literals (every seed < 2^31), same
+    # casts. Parity pinned in test_shingle_band_sql_parity.
     if sig_cols is not None:
-        sig = [F.col(c) for c in sig_cols]
+        sig_sql = list(sig_cols)
     else:
-        sig = minhash_signature(F.col("shingles"))
-    bands = band_keys(sig)
+        sig_sql = [
+            f"array_min(transform(shingles, h -> ({a} * h + {b}) % {MINHASH_P}))"
+            for a, b in MINHASH_SEEDS[:N_MINHASH]
+        ]
+    r = len(sig_sql) // N_BANDS
+    band_sql = [
+        "concat_ws('|', "
+        + ", ".join(
+            f"cast({c} as string)" for c in sig_sql[b * r : (b + 1) * r]
+        )
+        + ")"
+        for b in range(N_BANDS)
+    ]
     banded = sh_df.select(
         F.col(id_col),
-        F.array(
-            *[
-                F.struct(F.lit(i).alias("band_id"), b.alias("band_key"))
-                for i, b in enumerate(bands)
-            ]
+        F.expr(
+            "array("
+            + ", ".join(
+                f"named_struct('band_id', {i}, 'band_key', {bk})"
+                for i, bk in enumerate(band_sql)
+            )
+            + ")"
         ).alias("bands"),
     )
     ex = banded.select(id_col, F.explode("bands").alias("b")).select(

@@ -1550,3 +1550,54 @@ def test_recall_shared_scan_matches_per_arm_variant(spark, sf_dir):
         finally:
             QE.RECALL_SHARED_SCAN = saved
         assert base == shared, (name, base, shared)
+
+
+def test_shingle_band_sql_parity(spark):
+    """The r19 single-parse shingle/band builders are value-identical to
+    the python-HOF Column builders they replaced: shingled() vs
+    shingle_hash_array(tokens(col)), and with_minhash_bands' parsed
+    band array vs band_keys(minhash_signature(shingles)) — same md5
+    token hashing, same affine grouping, same concat casts."""
+    from movies_etl_spark.operators import dedup as D
+    from movies_etl_spark.operators.text import tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),
+            (2, "a b"),                      # under-k: empty shingles
+            (3, ""),                         # degenerate
+            (4, "x y z x y z x y z q r s"),
+            (5, "lorem ipsum dolor sit amet consectetur"),
+        ],
+        "doc_id long, text string",
+    )
+    new_sh = D.shingled(docs, "text", "doc_id")
+    old_sh = docs.select(
+        F.col("doc_id"),
+        D.shingle_hash_array(tokens(F.col("text"))).alias("shingles"),
+    )
+    assert new_sh.exceptAll(old_sh).count() == 0
+    assert old_sh.exceptAll(new_sh).count() == 0
+
+    new_bands = D.with_minhash_bands(new_sh, "doc_id")
+    sig = D.minhash_signature(F.col("shingles"))
+    old_banded = old_sh.select(
+        F.col("doc_id"),
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("band_id"), b.alias("band_key"))
+                for i, b in enumerate(D.band_keys(sig))
+            ]
+        ).alias("bands"),
+    )
+    old_bands = (
+        old_banded.select("doc_id", F.explode("bands").alias("b"))
+        .select(
+            "doc_id",
+            F.col("b.band_id").alias("band_id"),
+            F.col("b.band_key").alias("band_key"),
+        )
+        .filter(F.col("band_key") != "")
+    )
+    assert new_bands.exceptAll(old_bands).count() == 0
+    assert old_bands.exceptAll(new_bands).count() == 0
