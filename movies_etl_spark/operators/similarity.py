@@ -757,17 +757,17 @@ def retrieve_quantized_multiprobe(
     the STORED index at 100 TB (the float vectors live in the rerank
     store, fetched only for the ~n_candidates winners)."""
     from movies_etl_spark.operators.curation import int8_quantize, int8_scale
-    from movies_etl_spark.operators.dedup import l2norm
+    from movies_etl_spark.operators.dedup import l2norm_expr
 
     def prep(df, prefix):
-        d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        d = F.expr(f"transform({vec_col}, x -> cast(x as double))")
         sc = int8_scale(d)
         return df.select(
             F.col(id_col).alias(f"{prefix}id"),
             d.alias(f"{prefix}vec"),
             int8_quantize(d, sc).alias(f"{prefix}qv"),
             sc.alias(f"{prefix}scale"),
-            l2norm(F.col(vec_col)).alias(f"{prefix}nrm"),
+            l2norm_expr(vec_col).alias(f"{prefix}nrm"),
             rp_bucket(vec_col).cast("int").alias(f"{prefix}bucket"),
         )
 
